@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * Exact dedup mirrors the reference cleaner's key-based duplicate drop
+  * (reference: opensea_pipeline/pipeline/src/clean_events.py:218-231) but with
+  * *defined* semantics: Polars `unique(keep="first")` keeps an arbitrary row
+  * under parallel execution, so we pin the survivor with an explicit
+  * tie-break ordering (SURVEY §7.4 risk 3). Scales as a single hash
+  * shuffle on the key columns; no global sort.
+  */
+object Dedup {
+
+  /** Keep exactly one row per key, the one with the smallest tie-break value.
+    * One shuffle on `keys`; window + filter stays inside the same exchange.
+    */
+  def dropDuplicatesDeterministic(
+      df: DataFrame, keys: Seq[String], tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tieBreak)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Duplicate-key audit: keys occurring more than once with their counts
+    * (reference: validate.py:67-91). Partial-aggregate friendly.
+    */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_dups"))
+      .where(col("n_dups") > 1)
+
+  /** Exact content dedup by normalized-text digest: one row per distinct
+    * md5(lower(trim(text))), surviving row = smallest id. This is the
+    * "exact (hash-groupBy)" dedup for a training-data pipeline: the digest
+    * is 16 bytes regardless of document size, so the shuffle moves hashes,
+    * not documents.
+    */
+  def exactTextDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("content_hash", md5(lower(trim(col(textCol)))))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingle set per document, as distinct shingle strings.
+    * Used by Jaccard / MinHash dedup. Output: (id, shingle) long form —
+    * explode keeps everything distributed (no per-doc collect).
+    */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol), toks.as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(
+        col(idCol),
+        explode(
+          transform(
+            sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))
+        ).as("shingle"))
+      .distinct()
+  }
+
+  /** N-gram Jaccard near-duplicate pairs: candidate pairs share >=1 shingle,
+    * similarity = |A∩B| / (|A|+|B|-|A∩B|). The shingle self-join is the
+    * scale risk (hot shingles blow up the pair space); `maxShingleFreq`
+    * drops shingles occurring in more than that many docs — standard
+    * frequent-token pruning, the same move MinHash banding makes implicit.
+    */
+  def jaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double, maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n).cache()
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df_freq"))
+      .where(col("df_freq") <= maxShingleFreq)
+    val pruned = sh.join(rare, "shingle").select(col(idCol), col("shingle"))
+    val sizes = pruned.groupBy(idCol).agg(count(lit(1)).as("set_size"))
+    val a = pruned.select(col(idCol).as("id_a"), col("shingle"))
+    val b = pruned.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard") + lit(1e-9), 6).as("jaccard"))
+  }
+
+  /** Deterministic 56-bit hash of a string, identical across engines:
+    * decimal value of the first 14 hex chars of md5. Used as the shingle
+    * hash base for MinHash so the oracle can reproduce it exactly.
+    */
+  def md5Hash56(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+
+  /** MinHash signatures: for each of `numHashes` permutations
+    * h_i(x) = (a_i * x + b_i) mod p, the signature component is
+    * min over the doc's shingle hashes. Output long form (id, hash_idx,
+    * min_hash) — banding happens downstream. a_i, b_i are fixed odd
+    * constants so results are reproducible.
+    */
+  def minHashSignatures(
+      sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val p = lit(2305843009213693951L) // 2^61 - 1, Mersenne prime
+    val base = sh.withColumn("h", md5Hash56(col("shingle")))
+    val perms = (0 until numHashes).map { i =>
+      struct(lit(i).as("hash_idx"),
+        pmod(col("h") * lit(2 * i + 1) + lit(1000003L * (i + 1)), p).as("hv"))
+    }
+    base
+      .select(col(idCol), explode(array(perms: _*)).as("perm"))
+      .groupBy(col(idCol), col("perm.hash_idx").as("hash_idx"))
+      .agg(min(col("perm.hv")).as("min_hash"))
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (`numHashes` rows per
+    * doc into bands of `rowsPerBand`), bucket-join on (band, band-signature),
+    * emit distinct candidate pairs, then verify with exact Jaccard estimate
+    * = fraction of matching signature components. Only docs sharing a full
+    * band collide, so the join is an equi-join on a compact key — the LSH
+    * scale path (no all-pairs comparison).
+    */
+  def minHashLshPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingles(df, textCol, idCol, shingleSize)
+    val sig = minHashSignatures(sh, idCol, numHashes).cache()
+    val banded = sig
+      .withColumn("band", floor(col("hash_idx") / rowsPerBand))
+      .groupBy(col(idCol), col("band"))
+      .agg(sort_array(collect_list(struct(col("hash_idx"), col("min_hash"))))
+        .cast("string").as("band_sig"))
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
+    val cand = l.join(r, Seq("band", "band_sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = sig.select(col(idCol).as("id_a"), col("hash_idx"), col("min_hash").as("mh_a"))
+    val sb = sig.select(col(idCol).as("id_b"), col("hash_idx"), col("min_hash").as("mh_b"))
+    cand.join(sa, "id_a").join(sb, Seq("id_b", "hash_idx"))
+      .groupBy("id_a", "id_b")
+      .agg((sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)) /
+        count(lit(1))).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard") + lit(1e-9), 6).as("est_jaccard"))
+  }
+
+  /** SimHash: 64-bit locality-sensitive fingerprint. Each token hashes to
+    * 64 bits; for each bit position sum +1/-1 across tokens; sign → bit.
+    * Computed with integer column math only (bitwise ops are codegen'd),
+    * so the oracle can replicate it. Output: (id, simhash).
+    */
+  def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn("h", md5Hash56(col("tok")))
+    val bitVotes = (0 until 56).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
+    }
+    val voted = toks.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
+    val fp = (0 until 56).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    voted.select(col(idCol), fp.as("simhash"))
+  }
+}

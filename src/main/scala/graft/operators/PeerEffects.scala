@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-window peer/range join (SURVEY §2.6 J11 + §2.7 A24) — the
+  * reference's scalability cliff: a Python for-loop over every sale row,
+  * re-filtering the full table per row (analyze_peer_effects.py:140-185).
+  *
+  * Rebuilt as a single join + groupBy. Two forms:
+  *  - `windowAgg`: equi-join on the entity key with a range residual —
+  *    Catalyst plans a hash/sort-merge join on the key, and the time
+  *    predicate is a cheap post-filter. Right when keys are selective
+  *    (many entities, short history each).
+  *  - `windowAggBucketed`: additionally buckets time so that even a
+  *    *keyless* or hot-key range join stays an equi-join: each probe row
+  *    joins only the (key, bucket) cells its window can overlap. This is
+  *    the 100 TB form — the join key space is (entity × time-bucket), so
+  *    no single hash cell holds an entity's full history.
+  */
+object PeerEffects {
+
+  /** For each row of `probes` (e.g. each sale): aggregate over all `peers`
+    * rows with the same `key` and peer.ts in [probe.ts - windowDays, probe.ts).
+    * Left join: probes with an empty window keep n_peers = 0.
+    */
+  def windowAgg(probes: DataFrame, peers: DataFrame, key: String,
+      tsCol: String, valueCol: String, idCol: String,
+      windowDays: Int): DataFrame = {
+    val p = peers.select(col(key).as("__k"), col(tsCol).as("__pts"),
+      col(valueCol).as("__pv"))
+    probes
+      .join(p,
+        col(key) === col("__k") &&
+          col("__pts") >= col(tsCol) - expr(s"INTERVAL $windowDays DAYS") &&
+          col("__pts") < col(tsCol),
+        "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__pv")).as("n_peers"),
+        avg(col("__pv")).as("peer_avg"),
+        max(col("__pv")).as("peer_max"))
+  }
+
+  /** Scale form: join on (key, time_bucket) equi-keys with the range check
+    * as residual. Each probe row expands to the ceil(windowDays/bucketDays)+1
+    * buckets its lookback window can touch — constant fan-out, and the
+    * shuffle key (key, bucket) splits hot entities across cells.
+    */
+  def windowAggBucketed(probes: DataFrame, peers: DataFrame, key: String,
+      tsCol: String, valueCol: String, idCol: String,
+      windowDays: Int, bucketDays: Int): DataFrame = {
+    val nBuckets = windowDays / bucketDays + 1
+    val bucketOf = (c: Column) => floor(unix_micros(c) / (bucketDays * 86400e6))
+    val p = peers.select(col(key).as("__k"), bucketOf(col(tsCol)).as("__b"),
+      col(tsCol).as("__pts"), col(valueCol).as("__pv"))
+    val probeB = probes.withColumn("__b0", bucketOf(col(tsCol)))
+      .withColumn("__b", explode(sequence(col("__b0") - nBuckets, col("__b0"))))
+    val joined = probeB
+      .join(p,
+        col(key) === col("__k") && probeB("__b") === p("__b") &&
+          col("__pts") >= col(tsCol) - expr(s"INTERVAL $windowDays DAYS") &&
+          col("__pts") < col(tsCol),
+        "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__pv")).as("n_peers"),
+        avg(col("__pv")).as("peer_avg"),
+        max(col("__pv")).as("peer_max"))
+    joined
+  }
+
+  /** Peer join through a neighbor table (the reference's actual shape:
+    * peers of a sale = sales of the K visually-nearest tokens). Composes
+    * the KNN output (Similarity.bruteForceTopK / lshTopK) with the range
+    * join: probe → its neighbors (equi) → neighbor's events in the window
+    * (equi + range residual).
+    */
+  def neighborWindowAgg(probes: DataFrame, neighbors: DataFrame,
+      peers: DataFrame, key: String, tsCol: String, valueCol: String,
+      idCol: String, windowDays: Int): DataFrame = {
+    val nb = neighbors.select(col("query_id").as(key),
+      col("neighbor_id").as("__nk"))
+    val p = peers.select(col(key).as("__pk"), col(tsCol).as("__pts"),
+      col(valueCol).as("__pv"))
+    probes
+      .join(nb, Seq(key), "left")
+      .join(p,
+        col("__nk") === col("__pk") &&
+          col("__pts") >= col(tsCol) - expr(s"INTERVAL $windowDays DAYS") &&
+          col("__pts") < col(tsCol),
+        "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__pv")).as("n_peers"),
+        avg(col("__pv")).as("peer_avg"),
+        max(col("__pv")).as("peer_max"))
+  }
+}

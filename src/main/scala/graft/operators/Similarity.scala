@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity / KNN operators (SURVEY §2.10 M7, §2.6 J12; plus
+  * the ANN scale path for a training-data pipeline).
+  *
+  * The reference materializes a full N×N NumPy cosine matrix in memory
+  * (analyze_peer_effects.py:55-97) — a hard ceiling around ~10^5 vectors.
+  * Here the exact form is a crossJoin whose dot product runs inside
+  * codegen'd higher-order functions, and the scale path (LSH bucketing)
+  * replaces the O(N²) pair space with an equi-join on hash buckets.
+  *
+  * All arithmetic is done in Double regardless of the stored Float type:
+  * identical left-to-right folds then agree bit-for-bit across engines,
+  * which the oracle comparison relies on.
+  */
+object Similarity {
+
+  /** dot(a, b) via zip_with + aggregate — whole-stage-codegen'd, no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Normalize once, up front: cosine becomes a plain dot product, saving
+    * the per-pair norm recomputation inside the N×N loop.
+    */
+  def withUnitVector(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    df.withColumn(outCol, transform(v, x => x / l2Norm(v)))
+  }
+
+  /** Exact top-k cosine neighbors for every vector (brute force).
+    * Correctness baseline; O(N²) pairs — right up to ~10^4-10^5 vectors,
+    * after which `lshTopK` is the scale path. Ties broken by neighbor id
+    * so results are deterministic.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val base = df.select(col(idCol).cast("long").as("id"), v.as("vec"))
+    val l = base.select(col("id").as("query_id"), col("vec").as("vec_a"))
+    val r = base.select(col("id").as("neighbor_id"), col("vec").as("vec_b"))
+    val pairs = l.crossJoin(r)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("vec_a"), col("vec_b")) /
+          (l2Norm(col("vec_a")) * l2Norm(col("vec_b")))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine") + lit(1e-9), 6).as("cosine"))
+  }
+
+  /** Random-hyperplane LSH bucketing: sign bits of `numPlanes` fixed
+    * pseudo-random hyperplane projections form the bucket key. Vectors
+    * only compare within a bucket → pair space shrinks from N² to
+    * sum over buckets of |bucket|². Deterministic planes (hash-seeded per
+    * (plane, dim)) keep runs reproducible. Recall < 1.0 by construction;
+    * `numTables` independent bucketings raise it (union of candidates).
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      numPlanes: Int = 8, numTables: Int = 4): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val base = df.select(col(idCol).cast("long").as("id"), v.as("vec")).cache()
+    val dim = base.select(size(col("vec"))).head().getInt(0)
+
+    // Deterministic pseudo-random plane component in [-1, 1): based on the
+    // same md5-derived integer hash the dedup operators use.
+    def planeComponent(table: Int, plane: Int, d: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plane:$table:$plane:$d".getBytes("UTF-8"))
+      val bits = java.nio.ByteBuffer.wrap(h).getLong(0)
+      (bits.toDouble / Long.MaxValue.toDouble)
+    }
+
+    val candidates = (0 until numTables).map { t =>
+      val bucketBits = (0 until numPlanes).map { pIdx =>
+        val plane = array((0 until dim).map(d => lit(planeComponent(t, pIdx, d))): _*)
+        when(dot(col("vec"), plane) >= 0, lit(1L << pIdx)).otherwise(lit(0L))
+      }.reduce((x, y) => x + y)
+      val bucketed = base.withColumn("bucket", bucketBits)
+      val l = bucketed.select(col("id").as("query_id"), col("vec").as("vec_a"), col("bucket"))
+      val r = bucketed.select(col("id").as("neighbor_id"), col("vec").as("vec_b"), col("bucket"))
+      l.join(r, Seq("bucket"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("vec_a"), col("vec_b")) /
+            (l2Norm(col("vec_a")) * l2Norm(col("vec_b")))).as("cosine"))
+    }.reduce(_ unionAll _).distinct()
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine") + lit(1e-9), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical operators (SURVEY §2.10 M1-M5): Pearson correlation, OLS
+  * regression in closed form, one-way ANOVA. The reference computes these
+  * with sklearn/SciPy on a driver-side matrix; here every one is a pure
+  * aggregate plan (one shuffle, partial+final), so they run on the full
+  * fact table, not a sample that fits in one process.
+  */
+object Stats {
+
+  /** Simple OLS y = a + b·x per group, closed form from sufficient
+    * statistics: b = cov(x,y)/var(x), a = ȳ − b·x̄,
+    * R² = corr(x,y)² (M3: analyze_peer_effects.py:206-236).
+    */
+  def olsByGroup(df: DataFrame, groupCols: Seq[String],
+      x: Column, y: Column): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      (covar_samp(x, y) / var_samp(x)).as("slope"),
+      (avg(y) - covar_samp(x, y) / var_samp(x) * avg(x)).as("intercept"),
+      (corr(x, y) * corr(x, y)).as("r2"))
+
+  /** Pairwise Pearson correlation per group (M1). */
+  def corrByGroup(df: DataFrame, groupCols: Seq[String],
+      x: Column, y: Column): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), corr(x, y).as("pearson_r"))
+
+  /** One-way ANOVA across the distinct values of `groupCol` (M4:
+    * analyze_visual_cycles.py:162-231). Two aggregation passes over tiny
+    * intermediate state: per-group (n, mean, var) → F, η².
+    * The p-value needs an F-distribution CDF — a driver-side scalar
+    * (commons-math3, on Spark's classpath); the distributed part ends at
+    * the sufficient statistics this returns.
+    */
+  def anova(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("double").as("n_g"),
+      avg(col(valueCol)).as("mean_g"),
+      var_samp(col(valueCol)).as("var_g"))
+    g.agg(
+        sum(col("n_g")).as("n"),
+        count(lit(1)).cast("double").as("k"),
+        (sum(col("n_g") * col("mean_g")) / sum(col("n_g"))).as("grand_mean"),
+        sum(col("n_g") * col("mean_g") * col("mean_g")).as("sum_n_mean2"),
+        sum((col("n_g") - 1) * col("var_g")).as("ssw"))
+      .withColumn("ssb",
+        col("sum_n_mean2") - col("n") * col("grand_mean") * col("grand_mean"))
+      .withColumn("df_between", col("k") - 1)
+      .withColumn("df_within", col("n") - col("k"))
+      .withColumn("f_stat",
+        (col("ssb") / col("df_between")) / (col("ssw") / col("df_within")))
+      .withColumn("eta_squared", col("ssb") / (col("ssb") + col("ssw")))
+      .select("n", "k", "f_stat", "eta_squared", "df_between", "df_within")
+  }
+
+  /** p-value for an F statistic — driver-side scalar on ANOVA output. */
+  def fPValue(fStat: Double, dfBetween: Double, dfWithin: Double): Double = {
+    val dist = new org.apache.commons.math3.distribution.FDistribution(
+      dfBetween, dfWithin)
+    1.0 - dist.cumulativeProbability(fStat)
+  }
+
+  /** Correlation matrix in long form: Pearson r between the `valueCol`
+    * series of every pair of `seriesCol` values, aligned on `keyCol`
+    * (M2: cross-collection daily-price correlation). The self-join is on
+    * the already-aggregated per-key series (one row per (series, key)),
+    * so both sides are small; pairs are deduplicated by series name order.
+    */
+  def corrMatrix(df: DataFrame, seriesCol: String, keyCol: String,
+      valueCol: String): DataFrame = {
+    val a = df.select(col(seriesCol).as("series_a"), col(keyCol),
+      col(valueCol).as("v_a"))
+    val b = df.select(col(seriesCol).as("series_b"), col(keyCol),
+      col(valueCol).as("v_b"))
+    a.join(b, Seq(keyCol))
+      .where(col("series_a") < col("series_b"))
+      .groupBy("series_a", "series_b")
+      .agg(count(lit(1)).as("n_aligned"), corr(col("v_a"), col("v_b")).as("pearson_r"))
+  }
+}

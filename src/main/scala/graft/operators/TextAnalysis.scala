@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language ID, document fingerprinting. All pure column
+  * expressions (codegen'd, no UDFs) so they run at scan speed and are
+  * exactly reproducible by the SQL oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; 0 for blank text. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count estimate: words plus extra units for long words
+    * (a word of length L costs ceil(L/4) tokens) — the standard ~4 chars
+    * per token heuristic, computed distributively over the token array.
+    */
+  def subwordCountEstimate(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L)).otherwise(
+      aggregate(split(trim(text), "\\s+"), lit(0L),
+        (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long")))
+
+  /** Quality features: char/token counts, mean token length, punctuation
+    * ratio, uppercase ratio, stopword ratio (tiny English stopword list).
+    * These are the length/punct/stopword heuristics a pretraining filter
+    * uses; thresholds stay in the caller.
+    */
+  def withQualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokenCount(t)
+    val stripped = regexp_replace(t, "\\s+", "")
+    val punct = length(regexp_replace(stripped, "[\\p{L}\\p{N}]", ""))
+    val upper = length(regexp_replace(stripped, "[^A-Z]", ""))
+    val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+      "is", "it", "that", "for", "on", "with", "as")
+    val stopHits = aggregate(split(lower(trim(t)), "\\s+"), lit(0L),
+      (acc, w) => acc + when(w.isin(stopwords.map(lit(_)): _*), 1L).otherwise(0L))
+    df.withColumn("n_tokens", toks)
+      .withColumn("n_chars_stripped", length(stripped))
+      .withColumn("mean_token_len",
+        when(toks > 0, length(stripped).cast("double") / toks))
+      .withColumn("punct_ratio",
+        when(length(stripped) > 0, punct.cast("double") / length(stripped)))
+      .withColumn("upper_ratio",
+        when(length(stripped) > 0, upper.cast("double") / length(stripped)))
+      .withColumn("stopword_ratio",
+        when(toks > 0, stopHits.cast("double") / toks))
+  }
+
+  /** Composite quality score in [0,1]: blend of length band, stopword
+    * presence and low punctuation — a deterministic stand-in for a model
+    * scorer, with the same plan shape.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    withQualityFeatures(df, textCol).withColumn("quality_score",
+      round(
+        (when(col("n_tokens").between(10, 10000), 0.4).otherwise(0.0)
+          + when(col("stopword_ratio") > 0.01, 0.3).otherwise(0.0)
+          + when(col("punct_ratio") < 0.2, 0.3).otherwise(0.0)), 6))
+
+  /** N-gram-frequency language ID. Scores each candidate language by the
+    * fraction of tokens hitting its marker list (top function words);
+    * prediction = argmax, ties to the lexicographically first language.
+    * Heuristic but deterministic and fully distributed — and exactly what
+    * fastText-less pipelines ship as a first-pass filter.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "et", "une", "dans", "que", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "这", "他"))
+
+  def withLanguageId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val scored = langMarkers.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((lang, markers), i) =>
+        val hits = aggregate(toks, lit(0L),
+          (acc, w) => acc + when(w.isin(markers.map(lit(_)): _*), 1L).otherwise(0L))
+        // struct comparison is lexicographic: max score wins; on ties the
+        // greatest -index = smallest index = alphabetically-first language.
+        struct((hits.cast("double") / size(toks)).as("score"),
+          lit(-i).as("neg_idx"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    df.withColumn("lang_pred",
+        when(size(toks) > 0 && best.getField("score") > 0, best.getField("lang"))
+          .otherwise(lit("und")))
+      .withColumn("lang_score", round(coalesce(best.getField("score"), lit(0.0)), 6))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * engine-portable (same digest in any engine), used for exact dedup
+    * and change detection.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling polynomial hash over tokens (base-31 mod 1e9+7) — an
+    * order-sensitive fingerprint that distinguishes permuted documents,
+    * computed as a left fold over the token array. The modulus keeps every
+    * intermediate < 2^35, so the arithmetic is overflow-free in any
+    * 64-bit engine and the oracle can reproduce it exactly.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      split(trim(text), "\\s+"),
+      lit(0L),
+      (acc, w) => pmod(acc * 31 + pmod(Dedup.md5Hash56(w), lit(1000000007L)),
+        lit(1000000007L)))
+}

@@ -16,12 +16,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.a1.fn(spark, "/root/testdata/sf0.001")
 
+  /** The full catalog across all parts. */
+  def catalog: Seq[Queries.Q] = Queries.all ++ QueriesB.all
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.queries
+    catalog.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Queries.oracleSql
+  def oracleSql: Map[String, String] =
+    catalog.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

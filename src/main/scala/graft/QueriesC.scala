@@ -1,0 +1,291 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
+
+import graft.Queries.Q
+import graft.operators._
+import graft.sources.{Readers, Writers}
+import graft.streaming.Streaming
+
+/** Catalog part C: sources/sinks round trips (S1, S4/S6), streaming,
+  * broadcast dict-lookup and JSON-explode joins (J5, J8, J10/§2.11),
+  * KMeans (M6), cycle sensitivity (M9), and the training-data-pipeline
+  * extensions: MinHash-LSH / SimHash / n-gram-Jaccard dedup, subword
+  * counting, LSH ANN, and multimodal asset plumbing.
+  */
+object QueriesC {
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  private def tmpDir(prefix: String, d: String): String =
+    s"/tmp/graft_$prefix-${new java.io.File(d).getName}"
+
+  // S1/S2/S7: CSV sink + tolerant multi-file scan + union-by-name roundtrip
+  val s1 = Q("s1_csv_union_roundtrip",
+    (s, d) => {
+      val tmp = tmpDir("s1", d)
+      val e = ev(s, d)
+      Writers.writeCsv(e.where(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        s"$tmp/a")
+      Writers.writeCsv(e.where(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("event_type"), col("user_id")), s"$tmp/b")
+      Readers.readCsvUnionByName(s, Seq(s"$tmp/a", s"$tmp/b"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+          round(sum(col("value")), 2).as("sum_value"))
+    },
+    Some("""WITH u AS (
+        SELECT event_id, user_id, event_type, value FROM events
+          WHERE event_id % 2 = 0
+        UNION ALL BY NAME
+        SELECT event_id, event_type, user_id FROM events
+          WHERE event_id % 2 = 1)
+      SELECT event_type, count(*) AS n,
+        count(*) FILTER (WHERE value IS NULL) AS n_null_value,
+        round(sum(value),2) AS sum_value
+      FROM u GROUP BY 1"""))
+
+  // S4/S6: hive-partitioned sink + partition-pruned scan roundtrip
+  val s4 = Q("s4_partition_pruned_scan",
+    (s, d) => {
+      val tmp = tmpDir("s4", d)
+      Writers.writePartitioned(
+        ev(s, d).withColumn("event_date", to_date(col("ts"))),
+        tmp, Seq("event_type"))
+      Readers.readPartitioned(s, tmp)
+        .where(col("event_type") === "purchase") // partition pruning
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    },
+    Some("""SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+      round(sum(value),2) AS sum_value FROM events
+      WHERE event_type = 'purchase' GROUP BY 1"""))
+
+  // Streaming daily stats via Trigger.AvailableNow — same oracle shape as
+  // a1 minus distinct counts (not available in streaming aggregation).
+  val st1 = Q("st1_streaming_daily_stats",
+    (s, d) => {
+      val agg = Streaming.dailyStats(Streaming.readEventsStream(s, d))
+      Streaming.runAvailableNow(s, agg,
+        s"st1_mem_${System.nanoTime()}")
+    },
+    Some("""SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
+      round(sum(value) + 1e-9,6) AS sum_value,
+      round(avg(value) + 1e-9,6) AS avg_value FROM events GROUP BY 1"""))
+
+  // J5/J6: broadcast enrichment join (txns ⋈ cluster assignments analog)
+  val j5 = Q("j5_broadcast_enrich",
+    (s, d) => {
+      val dim = Tables.embeddings(s, d)
+        .select(col("vec_id").as("user_id"), col("label"))
+      ev(s, d).join(broadcast(dim), Seq("user_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(avg(col("value")) + lit(1e-9), 6).as("avg_value"))
+    },
+    Some("""SELECT label, count(*) AS n, count(DISTINCT user_id) AS n_users,
+      round(avg(value) + 1e-9,6) AS avg_value
+      FROM events JOIN embeddings ON user_id = vec_id GROUP BY 1"""))
+
+  // J8/J9: dict-lookup as a broadcast join against an inline dimension
+  val j8 = Q("j8_dict_lookup_join",
+    (s, d) => {
+      import s.implicits._
+      val weights = Seq(("purchase", 1.0), ("signup", 0.5), ("click", 0.25),
+        ("view", 0.05), ("error", 0.0)).toDF("event_type", "weight")
+      ev(s, d).join(broadcast(weights), Seq("event_type"), "left")
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(round(sum(col("value") * col("weight")), 4).as("weighted_value"))
+    },
+    Some("""SELECT CAST(ts AS DATE) AS event_date,
+      round(sum(value * CASE event_type WHEN 'purchase' THEN 1.0
+        WHEN 'signup' THEN 0.5 WHEN 'click' THEN 0.25 WHEN 'view' THEN 0.05
+        ELSE 0.0 END), 4) AS weighted_value
+      FROM events GROUP BY 1"""))
+
+  // J10 + §2.11: semi-structured traits via from_json + explode (the
+  // reference's JSON-traits parse loop as a built-in Generator)
+  val j10 = Q("j10_json_explode",
+    (s, d) => ev(s, d)
+      .select(col("value").as("event_value"),
+        explode(from_json(col("props"), MapType(StringType, LongType))))
+      .groupBy(col("key").as("prop_key"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("event_value")) + lit(1e-9), 6).as("avg_event_value"),
+        round(avg(col("value")) + lit(1e-9), 6).as("avg_prop_value")),
+    Some("""SELECT 'k' AS prop_key, count(*) AS n,
+      round(avg(value) + 1e-9,6) AS avg_event_value,
+      round(avg(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))
+        + 1e-9,6) AS avg_prop_value
+      FROM events WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''
+      GROUP BY 1"""))
+
+  // M6: distributed KMeans over the embedding table (no SQL oracle —
+  // centroid init is engine-specific; driver records rows>0, unit tests
+  // assert quality invariants)
+  val m6 = Q("m6_kmeans_clusters",
+    (s, d) => graft.ml.Clustering.kmeansAssign(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 10, seed = 42)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n")),
+    None)
+
+  // M9: regime-sensitivity score per group (pivoted conditional aggregates
+  // + log-ratio + 3-way label)
+  val m9 = Q("m9_cycle_sensitivity",
+    (s, d) => {
+      val e = ev(s, d).withColumn("event_date", to_date(col("ts")))
+      e.groupBy(col("event_type"))
+        .agg(
+          avg(when(col("event_date") <= lit("2024-01-10").cast("date"),
+            col("value"))).as("early_avg"),
+          avg(when(col("event_date") > lit("2024-01-20").cast("date"),
+            col("value"))).as("late_avg"))
+        .withColumn("sensitivity", abs(log(col("early_avg") / col("late_avg"))))
+        .select(col("event_type"),
+          round(col("early_avg") + lit(1e-9), 6).as("early_avg"),
+          round(col("late_avg") + lit(1e-9), 6).as("late_avg"),
+          round(col("sensitivity") + lit(1e-9), 6).as("sensitivity"),
+          when(col("sensitivity") > 0.10, "sensitive")
+            .when(col("sensitivity") > 0.02, "moderate")
+            .otherwise("stable").as("sensitivity_label"))
+    },
+    Some("""WITH g AS (SELECT event_type,
+        avg(value) FILTER (WHERE CAST(ts AS DATE) <= DATE '2024-01-10')
+          AS early_avg,
+        avg(value) FILTER (WHERE CAST(ts AS DATE) > DATE '2024-01-20')
+          AS late_avg
+        FROM events GROUP BY 1)
+      SELECT event_type, round(early_avg + 1e-9, 6) AS early_avg,
+        round(late_avg + 1e-9, 6) AS late_avg,
+        round(abs(ln(early_avg / late_avg)) + 1e-9, 6) AS sensitivity,
+        CASE WHEN abs(ln(early_avg / late_avg)) > 0.10 THEN 'sensitive'
+          WHEN abs(ln(early_avg / late_avg)) > 0.02 THEN 'moderate'
+          ELSE 'stable' END AS sensitivity_label
+      FROM g"""))
+
+  // ---- training-data-pipeline dedup extensions --------------------------
+
+  private val shingleSql = """toks AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+        FROM toks, unnest(generate_series(1, len(tk) - 2)) AS g(i)
+        WHERE len(tk) >= 3)"""
+
+  // n-gram Jaccard near-dup pairs (exact verification path)
+  val t7q = Q("t7_jaccard_pairs",
+    (s, d) => Dedup.jaccardPairs(docs(s, d), "text", "doc_id",
+      n = 3, threshold = 0.3, maxShingleFreq = 200),
+    Some(s"""WITH $shingleSql,
+      rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200),
+      pr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+      sizes AS (SELECT doc_id, count(*) AS set_size FROM pr GROUP BY 1),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM pr a JOIN pr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, round(CAST(n_common AS DOUBLE)
+          / (sa.set_size + sb.set_size - n_common) + 1e-9, 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE)
+        / (sa.set_size + sb.set_size - n_common) >= 0.3"""))
+
+  // MinHash-LSH candidate pairs + signature-estimated Jaccard (scale path)
+  val t5q = Q("t5_minhash_lsh_pairs",
+    (s, d) => Dedup.minHashLshPairs(docs(s, d), "text", "doc_id",
+      shingleSize = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.5),
+    Some(s"""WITH $shingleSql,
+      hx AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT) AS h FROM sh),
+      sig AS (SELECT doc_id, i AS hash_idx,
+        min((h * (2*i+1) + 1000003*(i+1)) % 2305843009213693951) AS min_hash
+        FROM hx, unnest(generate_series(0, 31)) AS g(i) GROUP BY 1, 2),
+      band AS (SELECT doc_id, hash_idx // 4 AS band,
+        list(min_hash ORDER BY hash_idx) AS bsig FROM sig GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+          AND a.doc_id < b.doc_id),
+      est AS (SELECT id_a, id_b,
+        CAST(sum(CASE WHEN sa.min_hash = sb.min_hash THEN 1 ELSE 0 END)
+          AS DOUBLE) / 32 AS ej
+        FROM cand
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b AND sa.hash_idx = sb.hash_idx
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, round(ej + 1e-9, 6) AS est_jaccard
+      FROM est WHERE ej >= 0.5"""))
+
+  // SimHash 56-bit fingerprints
+  val t6q = Q("t6_simhash",
+    (s, d) => Dedup.simHash(docs(s, d), "text", "doc_id"),
+    Some("""WITH tk AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      th AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h
+        FROM tk WHERE tok <> ''),
+      votes AS (SELECT doc_id, b,
+        sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th, unnest(generate_series(0, 55)) AS g(b) GROUP BY 1, 2)
+      SELECT doc_id,
+        CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+          AS BIGINT) AS simhash
+      FROM votes GROUP BY 1"""))
+
+  // Token + BPE-ish subword count estimate
+  val t8q = Q("t8_subword_count",
+    (s, d) => docs(s, d).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords")),
+    Some("""SELECT doc_id,
+      CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+          w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+        END AS n_subwords
+      FROM documents"""))
+
+  // ANN scale path: random-hyperplane LSH top-k (approximate — no SQL
+  // oracle; recall vs the exact j12 baseline is asserted in unit tests)
+  val ann1 = Q("ann1_lsh_topk",
+    (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 5, numPlanes = 6, numTables = 4)
+      .withColumnRenamed("rank", "knn_rank"),
+    None)
+
+  // ---- multimodal asset plumbing ---------------------------------------
+
+  val mm1 = Q("mm1_multimodal_assets",
+    (s, d) => Multimodal.withFakeDecodedFeatures(
+        Multimodal.toAssets(docs(s, d), "doc_id", "text", "text/plain"))
+      .select(col("asset_id"), col("media_type"), col("byte_len"),
+        col("payload_md5"), col("width"), col("height"), col("aspect_ratio")),
+    Some("""SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+      octet_length(encode(text)) AS byte_len, md5(text) AS payload_md5,
+      CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+      CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+      round(CAST(octet_length(encode(text)) % 640 + 1 AS DOUBLE)
+        / ((octet_length(encode(text)) * 7) % 480 + 1) + 1e-9, 6)
+        AS aspect_ratio
+      FROM documents"""))
+
+  val mm2 = Q("mm2_patch_sampling",
+    (s, d) => Multimodal.samplePatches(
+        Multimodal.toAssets(docs(s, d), "doc_id", "text", "text/plain"), 4)
+      .select(col("asset_id"), col("patch_idx"), col("patch_offset"),
+        col("patch_sig")),
+    Some("""SELECT doc_id AS asset_id, i AS patch_idx,
+      CAST(floor(i * (octet_length(encode(text)) / 4.0)) AS BIGINT)
+        AS patch_offset,
+      md5(md5(text) || CAST(i AS VARCHAR)) AS patch_sig
+      FROM documents, unnest(generate_series(0, 3)) AS g(i)"""))
+
+  val all: Seq[Q] = Seq(s1, s4, st1, j5, j8, j10, m6, m9,
+    t5q, t6q, t7q, t8q, ann1, mm1, mm2)
+}

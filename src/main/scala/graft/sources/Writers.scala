@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.DataFrame
+
+/** Sink operators (SURVEY §2.1 S5-S9, S12-S13).
+  *
+  * zstd parquet is the default at rest (reference io_utils.py:130-145);
+  * hive partitioning replaces the reference's DuckDB COPY PARTITION_BY
+  * (io_utils.py:147-182). Versioned output dirs reproduce the
+  * timestamped-run convention (io_utils.py:192-235).
+  */
+object Writers {
+
+  /** S5: parquet sink with selectable compression (zstd default). */
+  def writeParquet(df: DataFrame, path: String,
+      compression: String = "zstd"): Unit =
+    df.write.mode("overwrite").option("compression", compression).parquet(path)
+
+  /** S6: hive-partitioned parquet sink. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      compression: String = "zstd"): Unit =
+    df.write.mode("overwrite").option("compression", compression)
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  /** S7/S13: CSV sink (header on). `singleFile` coalesces to one part for
+    * small report tables only — never for fact-scale data.
+    */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val d = if (singleFile) df.coalesce(1) else df
+    d.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** S8: versioned output dir (timestamped like the reference's
+    * 2025-10-31_02-04-53 runs) + latest-version resolution.
+    */
+  def versionedDir(base: String,
+      now: LocalDateTime = LocalDateTime.now()): String = {
+    val stamp = now.format(DateTimeFormatter.ofPattern("yyyy-MM-dd_HH-mm-ss"))
+    val dir = s"$base/$stamp"
+    Files.createDirectories(Paths.get(dir))
+    dir
+  }
+
+  /** Latest version = lexicographic max of the timestamped subdirs. */
+  def latestVersion(base: String): Option[String] = {
+    val p = Paths.get(base)
+    if (!Files.isDirectory(p)) return None
+    val subs = Files.list(p).filter(Files.isDirectory(_)).toArray
+      .map(_.toString).sorted
+    subs.lastOption
+  }
+
+  /** S9: small-aggregate JSON metrics sink (driver-side, like the
+    * reference's metrics.json). Only for already-aggregated scalars.
+    */
+  def writeMetricsJson(metrics: Map[String, Any], path: String): Unit = {
+    def render(v: Any): String = v match {
+      case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case m: Map[_, _] =>
+        m.map { case (k, x) => "\"" + k.toString + "\": " + render(x) }
+          .mkString("{", ", ", "}")
+      case seq: Seq[_] => seq.map(render).mkString("[", ", ", "]")
+      case other => String.valueOf(other)
+    }
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), render(metrics))
+  }
+}

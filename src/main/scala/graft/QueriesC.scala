@@ -33,7 +33,8 @@ object QueriesC {
         s"$tmp/a")
       Writers.writeCsv(e.where(col("event_id") % 2 === 1)
         .select(col("event_id"), col("event_type"), col("user_id")), s"$tmp/b")
-      Readers.readCsvUnionByName(s, Seq(s"$tmp/a", s"$tmp/b"))
+      Readers.readCsvUnionByName(s, Seq(s"$tmp/a", s"$tmp/b"),
+          inferSchema = true)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
@@ -255,7 +256,7 @@ object QueriesC {
   // oracle; recall vs the exact j12 baseline is asserted in unit tests)
   val ann1 = Q("ann1_lsh_topk",
     (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), "vec_id",
-        "embedding", k = 5, numPlanes = 6, numTables = 4)
+        "embedding", k = 5, numPlanes = 4, numTables = 8)
       .withColumnRenamed("rank", "knn_rank"),
     None)
 

@@ -1,0 +1,151 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Runtime data-quality audits (SURVEY §2.5 V2-V9; reference
+  * opensea_pipeline/pipeline/src/validate.py:18-282).
+  *
+  * Every audit is an aggregate query collected to the driver only for
+  * report rendering — the heavy lifting (scans, conditional sums) is
+  * distributed. The report mirrors the reference's _run.log content.
+  */
+object DataValidator {
+
+  import Schemas._
+
+  case class ValidationReport(
+      totalRows: Long,
+      missingColumns: Seq[String],
+      nullCounts: Map[String, Long],
+      duplicateKeyCount: Long,
+      invalidEventTypes: Map[String, Long],
+      invalidAddressCounts: Map[String, Long],
+      negativePriceCount: Long,
+      priceMismatchCount: Long,
+      outOfRangeTimestampCount: Long) {
+    def render: String = {
+      val sb = new StringBuilder
+      sb.append(s"rows: $totalRows\n")
+      sb.append(s"missing columns: ${missingColumns.mkString(",")}\n")
+      sb.append(s"null counts: ${nullCounts.map { case (k, v) => s"$k=$v" }.mkString(" ")}\n")
+      sb.append(s"duplicate keys: $duplicateKeyCount\n")
+      sb.append(s"invalid event types: ${invalidEventTypes.map { case (k, v) => s"$k=$v" }.mkString(" ")}\n")
+      sb.append(s"invalid addresses: ${invalidAddressCounts.map { case (k, v) => s"$k=$v" }.mkString(" ")}\n")
+      sb.append(s"negative prices: $negativePriceCount\n")
+      sb.append(s"price mismatches: $priceMismatchCount\n")
+      sb.append(s"out-of-range timestamps: $outOfRangeTimestampCount\n")
+      sb.toString
+    }
+  }
+
+  /** V3 — schema/column-presence check (driver-side set diff). */
+  def missingColumns(df: DataFrame): Seq[String] =
+    rawEventColumns.filterNot(df.columns.toSet)
+
+  /** V4 — null counts per critical column, one aggregate pass. */
+  def nullCounts(df: DataFrame, critical: Seq[String]): Map[String, Long] = {
+    val present = critical.filter(df.columns.contains)
+    if (present.isEmpty) return Map.empty
+    val row = df.select(present.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)): _*).head()
+    present.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+  }
+
+  /** V2 — duplicate detection on the event key. */
+  def duplicateKeyCount(df: DataFrame): Long = {
+    val present = dedupKey.filter(df.columns.contains)
+    df.groupBy(present.map(col): _*).count()
+      .where(col("count") > 1).count()
+  }
+
+  /** V5 — event-type whitelist audit: counts of values outside the
+    * domain (after lower/trim normalization).
+    */
+  def invalidEventTypes(df: DataFrame): Map[String, Long] =
+    df.select(lower(trim(col("event_type"))).as("event_type"))
+      .where(!col("event_type").isin(validEventTypes: _*) ||
+        col("event_type").isNull)
+      .groupBy(col("event_type")).count()
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") -> r.getLong(1))
+      .toMap
+
+  /** V6 — address-format audit: per address column, count of values that
+    * are neither valid 0x-addresses nor null/empty.
+    */
+  def invalidAddressCounts(df: DataFrame): Map[String, Long] = {
+    val cols = Seq("seller", "buyer", "from_address", "to_address")
+      .filter(df.columns.contains)
+    if (cols.isEmpty) return Map.empty
+    val row = df.select(cols.map(c =>
+      sum(when(col(c).isNotNull && trim(col(c)) =!= "" &&
+        !trim(col(c)).rlike(addressRegex), 1L).otherwise(0L)).as(c)): _*)
+      .head()
+    cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+  }
+
+  /** V7 — price consistency: negative prices; price_each disagreeing
+    * with price_total/quantity beyond 1e-9 relative.
+    */
+  def priceAudit(df: DataFrame): (Long, Long) = {
+    val each = trim(col("price_each").cast("string")).try_cast("double")
+    val total = col("price_total").try_cast("double")
+    val expected = total /
+      when(col("quantity").try_cast("long") <= 0, 1L)
+        .otherwise(col("quantity").try_cast("long"))
+    val row = df.select(
+      sum(when(total < 0, 1L).otherwise(0L)).as("neg"),
+      sum(when(each.isNotNull &&
+        abs(each - expected) > abs(expected) * 1e-9 + 1e-12, 1L)
+        .otherwise(0L)).as("mismatch")).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** V8 — timestamp plausibility (unix range). */
+  def outOfRangeTimestamps(df: DataFrame): Long =
+    df.where(col("timestamp").try_cast("long") < minUnixTs ||
+      col("timestamp").try_cast("long") >= maxUnixTs).count()
+
+  /** Full report — the reference's generate_report (validate.py:239-282). */
+  def report(df: DataFrame): ValidationReport = {
+    val (neg, mismatch) = priceAudit(df)
+    ValidationReport(
+      totalRows = df.count(),
+      missingColumns = missingColumns(df),
+      nullCounts = nullCounts(df,
+        Seq("collection", "event_type", "timestamp", "tx", "token_id")),
+      duplicateKeyCount = duplicateKeyCount(df),
+      invalidEventTypes = invalidEventTypes(df),
+      invalidAddressCounts = invalidAddressCounts(df),
+      negativePriceCount = neg,
+      priceMismatchCount = mismatch,
+      outOfRangeTimestampCount = outOfRangeTimestamps(df))
+  }
+
+  /** V9 — post-clean quality metrics (clean_events.py:292-316), as a
+    * Map for the metrics.json sink.
+    */
+  def qualityMetrics(clean: DataFrame): Map[String, Any] = {
+    val agg = clean.agg(
+      count(lit(1)).as("total_rows"),
+      countDistinct(col("collection")).as("n_collections"),
+      countDistinct(col("token_id")).as("n_tokens"),
+      min(col("event_date")).cast("string").as("min_date"),
+      max(col("event_date")).cast("string").as("max_date"),
+      sum(when(col("price_total_eth") > 0, 1L).otherwise(0L)).as("n_priced"),
+      sum(when(col("price_total_eth") <= 0, 1L).otherwise(0L)).as("n_unpriced"))
+      .head()
+    val eventMix = clean.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Map(
+      "total_rows" -> agg.getLong(0),
+      "n_collections" -> agg.getLong(1),
+      "n_tokens" -> agg.getLong(2),
+      "min_date" -> agg.getString(3),
+      "max_date" -> agg.getString(4),
+      "n_priced" -> agg.getLong(5),
+      "n_unpriced" -> agg.getLong(6),
+      "event_mix" -> eventMix)
+  }
+}

@@ -1,0 +1,151 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.Schemas.validEventTypes
+
+/** Star-schema aggregate builders (SURVEY §2.7 A1-A11; reference
+  * opensea_pipeline/pipeline/src/aggregate.py).
+  *
+  * Scale notes versus the reference:
+  *  - The reference computes the daily pivot as 3 separate frames joined
+  *    back (aggregate.py:60-85). Here the per-type counts are conditional
+  *    sums inside the SAME aggregate as the daily stats — one shuffle on
+  *    (collection, event_date) instead of four.
+  *  - `first()`/`last()` (order-dependent in Polars) become
+  *    `min`/`max_by(ts)` — deterministic under any partitioning
+  *    (SURVEY §7.4 risk 3).
+  *  - All aggregations are partial+final hash aggs; nothing requires a
+  *    sort. Exact distinct counts stay exact (risk 7).
+  */
+object EventAggregator {
+
+  /** A1+A2+A7+J1/J2 fused — daily collection stats: activity counts,
+    * distinct actors, per-type event counts (pivot via conditional
+    * aggregation), and priced-only price stats, in ONE pass.
+    */
+  def dailyCollectionStats(events: DataFrame): DataFrame = {
+    val priced = col("price_total_eth") > 0
+    val typeCounts = validEventTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"${t}_count"))
+    val aggs = Seq(
+      count(lit(1)).as("event_count"),
+      countDistinct(col("buyer")).as("unique_buyers"),
+      countDistinct(col("seller")).as("unique_sellers"),
+      countDistinct(col("token_id")).as("unique_tokens")) ++ typeCounts ++ Seq(
+      sum(when(priced, col("price_total_eth"))).as("volume_eth"),
+      avg(when(priced, col("price_total_eth"))).as("avg_price_eth"),
+      percentile(when(priced, col("price_total_eth")), lit(0.5))
+        .as("median_price_eth"),
+      min(when(priced, col("price_total_eth"))).as("min_price_eth"),
+      max(when(priced, col("price_total_eth"))).as("max_price_eth"))
+    events.groupBy(col("collection"), col("event_date"))
+      .agg(aggs.head, aggs.tail: _*)
+      .na.fill(0.0, Seq("volume_eth"))
+  }
+
+  /** A3+A4+A5/J3 fused — token stats: trade counts/volume plus first
+    * mint date and last trade price, one shuffle on the token key
+    * (the reference runs three joins — aggregate.py:96-134).
+    */
+  def tokenStats(events: DataFrame): DataFrame = {
+    val isTrade = col("event_type").isin("sale", "transfer")
+    val priced = col("price_each_eth") > 0
+    events.groupBy(col("collection"), col("token_id"),
+        col("contract_address"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        sum(when(col("event_type") === "sale", col("price_total_eth"))
+          .otherwise(0.0)).as("total_volume_eth"),
+        avg(when(col("event_type") === "sale" && priced,
+          col("price_each_eth"))).as("avg_sale_price_eth"),
+        countDistinct(col("to_address")).as("unique_owners"),
+        min(when(col("event_type") === "mint", col("event_date")))
+          .as("first_mint_date"),
+        max(when(isTrade && priced, col("event_date"))).as("last_trade_date"),
+        max_by(when(isTrade && priced, col("price_each_eth")),
+          when(isTrade && priced, col("event_timestamp")))
+          .as("last_trade_price_eth"),
+        min(col("rarity_rank")).as("rarity_rank"),
+        min(col("rarity_score")).as("rarity_score"))
+  }
+
+  /** A6 — collection dimension. */
+  def collectionDimension(events: DataFrame): DataFrame =
+    events.groupBy(col("collection"))
+      .agg(
+        min(col("contract_address")).as("contract_address"),
+        min(col("event_date")).as("first_seen_date"),
+        max(col("event_date")).as("last_seen_date"),
+        countDistinct(col("token_id")).as("unique_tokens"),
+        count(lit(1)).as("total_events"))
+
+  /** A11 — collection summary with quartiles over priced events. */
+  def collectionSummary(events: DataFrame): DataFrame = {
+    val priced = col("price_total_eth") > 0
+    events.groupBy(col("collection"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countDistinct(col("token_id")).as("unique_tokens"),
+        countDistinct(col("buyer")).as("unique_buyers"),
+        min(col("event_date")).as("first_date"),
+        max(col("event_date")).as("last_date"),
+        sum(when(priced, 1L).otherwise(0L)).as("priced_events"),
+        sum(when(priced, col("price_total_eth"))).as("volume_eth"),
+        avg(when(priced, col("price_total_eth"))).as("avg_price_eth"),
+        percentile(when(priced, col("price_total_eth")), lit(0.25))
+          .as("p25_price_eth"),
+        percentile(when(priced, col("price_total_eth")), lit(0.5))
+          .as("median_price_eth"),
+        percentile(when(priced, col("price_total_eth")), lit(0.75))
+          .as("p75_price_eth"),
+        min(when(priced, col("price_total_eth"))).as("min_price_eth"),
+        max(when(priced, col("price_total_eth"))).as("max_price_eth"))
+  }
+
+  /** A8+J4+A9+A10 — wallet dimension: buyer and seller aggregates
+    * full-outer-joined on the wallet, horizontal min/max for activity
+    * bounds, HAVING-style min-transactions filter.
+    */
+  def walletDimension(events: DataFrame, minTransactions: Long = 1): DataFrame = {
+    def side(addrCol: String, prefix: String) =
+      events.where(col(addrCol).isNotNull && col(addrCol) =!= "")
+        .groupBy(col(addrCol).as("wallet_address"))
+        .agg(
+          count(lit(1)).as(s"${prefix}_count"),
+          sum(col("price_total_eth")).as(s"${prefix}_volume_eth"),
+          min(col("event_date")).as(s"${prefix}_first_date"),
+          max(col("event_date")).as(s"${prefix}_last_date"),
+          countDistinct(col("collection")).as(s"${prefix}_collections"))
+    val buys = side("buyer", "buy")
+    val sells = side("seller", "sell")
+    buys.join(sells, Seq("wallet_address"), "full_outer")
+      .na.fill(0L, Seq("buy_count", "sell_count", "buy_collections",
+        "sell_collections"))
+      .na.fill(0.0, Seq("buy_volume_eth", "sell_volume_eth"))
+      .withColumn("total_transactions", col("buy_count") + col("sell_count"))
+      .withColumn("first_activity_date",
+        least(col("buy_first_date"), col("sell_first_date")))
+      .withColumn("last_activity_date",
+        greatest(col("buy_last_date"), col("sell_last_date")))
+      .withColumn("unique_collections",
+        greatest(col("buy_collections"), col("sell_collections")))
+      .where(col("total_transactions") >= minTransactions)
+      .select("wallet_address", "buy_count", "sell_count",
+        "total_transactions", "buy_volume_eth", "sell_volume_eth",
+        "first_activity_date", "last_activity_date", "unique_collections")
+  }
+
+  /** A12+W2 — global daily series with the strict 7-day rolling mean. */
+  def dailyGlobalSeries(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_date"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        sum(when(col("price_total_eth") > 0, col("price_total_eth")))
+          .as("volume_eth"),
+        countDistinct(col("buyer")).as("unique_buyers"))
+    graft.operators.TimeSeries.rollingMeanStrict(
+      daily, "event_date", "event_count", 7)
+  }
+}

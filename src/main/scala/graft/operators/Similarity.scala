@@ -68,7 +68,7 @@ object Similarity {
     * `numTables` independent bucketings raise it (union of candidates).
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      numPlanes: Int = 8, numTables: Int = 4): DataFrame = {
+      numPlanes: Int = 4, numTables: Int = 8): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
     val base = df.select(col(idCol).cast("long").as("id"), v.as("vec")).cache()
     val dim = base.select(size(col("vec"))).head().getInt(0)

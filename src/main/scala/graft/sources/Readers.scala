@@ -14,15 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object Readers {
 
-  /** S1/S2: tolerant multi-file CSV scan with union-by-name semantics.
-    * PERMISSIVE mode nulls out malformed fields instead of failing the
-    * file, mirroring ignore_errors=true.
+  /** S1/S2: tolerant multi-file CSV scan with union-by-name semantics,
+    * mirroring ignore_errors=true.
+    *
+    * Default is all-columns-as-string: type inference on dirty data is a
+    * trap under ANSI mode (an inferred timestamp column with one junk row
+    * fails the whole scan), and the cleaner's `try_cast`s are the
+    * authoritative typing anyway. `inferSchema = true` is for known-clean
+    * inputs.
     */
-  def readCsvUnionByName(spark: SparkSession, paths: Seq[String]): DataFrame =
+  def readCsvUnionByName(spark: SparkSession, paths: Seq[String],
+      inferSchema: Boolean = false): DataFrame =
     paths.map { p =>
       spark.read
         .option("header", "true")
-        .option("inferSchema", "true")
+        .option("inferSchema", inferSchema.toString)
         .option("mode", "PERMISSIVE")
         .csv(p)
     }.reduce(_.unionByName(_, allowMissingColumns = true))

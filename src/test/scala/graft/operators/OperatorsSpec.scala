@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class OperatorsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("rollingMeanStrict: null until the window holds n rows") {
+    val df = (1 to 5).map(i => (i, i.toDouble)).toDF("t", "v")
+    val out = TimeSeries.rollingMeanStrict(df, "t", "v", 3)
+      .orderBy("t").select("rolling_avg_3").collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0))
+    assert(out(2).getDouble(0) === 2.0)
+    assert(out(4).getDouble(0) === 4.0)
+  }
+
+  test("pctChange and cumProd1p compose to the total growth factor") {
+    val df = Seq((1, 100.0), (2, 110.0), (3, 99.0)).toDF("t", "v")
+    val ret = TimeSeries.pctChange(df, "t", "v", "r")
+      .where(col("r").isNotNull)
+    val eq = TimeSeries.cumProd1p(ret, "t", "r", "equity")
+      .orderBy(desc("t")).select("equity").head().getDouble(0)
+    assert(math.abs(eq - 0.99) < 1e-12) // 99/100
+  }
+
+  test("zScores: standardized mean 0") {
+    val df = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("t", "v")
+    val z = TimeSeries.zScores(df, "v", "z").agg(sum("z")).head().getDouble(0)
+    assert(math.abs(z) < 1e-12)
+  }
+
+  test("olsByGroup recovers a perfect line") {
+    val df = (1 to 10).map(i => ("g", i.toDouble, 3.0 * i + 2.0))
+      .toDF("g", "x", "y")
+    val r = Stats.olsByGroup(df, Seq("g"), col("x"), col("y")).head()
+    assert(math.abs(r.getAs[Double]("slope") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+  }
+
+  test("anova: identical groups give F ~ 0, separated groups give large F") {
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val f0 = Stats.anova(same, "g", "v").head().getAs[Double]("f_stat")
+    assert(math.abs(f0) < 1e-9)
+    val sep = (1 to 20).map(i => ("a", i % 2 + 0.0)) ++
+      (1 to 20).map(i => ("b", i % 2 + 100.0))
+    val f1 = Stats.anova(sep.toDF("g", "v"), "g", "v").head()
+    assert(f1.getAs[Double]("f_stat") > 1000)
+    val p = Stats.fPValue(f1.getAs[Double]("f_stat"),
+      f1.getAs[Double]("df_between"), f1.getAs[Double]("df_within"))
+    assert(p < 1e-6)
+  }
+
+  test("bruteForceTopK finds the hand-checkable neighbor structure") {
+    // v0 ~ v1 (near dup), v2 orthogonal, v3 = -v0
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.01f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceTopK(df, "vec_id", "embedding", 1)
+    val n0 = knn.where(col("query_id") === 0).head()
+    assert(n0.getAs[Long]("neighbor_id") === 1L)
+    assert(n0.getAs[Double]("cosine") > 0.999)
+    val n3 = knn.where(col("query_id") === 3).head()
+    assert(n3.getAs[Long]("neighbor_id") === 2L) // orthogonal beats opposite
+  }
+
+  test("lshTopK recall vs brute force on real embeddings >= 60%") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", 5,
+      numPlanes = 4, numTables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall")
+  }
+
+  test("exact dedup + jaccard on synthetic near-duplicates") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the sleepy dog"), // near dup
+      (3L, "completely different text about spark engines here"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.exactTextDedup(docs, "text", "doc_id")
+    assert(exact.count() === 3)
+    assert(exact.where(col("n_copies") === 2).head().getAs[Long]("doc_id") === 0L)
+
+    val jac = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.3)
+    val pairs = jac.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val j01 = jac.where(col("id_a") === 0 && col("id_b") === 1).head()
+      .getAs[Double]("jaccard")
+    assert(j01 === 1.0)
+  }
+
+  test("simhash: identical docs identical, near-dups close in hamming") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the sleepy dog"),
+      (3L, "totally unrelated words appear in this sentence instead"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simHash(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fp(0L) === fp(1L))
+    assert(hamming(fp(0L), fp(2L)) < hamming(fp(0L), fp(3L)))
+  }
+
+  test("minhash estimated jaccard approximates exact jaccard") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j k l m n o p"),
+      (1L, "a b c d e f g h i j k l m n o q"), // ~0.76 shingle jaccard
+      (2L, "z y x w v u t s r q p o n m l k"))
+      .toDF("doc_id", "text")
+    val est = Dedup.minHashLshPairs(docs, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, rowsPerBand = 4, threshold = 0.2)
+    val e01 = est.where(col("id_a") === 0 && col("id_b") === 1)
+    assert(e01.count() === 1)
+    val v = e01.head().getAs[Double]("est_jaccard")
+    assert(v > 0.4 && v <= 1.0, s"est_jaccard $v")
+  }
+
+  test("peer window agg matches a hand computation") {
+    val events = Seq(
+      (1L, 10L, "2024-01-01 00:00:00", 10.0),
+      (2L, 10L, "2024-01-03 00:00:00", 20.0),
+      (3L, 10L, "2024-01-05 00:00:00", 30.0),
+      (4L, 20L, "2024-01-05 00:00:00", 99.0))
+      .toDF("event_id", "user_id", "t", "value")
+      .withColumn("ts", to_timestamp(col("t")))
+    val out = PeerEffects.windowAgg(events, events, "user_id", "ts",
+      "value", "event_id", 7)
+    val m = out.collect().map(r =>
+      r.getAs[Long]("event_id") -> (r.getAs[Long]("n_peers"),
+        Option(r.getAs[Any]("peer_avg")))).toMap
+    assert(m(1L)._1 === 0 && m(1L)._2.isEmpty)
+    assert(m(2L)._1 === 1)
+    assert(m(3L)._1 === 2 && m(3L)._2.contains(15.0))
+    assert(m(4L)._1 === 0)
+  }
+
+  test("bucketed peer window agg agrees with the plain form") {
+    val events = graft.Tables.events(spark, sf("sf0.001"))
+    val probes = events.where(col("event_type") === "purchase")
+    val plain = PeerEffects.windowAgg(probes, events, "user_id", "ts",
+      "value", "event_id", 7).orderBy("event_id").collect()
+    val bucketed = PeerEffects.windowAggBucketed(probes, events, "user_id",
+      "ts", "value", "event_id", 7, 2).orderBy("event_id").collect()
+    assert(plain.length === bucketed.length)
+    plain.zip(bucketed).foreach { case (a, b) =>
+      assert(a.getAs[Long]("event_id") === b.getAs[Long]("event_id"))
+      assert(a.getAs[Long]("n_peers") === b.getAs[Long]("n_peers"))
+    }
+  }
+
+  test("language id labels stopword-bearing text as english") {
+    val docs = Seq(
+      (0L, "the cat and the dog sat on the mat for a while"),
+      (1L, "xyzzy qwerty plugh")).toDF("doc_id", "text")
+    val out = TextAnalysis.withLanguageId(docs, "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out(0L) === "en")
+    assert(out(1L) === "und")
+  }
+
+  test("token and subword counts") {
+    val docs = Seq((0L, "hello world"), (1L, "  "), (2L, "internationalization"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("nt"),
+      TextAnalysis.subwordCountEstimate(col("text")).as("ns"))
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(0L) === ((2, 4L))) // ceil(5/4)+ceil(5/4)
+    assert(out(1L) === ((0, 0L)))
+    assert(out(2L) === ((1, 5L))) // ceil(20/4)
+  }
+}

@@ -36,6 +36,24 @@ object Similarity {
     df.withColumn(outCol, transform(v, x => x / l2Norm(v)))
   }
 
+  /** Fused no-allocation dot product (custom codegen Expression) — the
+    * hot-loop form. The HOF `dot` above stays as the composable/pedagogic
+    * variant; this one is ~10× faster inside N² joins.
+    */
+  def fastDot(a: Column, b: Column): Column =
+    graft.expressions.DotProduct.dot(a, b)
+
+  /** Vectors upcast to double and pre-scaled to unit length ONCE — the N²
+    * inner loop then computes a single dot product per pair instead of
+    * dot + two norms (3× the array scans).
+    */
+  private def unitVectors(df: DataFrame, idCol: String, vecCol: String) = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    df.select(col(idCol).cast("long").as("id"), v.as("raw"))
+      .select(col("id"),
+        transform(col("raw"), x => x / l2Norm(col("raw"))).as("vec"))
+  }
+
   /** Exact top-k cosine neighbors for every vector (brute force).
     * Correctness baseline; O(N²) pairs — right up to ~10^4-10^5 vectors,
     * after which `lshTopK` is the scale path. Ties broken by neighbor id
@@ -43,15 +61,13 @@ object Similarity {
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val base = df.select(col(idCol).cast("long").as("id"), v.as("vec"))
+    val base = unitVectors(df, idCol, vecCol)
     val l = base.select(col("id").as("query_id"), col("vec").as("vec_a"))
     val r = base.select(col("id").as("neighbor_id"), col("vec").as("vec_b"))
     val pairs = l.crossJoin(r)
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("vec_a"), col("vec_b")) /
-          (l2Norm(col("vec_a")) * l2Norm(col("vec_b")))).as("cosine"))
+        fastDot(col("vec_a"), col("vec_b")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
@@ -69,8 +85,7 @@ object Similarity {
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 4, numTables: Int = 8): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val base = df.select(col(idCol).cast("long").as("id"), v.as("vec")).cache()
+    val base = unitVectors(df, idCol, vecCol).cache()
     val dim = base.select(size(col("vec"))).head().getInt(0)
 
     // Deterministic pseudo-random plane component in [-1, 1): based on the
@@ -85,7 +100,7 @@ object Similarity {
     val candidates = (0 until numTables).map { t =>
       val bucketBits = (0 until numPlanes).map { pIdx =>
         val plane = array((0 until dim).map(d => lit(planeComponent(t, pIdx, d))): _*)
-        when(dot(col("vec"), plane) >= 0, lit(1L << pIdx)).otherwise(lit(0L))
+        when(fastDot(col("vec"), plane) >= 0, lit(1L << pIdx)).otherwise(lit(0L))
       }.reduce((x, y) => x + y)
       val bucketed = base.withColumn("bucket", bucketBits)
       val l = bucketed.select(col("id").as("query_id"), col("vec").as("vec_a"), col("bucket"))
@@ -93,8 +108,7 @@ object Similarity {
       l.join(r, Seq("bucket"))
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
-          (dot(col("vec_a"), col("vec_b")) /
-            (l2Norm(col("vec_a")) * l2Norm(col("vec_b")))).as("cosine"))
+          fastDot(col("vec_a"), col("vec_b")).as("cosine"))
     }.reduce(_ unionAll _).distinct()
 
     val w = Window.partitionBy(col("query_id"))

@@ -571,11 +571,6 @@ object Queries {
       min(doc_id) AS doc_id, count(*) AS n_copies
       FROM documents GROUP BY 1"""))
 
-  val t4q = Q("t4_language_id",
-    (s, d) => TextAnalysis.withLanguageId(docs(s, d), "text")
-      .select(col("doc_id"), col("lang"), col("lang_pred"), col("lang_score")),
-    None) // formula-heavy; SQL oracle added once verified stable
-
   // --------------------------------------------------------------- catalog
 
   val all: Seq[Q] = Seq(
@@ -585,7 +580,7 @@ object Queries {
     w1, w2, w4, w5, w6,
     p9, p13, d9,
     m1, m2, m3, m4, m5, m8,
-    t1q, t2q, t3q, t4q)
+    t1q, t2q, t3q)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

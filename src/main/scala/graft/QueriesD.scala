@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.analysis.CycleLabeler
+import graft.operators._
+
+/** Catalog part D: the E3 flagship composition (KNN neighbors → windowed
+  * peer join → OLS elasticity — the reference's heaviest query as ONE
+  * lazy plan), rolling stats, broadcast regime labeling, language-ID
+  * oracle, and IVF-style ANN.
+  */
+object QueriesD {
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  // W3: rolling mean + std with min_periods=1 semantics
+  val w3 = Q("w3_rolling_stats",
+    (s, d) => {
+      val daily = ev(s, d).groupBy(to_date(col("ts")).as("event_date"))
+        .agg(avg(col("value")).as("avg_value"))
+      val out = TimeSeries.rollingStats(daily, "event_date", "avg_value", 7)
+      out.select(col("event_date"),
+        round(col("avg_value") + lit(1e-9), 6).as("avg_value"),
+        round(col("rolling_avg_7") + lit(1e-9), 6).as("rolling_avg_7"),
+        round(when(isnan(col("rolling_std_7")), lit(null))
+          .otherwise(col("rolling_std_7")) + lit(1e-9), 6).as("rolling_std_7"))
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS event_date,
+        avg(value) AS avg_value FROM events GROUP BY 1)
+      SELECT event_date, round(avg_value + 1e-9, 6) AS avg_value,
+        round(avg(avg_value) OVER w + 1e-9, 6) AS rolling_avg_7,
+        round(stddev_samp(avg_value) OVER w + 1e-9, 6) AS rolling_std_7
+      FROM daily WINDOW w AS (ORDER BY event_date
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""))
+
+  // D9/J8 — regime labeling via broadcast date-range dim join (the
+  // dim-table form of d9's when-chain; same oracle shape)
+  val d9b = Q("d9b_regime_broadcast_join",
+    (s, d) => {
+      import s.implicits._
+      val dim = Seq(
+        ("early", "2024-01-01", "2024-01-10"),
+        ("mid", "2024-01-11", "2024-01-20"),
+        ("late", "2024-01-21", "2024-12-31"))
+        .toDF("regime", "start_date", "end_date")
+        .select(col("regime"),
+          col("start_date").cast("date").as("start_date"),
+          col("end_date").cast("date").as("end_date"))
+      CycleLabeler.labelByDateRanges(
+          ev(s, d).withColumn("event_date", to_date(col("ts"))),
+          "event_date", dim)
+        .groupBy(col("regime"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")) + lit(1e-9), 6).as("avg_value"))
+    },
+    Some("""SELECT CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-10' THEN 'early'
+        WHEN CAST(ts AS DATE) <= DATE '2024-01-20' THEN 'mid'
+        ELSE 'late' END AS regime,
+      count(*) AS n, round(avg(value) + 1e-9,6) AS avg_value
+      FROM events GROUP BY 1"""))
+
+  // E3 — the reference's heaviest analysis (analyze_peer_effects.py main):
+  // visual KNN neighbors → per-sale windowed peer aggregation → OLS
+  // price-elasticity regression. The reference runs an O(N²) Python row
+  // loop per parameter combo; here it is one lazy Spark plan:
+  // crossJoin-KNN (fused dot product) → equi+range join → groupBy →
+  // closed-form regression aggregates.
+  val e3 = Q("e3_peer_effect_elasticity",
+    (s, d) => {
+      val neighbors = Similarity.bruteForceTopK(
+        Tables.embeddings(s, d), "vec_id", "embedding", 5)
+      val purchases = ev(s, d).where(col("event_type") === "purchase")
+      val probes = purchases.join(
+        neighbors.select(col("query_id").as("user_id")).distinct(),
+        Seq("user_id"), "left_semi")
+      val peerStats = PeerEffects.neighborWindowAgg(
+        probes, neighbors, purchases, "user_id", "ts", "value", "event_id",
+        windowDays = 7)
+      val joined = peerStats.where(col("n_peers") > 0)
+        .join(purchases.select(col("event_id"), col("value")), Seq("event_id"))
+      Stats.olsByGroup(joined, Seq(), col("peer_avg"), col("value"))
+        .select(col("n"),
+          round(col("slope") + lit(1e-9), 6).as("slope"),
+          round(col("intercept") + lit(1e-9), 6).as("intercept"),
+          round(col("r2") + lit(1e-9), 6).as("r2"))
+    },
+    Some("""WITH pairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          AS c
+        FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+      nb AS (SELECT qid, nid FROM (SELECT qid, nid,
+        row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rn
+        FROM pairs) WHERE rn <= 5),
+      purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      peer AS (SELECT e.event_id, count(p.value) AS n_peers,
+        avg(p.value) AS peer_avg
+        FROM purchases e
+        JOIN nb ON nb.qid = e.user_id
+        LEFT JOIN purchases p ON p.user_id = nb.nid
+          AND p.ts >= e.ts - INTERVAL 7 DAY AND p.ts < e.ts
+        GROUP BY 1)
+      SELECT count(*) AS n,
+        round(regr_slope(e.value, peer.peer_avg) + 1e-9, 6) AS slope,
+        round(regr_intercept(e.value, peer.peer_avg) + 1e-9, 6) AS intercept,
+        round(regr_r2(e.value, peer.peer_avg) + 1e-9, 6) AS r2
+      FROM peer JOIN purchases e ON e.event_id = peer.event_id
+      WHERE peer.n_peers > 0"""))
+
+  // T4 oracle — language ID (argmax over marker-hit ratios, ties to the
+  // alphabetically-first language)
+  private def langScoreSql(markers: Seq[String]): String =
+    s"""CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       w -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], w)))
+       AS DOUBLE) / len(string_split_regex(lower(trim(text)), '\\s+'))"""
+
+  val t4b = Q("t4_language_id_scored",
+    (s, d) => TextAnalysis.withLanguageId(docs(s, d), "text")
+      .select(col("doc_id"), col("lang"), col("lang_pred"), col("lang_score")),
+    Some {
+      val m = TextAnalysis.langMarkers
+      s"""WITH scored AS (SELECT doc_id, lang,
+        ${langScoreSql(m("de"))} AS s_de,
+        ${langScoreSql(m("en"))} AS s_en,
+        ${langScoreSql(m("es"))} AS s_es,
+        ${langScoreSql(m("fr"))} AS s_fr,
+        ${langScoreSql(m("zh"))} AS s_zh
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+            AND s_de >= s_zh THEN 'de'
+          WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+          WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+          WHEN s_fr >= s_zh THEN 'fr'
+          ELSE 'zh' END AS lang_pred,
+        round(greatest(s_de, s_en, s_es, s_fr, s_zh) + 1e-9, 6) AS lang_score
+      FROM scored"""
+    })
+
+  // ANN, IVF-style: deterministic coarse centroids (every 37th vector),
+  // assign each vector to its nearest centroid cell, search only within
+  // the cell. The inverted-file layout is what a 100 TB ANN index does —
+  // the cell id becomes the partition key, so probes shuffle once to
+  // their cell instead of crossing the full corpus.
+  val ann2 = Q("ann2_ivf_topk",
+    (s, d) => {
+      val base = Tables.embeddings(s, d)
+      val unit = base.select(col("vec_id").cast("long").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("raw"))
+        .select(col("id"), transform(col("raw"),
+          x => x / Similarity.l2Norm(col("raw"))).as("vec"))
+      val cents = unit.where(col("id") % 37 === 0)
+        .select(col("id").as("cent_id"), col("vec").as("cent_vec"))
+      val assigned = unit.join(broadcast(cents))
+        .select(col("id"),
+          struct(Similarity.fastDot(col("vec"), col("cent_vec")).as("sim"),
+            col("cent_id")).as("sc"))
+        .groupBy(col("id"))
+        .agg(max(col("sc")).as("best"))
+        .select(col("id"), col("best.cent_id").as("cell"))
+      val cells = unit.join(assigned, Seq("id"))
+      val l = cells.select(col("id").as("query_id"), col("vec").as("vec_a"),
+        col("cell"))
+      val r = cells.select(col("id").as("neighbor_id"), col("vec").as("vec_b"),
+        col("cell"))
+      val pairs = l.join(r, Seq("cell"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.fastDot(col("vec_a"), col("vec_b")).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      pairs.withColumn("knn_rank", row_number().over(w))
+        .where(col("knn_rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("knn_rank"),
+          round(col("cosine") + lit(1e-9), 6).as("cosine"))
+    },
+    Some("""WITH unit AS (SELECT vec_id AS id,
+        list_transform(embedding::DOUBLE[],
+          x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+            embedding::DOUBLE[]))) AS vec
+        FROM embeddings),
+      cents AS (SELECT id AS cent_id, vec AS cent_vec FROM unit
+        WHERE id % 37 = 0),
+      assigned AS (SELECT id, vec, cent_id AS cell FROM (
+        SELECT u.id, u.vec, c.cent_id,
+          row_number() OVER (PARTITION BY u.id
+            ORDER BY list_dot_product(u.vec, c.cent_vec) DESC, c.cent_id DESC)
+            AS rn
+        FROM unit u, cents c) WHERE rn = 1),
+      pairs AS (SELECT a.id AS query_id, b.id AS neighbor_id,
+        list_dot_product(a.vec, b.vec) AS cosine
+        FROM assigned a JOIN assigned b ON a.cell = b.cell
+          AND a.id <> b.id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS knn_rank FROM pairs)
+      SELECT query_id, neighbor_id, knn_rank,
+        round(cosine + 1e-9, 6) AS cosine
+      FROM ranked WHERE knn_rank <= 5"""))
+
+  val all: Seq[Q] = Seq(w3, d9b, e3, t4b, ann2)
+}

@@ -17,7 +17,8 @@ object SparkEntry {
     Queries.a1.fn(spark, "/root/testdata/sf0.001")
 
   /** The full catalog across all parts. */
-  def catalog: Seq[Queries.Q] = Queries.all ++ QueriesB.all ++ QueriesC.all
+  def catalog: Seq[Queries.Q] =
+    Queries.all ++ QueriesB.all ++ QueriesC.all ++ QueriesD.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

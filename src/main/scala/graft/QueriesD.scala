@@ -74,8 +74,10 @@ object QueriesD {
       val neighbors = Similarity.bruteForceTopK(
         Tables.embeddings(s, d), "vec_id", "embedding", 5)
       val purchases = ev(s, d).where(col("event_type") === "purchase")
+      // semi-join against the embedding ids, NOT against `neighbors` —
+      // reusing the neighbors plan here would execute the N² KNN twice
       val probes = purchases.join(
-        neighbors.select(col("query_id").as("user_id")).distinct(),
+        Tables.embeddings(s, d).select(col("vec_id").as("user_id")),
         Seq("user_id"), "left_semi")
       val peerStats = PeerEffects.neighborWindowAgg(
         probes, neighbors, purchases, "user_id", "ts", "value", "event_id",

@@ -119,37 +119,63 @@ object Dedup {
       .agg(min(col("perm.hv")).as("min_hash"))
   }
 
-  /** MinHash-LSH candidate pairs: band the signature (`numHashes` rows per
-    * doc into bands of `rowsPerBand`), bucket-join on (band, band-signature),
-    * emit distinct candidate pairs, then verify with exact Jaccard estimate
-    * = fraction of matching signature components. Only docs sharing a full
-    * band collide, so the join is an equi-join on a compact key — the LSH
-    * scale path (no all-pairs comparison).
+  /** Full MinHash signature as ONE array column per doc — a single
+    * groupBy over the shingle rows with `numHashes` min-aggregates (no
+    * explode: the long-form variant shuffles numHashes× the rows for the
+    * same information).
+    */
+  def minHashSignatureArray(
+      sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val p = lit(2305843009213693951L) // 2^61 - 1, Mersenne prime
+    val base = sh.withColumn("__h", md5Hash56(col("shingle")))
+    val mins = (0 until numHashes).map { i =>
+      min(pmod(col("__h") * lit(2 * i + 1) + lit(1000003L * (i + 1)), p))
+        .as(s"__m$i")
+    }
+    base.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (`numHashes` values
+    * per doc into bands of `rowsPerBand`), bucket-join on
+    * (band, band-signature), emit distinct candidate pairs, then verify
+    * with the Jaccard estimate = fraction of matching signature
+    * components (computed with zip_with over the two signature arrays —
+    * no per-component join). Only docs sharing a full band collide, so
+    * the join is an equi-join on a compact key — the LSH scale path.
     */
   def minHashLshPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
     val sh = shingles(df, textCol, idCol, shingleSize)
-    val sig = minHashSignatures(sh, idCol, numHashes).cache()
-    val banded = sig
-      .withColumn("band", floor(col("hash_idx") / rowsPerBand))
-      .groupBy(col(idCol), col("band"))
-      .agg(sort_array(collect_list(struct(col("hash_idx"), col("min_hash"))))
-        .cast("string").as("band_sig"))
+    val sig = minHashSignatureArray(sh, idCol, numHashes).cache()
+    val numBands = numHashes / rowsPerBand
+    val banded = sig.select(col(idCol),
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"),
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+            .cast("string").as("band_sig"))): _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"),
+        col("bb.band_sig").as("band_sig"))
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
     val cand = l.join(r, Seq("band", "band_sig"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sa = sig.select(col(idCol).as("id_a"), col("hash_idx"), col("min_hash").as("mh_a"))
-    val sb = sig.select(col(idCol).as("id_b"), col("hash_idx"), col("min_hash").as("mh_b"))
-    cand.join(sa, "id_a").join(sb, Seq("id_b", "hash_idx"))
-      .groupBy("id_a", "id_b")
-      .agg((sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)) /
-        count(lit(1))).as("est_jaccard"))
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    cand
+      .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard", est)
       .where(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("est_jaccard") + lit(1e-9), 6).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"),
+        round(col("est_jaccard") + lit(1e-9), 6).as("est_jaccard"))
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Each token hashes to

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for hot keys at cluster scale.
+  *
+  * A groupBy on a key with a dominant value (one collection with 90% of
+  * events, one token with millions of trades) puts that key's entire
+  * volume through a single reducer. Salting splits each key into
+  * `numSalts` subkeys for a first partial aggregate, then combines the
+  * partials — two small shuffles instead of one skewed one. AQE's skew
+  * handling covers joins; aggregation salting is still manual, hence this
+  * operator.
+  *
+  * Only algebraic aggregates (sum/count/min/max) compose across salts;
+  * avg is derived as sum/count downstream.
+  */
+object Skew {
+
+  case class SaltedAgg(sums: Seq[String] = Nil, counts: Boolean = true,
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil)
+
+  /** Two-phase salted aggregation: groupBy (keys, salt) → partials,
+    * then groupBy keys → combine. Results are identical to the direct
+    * groupBy (asserted in the spec); only the shuffle shape changes.
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], agg: SaltedAgg,
+      numSalts: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(col(keys.head), monotonically_increasing_id()),
+        lit(numSalts)))
+    val partialAggs =
+      (if (agg.counts) Seq(count(lit(1)).as("__cnt")) else Nil) ++
+        agg.sums.map(c => sum(col(c)).as(s"__sum_$c")) ++
+        agg.mins.map(c => min(col(c)).as(s"__min_$c")) ++
+        agg.maxs.map(c => max(col(c)).as(s"__max_$c"))
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val finalAggs =
+      (if (agg.counts) Seq(sum(col("__cnt")).as("n")) else Nil) ++
+        agg.sums.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")) ++
+        agg.mins.map(c => min(col(s"__min_$c")).as(s"min_$c")) ++
+        agg.maxs.map(c => max(col(s"__max_$c")).as(s"max_$c"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+}

@@ -70,6 +70,34 @@ object PeerEffects {
     joined
   }
 
+  /** All (window_days) parameter combos in ONE plan: the reference
+    * re-runs its per-row Python loop once per (K, window) combination
+    * (analyze_peer_effects.py main); here the window length becomes a
+    * dimension column — each probe row is tried against every window in
+    * the same join, and the groupBy key gains `window_days`. One shuffle
+    * for the whole parameter sweep.
+    */
+  def multiWindowAgg(probes: DataFrame, peers: DataFrame, key: String,
+      tsCol: String, valueCol: String, idCol: String,
+      windowsDays: Seq[Int]): DataFrame = {
+    val p = peers.select(col(key).as("__k"), col(tsCol).as("__pts"),
+      col(valueCol).as("__pv"))
+    probes
+      .withColumn("window_days",
+        explode(array(windowsDays.map(lit(_)): _*)))
+      .join(p,
+        col(key) === col("__k") &&
+          col("__pts") >= col(tsCol) -
+            make_dt_interval(col("window_days")) &&
+          col("__pts") < col(tsCol),
+        "left")
+      .groupBy(col(idCol), col("window_days"))
+      .agg(
+        count(col("__pv")).as("n_peers"),
+        avg(col("__pv")).as("peer_avg"),
+        max(col("__pv")).as("peer_max"))
+  }
+
   /** Peer join through a neighbor table (the reference's actual shape:
     * peers of a sale = sales of the K visually-nearest tokens). Composes
     * the KNN output (Similarity.bruteForceTopK / lshTopK) with the range

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and dataset splitting.
+  *
+  * Training pipelines need samples and train/val/test splits that are (a)
+  * stable across runs and engines, (b) consistent for the same key (a
+  * document keeps its split forever, regardless of partitioning), and
+  * (c) free of coordination — no global sort or sampling pass. A
+  * content-keyed md5 bucket gives all three; `df.sample()`'s RNG gives
+  * none of them.
+  */
+object Sampling {
+
+  /** Bucket in [0, buckets) derived from the key's md5 — engine-portable
+    * (same value in the DuckDB oracle).
+    */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(Dedup.md5Hash56(key.cast("string")), lit(buckets.toLong))
+
+  /** Keep ~(keep/buckets) of rows, deterministically by key. */
+  def hashSample(df: DataFrame, keyCol: String, buckets: Int,
+      keep: Int): DataFrame =
+    df.where(hashBucket(col(keyCol), buckets) < keep)
+
+  /** Assign train/val/test by hash bucket: [0, valPct) → val,
+    * [valPct, valPct+testPct) → test, rest → train. Percentages in
+    * buckets of 100.
+    */
+  def withSplit(df: DataFrame, keyCol: String, valPct: Int, testPct: Int,
+      outCol: String = "split"): DataFrame = {
+    val b = hashBucket(col(keyCol), 100)
+    df.withColumn(outCol,
+      when(b < valPct, "val")
+        .when(b < valPct + testPct, "test")
+        .otherwise("train"))
+  }
+}

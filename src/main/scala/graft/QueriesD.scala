@@ -71,11 +71,14 @@ object QueriesD {
   // closed-form regression aggregates.
   val e3 = Q("e3_peer_effect_elasticity",
     (s, d) => {
-      val neighbors = Similarity.bruteForceTopK(
-        Tables.embeddings(s, d), "vec_id", "embedding", 5)
       val purchases = ev(s, d).where(col("event_type") === "purchase")
-      // semi-join against the embedding ids, NOT against `neighbors` —
-      // reusing the neighbors plan here would execute the N² KNN twice
+      // KNN only for vectors that are actually probe users: the oracle's
+      // full N×N neighbor lists for non-purchasing users never join, so
+      // restricting the query side is result-identical and Q×N cheap
+      val neighbors = Similarity.bruteForceTopKFor(
+        Tables.embeddings(s, d),
+        purchases.select(col("user_id").as("vec_id")).distinct(),
+        "vec_id", "embedding", 5)
       val probes = purchases.join(
         Tables.embeddings(s, d).select(col("vec_id").as("user_id")),
         Seq("user_id"), "left_semi")

@@ -76,6 +76,30 @@ object Similarity {
         round(col("cosine") + lit(1e-9), 6).as("cosine"))
   }
 
+  /** Top-k neighbors from `corpus` for only the vectors whose ids appear
+    * in `queryIds` — same results as filtering `bruteForceTopK` output,
+    * but the crossJoin shrinks from N×N to Q×N. Use when the downstream
+    * join only consumes a subset of query entities.
+    */
+  def bruteForceTopKFor(df: DataFrame, queryIds: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val base = unitVectors(df, idCol, vecCol)
+    val l = base.join(queryIds.select(col(idCol).cast("long").as("id")),
+        Seq("id"), "left_semi")
+      .select(col("id").as("query_id"), col("vec").as("vec_a"))
+    val r = base.select(col("id").as("neighbor_id"), col("vec").as("vec_b"))
+    val pairs = l.crossJoin(r)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        fastDot(col("vec_a"), col("vec_b")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine") + lit(1e-9), 6).as("cosine"))
+  }
+
   /** Random-hyperplane LSH bucketing: sign bits of `numPlanes` fixed
     * pseudo-random hyperplane projections form the bucket key. Vectors
     * only compare within a bucket → pair space shrinks from N² to

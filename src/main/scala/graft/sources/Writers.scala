@@ -34,6 +34,20 @@ object Writers {
     d.write.mode("overwrite").option("header", "true").csv(path)
   }
 
+  /** Bucketed managed table: pre-shuffling a fact table into N buckets on
+    * its join key makes every later equi-join on that key shuffle-free
+    * (both sides scan co-located buckets). At 100 TB this converts the
+    * recurring join shuffle into a one-time write cost — the Spark
+    * analogue of the co-located layouts a native engine would build.
+    */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S8: versioned output dir (timestamped like the reference's
     * 2025-10-31_02-04-53 runs) + latest-version resolution.
     */

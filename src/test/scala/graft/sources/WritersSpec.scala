@@ -1,0 +1,75 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.operators.{Multimodal, TextAnalysis}
+
+class WritersSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("versioned dirs resolve lexicographically to the latest run") {
+    val base = Files.createTempDirectory("graft_versions").toString
+    val d1 = Writers.versionedDir(base, LocalDateTime.of(2026, 1, 2, 3, 4, 5))
+    val d2 = Writers.versionedDir(base, LocalDateTime.of(2026, 1, 2, 4, 0, 0))
+    assert(d1.endsWith("2026-01-02_03-04-05"))
+    assert(Writers.latestVersion(base).contains(d2))
+  }
+
+  test("metrics JSON renders nested maps and escapes strings") {
+    val p = Files.createTempDirectory("graft_metrics").toString + "/m.json"
+    Writers.writeMetricsJson(Map(
+      "total_rows" -> 5L,
+      "label" -> "a \"quoted\" name",
+      "mix" -> Map("sale" -> 3L, "mint" -> 2L)), p)
+    val txt = Files.readString(Paths.get(p))
+    assert(txt.contains("\"total_rows\": 5"))
+    assert(txt.contains("\\\"quoted\\\""))
+    assert(txt.contains("\"mix\": {"))
+  }
+
+  test("partitioned parquet roundtrip prunes partitions") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/t"
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    Writers.writePartitioned(df, dir, Seq("k"))
+    assert(Files.exists(Paths.get(s"$dir/k=a")))
+    val back = Readers.readPartitioned(spark, dir).where(col("k") === "a")
+    assert(back.count() === 2)
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("isnotnull(k"), scan)
+  }
+
+  test("fingerprints: whitespace-insensitive md5, order-sensitive rolling hash") {
+    val df = Seq(
+      (0L, "hello   world"), (1L, "hello world"), (2L, "world hello"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.rollingHash(col("text")).as("rh"))
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(df(0L)._1 === df(1L)._1) // normalized whitespace
+    assert(df(0L)._2 === df(1L)._2)
+    assert(df(1L)._1 !== df(2L)._1) // different content hash
+    assert(df(1L)._2 !== df(2L)._2) // permutation changes rolling hash
+  }
+
+  test("multimodal assets carry payload metadata and patch plumbing") {
+    val docs = Seq((1L, "some payload text")).toDF("doc_id", "text")
+    val assets = Multimodal.withFakeDecodedFeatures(
+      Multimodal.toAssets(docs, "doc_id", "text", "text/plain"))
+    val r = assets.head()
+    assert(r.getAs[Long]("byte_len") === 17L)
+    assert(r.getAs[String]("payload_md5").length === 32)
+    assert(r.getAs[Int]("width") === 18) // 17 % 640 + 1
+    val patches = Multimodal.samplePatches(
+      Multimodal.toAssets(docs, "doc_id", "text", "text/plain"), 4)
+    assert(patches.count() === 4)
+    assert(patches.select("patch_sig").distinct().count() === 4)
+  }
+}

@@ -21,9 +21,16 @@ import graft.etl.Schemas.validEventTypes
   */
 object EventAggregator {
 
-  /** A1+A2+A7+J1/J2 fused — daily collection stats: activity counts,
-    * distinct actors, per-type event counts (pivot via conditional
-    * aggregation), and priced-only price stats, in ONE pass.
+  /** A1+A2+A7+J1/J2 — daily collection stats: activity counts, distinct
+    * actors, per-type event counts (pivot via conditional aggregation)
+    * and priced-only price stats.
+    *
+    * The median deliberately lives in its OWN aggregation joined back on
+    * the grain (the reference's J1 shape): mixing the exact-percentile
+    * TypedImperativeAggregate with multi-distinct aggregates in one
+    * Aggregate forces a sort-based aggregation over the ×4-expanded rows
+    * (measured 29s vs 4s at the 1.5M-row anchor). The join is on the
+    * ~10³-row daily grain — broadcast, negligible.
     */
   def dailyCollectionStats(events: DataFrame): DataFrame = {
     val priced = col("price_total_eth") > 0
@@ -36,12 +43,15 @@ object EventAggregator {
       countDistinct(col("token_id")).as("unique_tokens")) ++ typeCounts ++ Seq(
       sum(when(priced, col("price_total_eth"))).as("volume_eth"),
       avg(when(priced, col("price_total_eth"))).as("avg_price_eth"),
-      percentile(when(priced, col("price_total_eth")), lit(0.5))
-        .as("median_price_eth"),
       min(when(priced, col("price_total_eth"))).as("min_price_eth"),
       max(when(priced, col("price_total_eth"))).as("max_price_eth"))
-    events.groupBy(col("collection"), col("event_date"))
+    val main = events.groupBy(col("collection"), col("event_date"))
       .agg(aggs.head, aggs.tail: _*)
+    val medians = events.where(priced)
+      .groupBy(col("collection"), col("event_date"))
+      .agg(percentile(col("price_total_eth"), lit(0.5))
+        .as("median_price_eth"))
+    main.join(broadcast(medians), Seq("collection", "event_date"), "left")
       .na.fill(0.0, Seq("volume_eth"))
   }
 
@@ -81,10 +91,14 @@ object EventAggregator {
         countDistinct(col("token_id")).as("unique_tokens"),
         count(lit(1)).as("total_events"))
 
-  /** A11 — collection summary with quartiles over priced events. */
+  /** A11 — collection summary with quartiles over priced events. The
+    * quartiles live in their own aggregation joined back on the
+    * collection key, for the same sort-agg-×-expand reason documented on
+    * [[dailyCollectionStats]].
+    */
   def collectionSummary(events: DataFrame): DataFrame = {
     val priced = col("price_total_eth") > 0
-    events.groupBy(col("collection"))
+    val main = events.groupBy(col("collection"))
       .agg(
         count(lit(1)).as("total_events"),
         countDistinct(col("token_id")).as("unique_tokens"),
@@ -94,14 +108,19 @@ object EventAggregator {
         sum(when(priced, 1L).otherwise(0L)).as("priced_events"),
         sum(when(priced, col("price_total_eth"))).as("volume_eth"),
         avg(when(priced, col("price_total_eth"))).as("avg_price_eth"),
-        percentile(when(priced, col("price_total_eth")), lit(0.25))
-          .as("p25_price_eth"),
-        percentile(when(priced, col("price_total_eth")), lit(0.5))
-          .as("median_price_eth"),
-        percentile(when(priced, col("price_total_eth")), lit(0.75))
-          .as("p75_price_eth"),
         min(when(priced, col("price_total_eth"))).as("min_price_eth"),
         max(when(priced, col("price_total_eth"))).as("max_price_eth"))
+    val quartiles = events.where(priced)
+      .groupBy(col("collection"))
+      .agg(
+        percentile(col("price_total_eth"), lit(0.25)).as("p25_price_eth"),
+        percentile(col("price_total_eth"), lit(0.5)).as("median_price_eth"),
+        percentile(col("price_total_eth"), lit(0.75)).as("p75_price_eth"))
+    main.join(broadcast(quartiles), Seq("collection"), "left")
+      .select("collection", "total_events", "unique_tokens", "unique_buyers",
+        "first_date", "last_date", "priced_events", "volume_eth",
+        "avg_price_eth", "p25_price_eth", "median_price_eth",
+        "p75_price_eth", "min_price_eth", "max_price_eth")
   }
 
   /** A8+J4+A9+A10 — wallet dimension: buyer and seller aggregates

@@ -117,12 +117,20 @@ object EventCleaner {
   }
 
   /** Step 6 — deduplicate on (tx, token_id, event_type, timestamp)
-    * (clean_events.py:218-231) with a deterministic survivor: smallest
-    * 64-bit hash of the full row. One shuffle on the key.
+    * (clean_events.py:218-231) with a deterministic survivor: the row
+    * with the smallest 64-bit hash. Implemented as `min_by(struct(*),
+    * hash)` — an algebraic aggregate with map-side partial combine, so
+    * the shuffle carries at most one candidate row per (partition, key)
+    * instead of every duplicate (the window row_number form sorts full
+    * rows; same survivor, ~2× the cost at the 1.5M-row anchor).
     */
-  def deduplicate(df: DataFrame): DataFrame =
-    Dedup.dropDuplicatesDeterministic(df, dedupKey,
-      xxhash64(df.columns.map(col): _*))
+  def deduplicate(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    df.groupBy(dedupKey.map(col): _*)
+      .agg(min_by(struct(cols.map(col): _*),
+        xxhash64(cols.map(col): _*)).as("__row"))
+      .select(cols.map(c => col(s"__row.$c")): _*)
+  }
 
   /** Step 7 — composite key (clean_events.py:233-247):
     * event_id = tx '_' token_id.

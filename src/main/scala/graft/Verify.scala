@@ -15,6 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Warm the table cache (same plan-canonicalization effect as Bench).
+    Tables.all.foreach { t =>
+      try Tables.load(spark, sfDir, t).cache().count()
+      catch { case _: Throwable => () }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

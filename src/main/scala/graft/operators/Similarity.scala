@@ -121,23 +121,34 @@ object Similarity {
       (bits.toDouble / Long.MaxValue.toDouble)
     }
 
-    val candidates = (0 until numTables).map { t =>
+    // Candidate (query, neighbor) id pairs first — deduplicated across
+    // tables BEFORE any dot product, so each surviving pair pays for
+    // exactly one cosine (computing per-table then distinct-ing wide
+    // rows costs numTables× the arithmetic).
+    val candidateIds = (0 until numTables).map { t =>
       val bucketBits = (0 until numPlanes).map { pIdx =>
         val plane = array((0 until dim).map(d => lit(planeComponent(t, pIdx, d))): _*)
         when(fastDot(col("vec"), plane) >= 0, lit(1L << pIdx)).otherwise(lit(0L))
       }.reduce((x, y) => x + y)
       val bucketed = base.withColumn("bucket", bucketBits)
-      val l = bucketed.select(col("id").as("query_id"), col("vec").as("vec_a"), col("bucket"))
-      val r = bucketed.select(col("id").as("neighbor_id"), col("vec").as("vec_b"), col("bucket"))
+      val l = bucketed.select(col("id").as("query_id"), col("bucket"))
+      val r = bucketed.select(col("id").as("neighbor_id"), col("bucket"))
       l.join(r, Seq("bucket"))
         .where(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          fastDot(col("vec_a"), col("vec_b")).as("cosine"))
+        .select(col("query_id"), col("neighbor_id"))
     }.reduce(_ unionAll _).distinct()
+
+    val scored = candidateIds
+      .join(base.select(col("id").as("query_id"), col("vec").as("vec_a")),
+        Seq("query_id"))
+      .join(base.select(col("id").as("neighbor_id"), col("vec").as("vec_b")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        fastDot(col("vec_a"), col("vec_b")).as("cosine"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    candidates.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine") + lit(1e-9), 6).as("cosine"))

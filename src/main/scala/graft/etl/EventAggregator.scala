@@ -81,6 +81,33 @@ object EventAggregator {
         min(col("rarity_score")).as("rarity_score"))
   }
 
+  /** Approximate fast mode of the daily stats (SURVEY §7.4 risk 7): HLL
+    * distinct counts + approx percentile in ONE aggregate — no expand,
+    * no object aggregation, mergeable sketches all the way. The exact
+    * form stays the oracle-checked default; this is the knob for
+    * dashboard-grade queries at 100 TB where ±2% beats a second shuffle.
+    */
+  def dailyCollectionStatsApprox(events: DataFrame): DataFrame = {
+    val priced = col("price_total_eth") > 0
+    val typeCounts = validEventTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"${t}_count"))
+    val aggs = Seq(
+      count(lit(1)).as("event_count"),
+      approx_count_distinct(col("buyer")).as("unique_buyers"),
+      approx_count_distinct(col("seller")).as("unique_sellers"),
+      approx_count_distinct(col("token_id")).as("unique_tokens")) ++
+      typeCounts ++ Seq(
+      sum(when(priced, col("price_total_eth"))).as("volume_eth"),
+      avg(when(priced, col("price_total_eth"))).as("avg_price_eth"),
+      approx_percentile(when(priced, col("price_total_eth")), lit(0.5),
+        lit(1000)).as("median_price_eth"),
+      min(when(priced, col("price_total_eth"))).as("min_price_eth"),
+      max(when(priced, col("price_total_eth"))).as("max_price_eth"))
+    events.groupBy(col("collection"), col("event_date"))
+      .agg(aggs.head, aggs.tail: _*)
+      .na.fill(0.0, Seq("volume_eth"))
+  }
+
   /** A6 — collection dimension. */
   def collectionDimension(events: DataFrame): DataFrame =
     events.groupBy(col("collection"))

@@ -68,5 +68,37 @@ object QueriesE {
         round(avg(peer_avg) + 1e-9, 6) AS mean_peer_avg
       FROM per GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(t9, t10, e3b)
+  // J11 scale form: (key, time-bucket) equi-keys split hot entities
+  // across shuffle cells; same oracle as the plain j11 — identical
+  // results, different physical plan.
+  val j11b = Q("j11b_peer_window_bucketed",
+    (s, d) => {
+      val probes = ev(s, d).where(col("event_type") === "purchase")
+      PeerEffects.windowAggBucketed(probes, ev(s, d), "user_id", "ts",
+          "value", "event_id", windowDays = 7, bucketDays = 2)
+        .select(col("event_id"), col("n_peers"),
+          round(col("peer_avg") + lit(1e-9), 6).as("peer_avg"),
+          col("peer_max"))
+    },
+    Some("""SELECT e.event_id, count(p.value) AS n_peers,
+      round(avg(p.value) + 1e-9,6) AS peer_avg, max(p.value) AS peer_max
+      FROM events e LEFT JOIN events p ON p.user_id = e.user_id
+        AND p.ts >= e.ts - INTERVAL 7 DAY AND p.ts < e.ts
+      WHERE e.event_type = 'purchase' GROUP BY 1"""))
+
+  // Salted two-phase aggregation: correctness-neutral skew handling —
+  // the oracle is the direct group-by.
+  val o7 = Q("o7_salted_aggregate",
+    (s, d) => Skew.saltedAggregate(ev(s, d), Seq("event_type"),
+        Skew.SaltedAgg(sums = Seq("value"), mins = Seq("value"),
+          maxs = Seq("value")), numSalts = 16)
+      .select(col("event_type"), col("n"),
+        round(col("sum_value"), 2).as("sum_value"),
+        col("min_value"), col("max_value")),
+    Some("""SELECT event_type, count(*) AS n, round(sum(value),2)
+        AS sum_value,
+      min(value) AS min_value, max(value) AS max_value
+      FROM events GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(t9, t10, e3b, j11b, o7)
 }

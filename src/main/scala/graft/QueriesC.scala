@@ -181,9 +181,9 @@ object QueriesC {
   // n-gram Jaccard near-dup pairs (exact verification path)
   val t7q = Q("t7_jaccard_pairs",
     (s, d) => Dedup.jaccardPairs(docs(s, d), "text", "doc_id",
-      n = 3, threshold = 0.3, maxShingleFreq = 200),
+      n = 3, threshold = 0.3, maxShingleFreq = 100),
     Some(s"""WITH $shingleSql,
-      rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200),
+      rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
       pr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
       sizes AS (SELECT doc_id, count(*) AS set_size FROM pr GROUP BY 1),
       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common

@@ -100,5 +100,53 @@ object QueriesE {
       min(value) AS min_value, max(value) AS max_value
       FROM events GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(t9, t10, e3b, j11b, o7)
+  // Embedding-cosine near-duplicate pairs (threshold form of J12: all
+  // pairs above a similarity bar, not top-k) — the embedding-space dedup
+  // a training pipeline runs before sampling.
+  val t11 = Q("t11_embedding_neardup",
+    (s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id").cast("long").as("id"),
+          transform(col("embedding"), x => x.cast("double")).as("raw"))
+        .select(col("id"), transform(col("raw"),
+          x => x / Similarity.l2Norm(col("raw"))).as("vec"))
+      val l = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
+      val r = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
+      l.crossJoin(r).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Similarity.fastDot(col("vec_a"), col("vec_b")).as("cosine"))
+        .where(col("cosine") >= 0.45)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine") + lit(1e-9), 6).as("cosine"))
+    },
+    Some("""WITH unit AS (SELECT vec_id AS id,
+        list_transform(embedding::DOUBLE[],
+          x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+            embedding::DOUBLE[]))) AS vec
+        FROM embeddings)
+      SELECT a.id AS id_a, b.id AS id_b,
+        round(list_dot_product(a.vec, b.vec) + 1e-9, 6) AS cosine
+      FROM unit a JOIN unit b ON a.id < b.id
+      WHERE list_dot_product(a.vec, b.vec) >= 0.45"""))
+
+  // Deterministic class-balanced sampling: per-language keep rates via
+  // the same md5 hash bucket (downsample the dominant class).
+  val t12 = Q("t12_stratified_sample",
+    (s, d) => {
+      val rate = when(col("lang") === "en", 20).otherwise(80) // of 100
+      docs(s, d)
+        .where(Sampling.hashBucket(col("doc_id"), 100) < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg(col("n_chars")) + lit(1e-9), 6).as("avg_chars"))
+    },
+    Some("""SELECT lang, count(*) AS n_kept,
+        round(avg(n_chars) + 1e-9, 6) AS avg_chars
+      FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+          AS BIGINT) % 100
+        < CASE WHEN lang = 'en' THEN 20 ELSE 80 END
+      GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(t9, t10, e3b, j11b, o7, t11, t12)
 }

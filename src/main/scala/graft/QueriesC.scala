@@ -203,9 +203,11 @@ object QueriesC {
       shingleSize = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.5),
     Some(s"""WITH $shingleSql,
       hx AS (SELECT doc_id,
-        CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT) AS h FROM sh),
+        CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT) % 2147483647
+          AS h FROM sh),
       sig AS (SELECT doc_id, i AS hash_idx,
-        min((h * (2*i+1) + 1000003*(i+1)) % 2305843009213693951) AS min_hash
+        min((h * ((2654435761 * (i+1)) % 2147483647)
+          + ((40503 * (i+1)) % 2147483647)) % 2147483647) AS min_hash
         FROM hx, unnest(generate_series(0, 31)) AS g(i) GROUP BY 1, 2),
       band AS (SELECT doc_id, hash_idx // 4 AS band,
         list(min_hash ORDER BY hash_idx) AS bsig FROM sig GROUP BY 1, 2),

@@ -99,19 +99,28 @@ object Dedup {
   def md5Hash56(c: Column): Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast("long")
 
-  /** MinHash signatures: for each of `numHashes` permutations
-    * h_i(x) = (a_i * x + b_i) mod p, the signature component is
-    * min over the doc's shingle hashes. Output long form (id, hash_idx,
-    * min_hash) — banding happens downstream. a_i, b_i are fixed odd
-    * constants so results are reproducible.
+  /** MinHash permutation parameters over the 31-bit Mersenne field
+    * p = 2^31 - 1. The domain matters: with a 56-bit hash domain and
+    * small multipliers, a·x + b barely wraps the modulus, so the "hash
+    * functions" are order-preserving and every signature component
+    * degenerates to the same global-min shingle. In the 31-bit field the
+    * large multipliers wrap many times (true mixing) while a·x stays
+    * below 2^63 — overflow-free in any 64-bit engine, so the SQL oracle
+    * reproduces it exactly.
     */
+  val minHashP: Long = 2147483647L // 2^31 - 1, Mersenne prime
+  def minHashA(i: Int): Long = (2654435761L * (i + 1)) % minHashP
+  def minHashB(i: Int): Long = (40503L * (i + 1)) % minHashP
+  private def permuted(h31: Column, i: Int): Column =
+    pmod(h31 * lit(minHashA(i)) + lit(minHashB(i)), lit(minHashP))
+
+  /** MinHash signatures in long form (id, hash_idx, min_hash). */
   def minHashSignatures(
       sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val p = lit(2305843009213693951L) // 2^61 - 1, Mersenne prime
-    val base = sh.withColumn("h", md5Hash56(col("shingle")))
+    val base = sh.withColumn("h",
+      pmod(md5Hash56(col("shingle")), lit(minHashP)))
     val perms = (0 until numHashes).map { i =>
-      struct(lit(i).as("hash_idx"),
-        pmod(col("h") * lit(2 * i + 1) + lit(1000003L * (i + 1)), p).as("hv"))
+      struct(lit(i).as("hash_idx"), permuted(col("h"), i).as("hv"))
     }
     base
       .select(col(idCol), explode(array(perms: _*)).as("perm"))
@@ -126,11 +135,10 @@ object Dedup {
     */
   def minHashSignatureArray(
       sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val p = lit(2305843009213693951L) // 2^61 - 1, Mersenne prime
-    val base = sh.withColumn("__h", md5Hash56(col("shingle")))
+    val base = sh.withColumn("__h",
+      pmod(md5Hash56(col("shingle")), lit(minHashP)))
     val mins = (0 until numHashes).map { i =>
-      min(pmod(col("__h") * lit(2 * i + 1) + lit(1000003L * (i + 1)), p))
-        .as(s"__m$i")
+      min(permuted(col("__h"), i)).as(s"__m$i")
     }
     base.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)

@@ -77,6 +77,16 @@ object Streaming {
     * because continuous training-data ingestion needs it (dedup windows,
     * rate limiting, session features all take this shape).
     */
+  /** Streaming exact dedup: drop rows whose key was already seen within
+    * the watermark horizon — the continuous form of the batch
+    * key-dedup (bounded state; late duplicates beyond the watermark are
+    * the documented trade-off of infinite streams).
+    */
+  def streamingDedup(events: DataFrame, keys: Seq[String], tsCol: String,
+      watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)
 

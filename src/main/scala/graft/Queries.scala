@@ -361,8 +361,8 @@ object Queries {
     Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS event_date,
         count(*) AS n FROM events GROUP BY 1, 2)
       SELECT event_type, event_date, n,
-        sum(n) OVER (PARTITION BY event_type ORDER BY event_date
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        CAST(sum(n) OVER (PARTITION BY event_type ORDER BY event_date
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
       FROM daily"""))
 
   val w6 = Q("w6_cumprod_equity",

@@ -128,14 +128,19 @@ object QueriesB {
   // A21: over-representation vs global share (ratio of shares + filter)
   val a21 = Q("a21_over_representation",
     (s, d) => {
-      val total = docs(s, d).count().toDouble
+      // Global total as a broadcast 1-row aggregate, not an eager count():
+      // keeps the whole query one lazy plan (no extra driver-side job).
+      val total = broadcast(docs(s, d).agg(count(lit(1)).cast("double").as("__total")))
       val inSource = docs(s, d).groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n"))
         .withColumn("pct_in_source",
           col("n") * lit(100.0) /
             sum(col("n")).over(Window.partitionBy(col("source"))))
       val global = docs(s, d).groupBy(col("lang"))
-        .agg((count(lit(1)) * lit(100.0) / lit(total)).as("pct_global"))
+        .agg(count(lit(1)).as("__lang_n"))
+        .crossJoin(total)
+        .select(col("lang"),
+          (col("__lang_n") * lit(100.0) / col("__total")).as("pct_global"))
       inSource.join(global, Seq("lang"))
         .withColumn("ratio", col("pct_in_source") / col("pct_global"))
         .where(col("ratio") >= 1.5 && col("pct_in_source") > 20)
@@ -269,7 +274,7 @@ object QueriesB {
         .cast("long").as("parsed_epoch")),
     Some("""SELECT event_id, strftime(ts, '%Y-%m') AS year_month,
       strftime(ts, '%A') AS weekday_name,
-      epoch(date_trunc('second', ts)) AS parsed_epoch
+      CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS parsed_epoch
       FROM events"""))
 
   // D1/D2/D4/D5/D7/D8: date/time function battery

@@ -55,7 +55,10 @@ object EventCleaner {
     * time_utc (null on failure, like strict=False), fall back to the
     * epoch-seconds column; derive event_timestamp/event_date/
     * unix_timestamp. Session TZ is pinned UTC so the tz-strip of the
-    * reference (clean_events.py:84-86) is identity.
+    * reference (clean_events.py:84-86) is identity. Rows where both
+    * sources fail keep a null event_timestamp — the reference does not
+    * drop them here (its only row filter is the negative-price one,
+    * clean_events.py:177); the validator reports them instead.
     */
   def cleanTimestamps(df: DataFrame): DataFrame = {
     val parsed =
@@ -65,23 +68,26 @@ object EventCleaner {
       else lit(null).cast(TimestampType)
     df.withColumn("event_timestamp",
         coalesce(parsed, timestamp_seconds(col("timestamp"))))
-      .where(col("event_timestamp").isNotNull)
       .withColumn("event_date", to_date(col("event_timestamp")))
       .withColumn("unix_timestamp",
         coalesce(col("timestamp"),
           unix_timestamp(col("event_timestamp"))))
   }
 
-  /** Step 3 — addresses (clean_events.py:113-136): lowercase+trim all
-    * four address columns; derive is_mint from the null address.
+  /** Step 3 — addresses (clean_events.py:113-136): lowercase+trim the
+    * four party addresses plus `contract`, nulls filled with '' (so
+    * is_mint is always true/false, never null — matching the reference's
+    * fill_null('') before the comparison).
     */
   def cleanAddresses(df: DataFrame): DataFrame = {
-    val cleaned = Seq("seller", "buyer", "from_address", "to_address")
-      .foldLeft(df) { (d, c) =>
-        if (d.columns.contains(c))
-          d.withColumn(c, lower(trim(col(c).cast(StringType))))
-        else d.withColumn(c, lit(null).cast(StringType))
-      }
+    val cleaned =
+      Seq("seller", "buyer", "from_address", "to_address", "contract")
+        .foldLeft(df) { (d, c) =>
+          if (d.columns.contains(c))
+            d.withColumn(c,
+              coalesce(lower(trim(col(c).cast(StringType))), lit("")))
+          else d.withColumn(c, lit("").cast(StringType))
+        }
     cleaned.withColumn("is_mint", col("from_address") === lit(nullAddress))
   }
 

@@ -27,6 +27,8 @@ object Skew {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], agg: SaltedAgg,
       numSalts: Int = 16): DataFrame = {
+    require(agg.counts || agg.sums.nonEmpty || agg.mins.nonEmpty ||
+      agg.maxs.nonEmpty, "saltedAggregate needs at least one aggregate")
     val salted = df.withColumn("__salt",
       pmod(xxhash64(col(keys.head), monotonically_increasing_id()),
         lit(numSalts)))

@@ -86,6 +86,17 @@ class EventCleanerSpec extends SparkSpecBase {
     assert(mint.getAs[String]("from_address") === Schemas.nullAddress)
   }
 
+  test("contract lowercased; null addresses filled with '' (reference parity)") {
+    assert(clean.where(col("token_id") === "101").head()
+      .getAs[String]("contract_address") === "0xc1")
+    // row 102 has empty seller-side addresses in the fixture
+    val r = clean.where(col("token_id") === "102").head()
+    assert(r.getAs[String]("buyer") === "")
+    assert(r.getAs[String]("from_address") === "")
+    assert(clean.where(col("seller").isNull || col("buyer").isNull ||
+      col("from_address").isNull || col("to_address").isNull).count() === 0)
+  }
+
   test("timestamp fallback: unparseable time_utc uses epoch column") {
     val r = clean.where(col("token_id") === "103").head()
     assert(r.getAs[Long]("unix_timestamp") === 1682942400L)

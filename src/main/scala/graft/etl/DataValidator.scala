@@ -107,20 +107,23 @@ object DataValidator {
     df.where(col("timestamp").try_cast("long") < minUnixTs ||
       col("timestamp").try_cast("long") >= maxUnixTs).count()
 
-  /** Full report — the reference's generate_report (validate.py:239-282).
-    *
-    * All row-local audits (nulls, address formats, prices, timestamp
-    * range, total count) are fused into ONE aggregate pass; only the two
-    * audits that need a shuffle (duplicate keys, event-type counts) run
-    * as separate jobs. Callers should persist `df` first if the source is
-    * expensive to re-scan (OpenSeaPipeline does) — three passes over a
-    * cached frame instead of eight over raw CSV.
-    */
-  def report(df: DataFrame): ValidationReport = {
-    val criticalCols = Seq("collection", "event_type", "timestamp", "tx",
-      "token_id").filter(df.columns.contains)
-    val addrCols = Seq("seller", "buyer", "from_address", "to_address")
+  private def presentCriticalCols(df: DataFrame): Seq[String] =
+    Seq("collection", "event_type", "timestamp", "tx", "token_id")
       .filter(df.columns.contains)
+
+  private def presentAddrCols(df: DataFrame): Seq[String] =
+    Seq("seller", "buyer", "from_address", "to_address")
+      .filter(df.columns.contains)
+
+  /** The fused row-local audit (nulls, address formats, prices, timestamp
+    * range, total count) as named aggregate expressions. All are plain
+    * conditional sums — no distinct, no percentile — so they are legal
+    * `Dataset.observe` metrics: the pipeline attaches them to the
+    * clean+write job and the audit rides the SAME CSV parse instead of
+    * paying its own scan (the single biggest cost at the 1.5M-row
+    * anchor, and at 100 TB the difference between one pass and two).
+    */
+  def rowLocalAuditExprs(df: DataFrame): Seq[org.apache.spark.sql.Column] = {
     val each = trim(col("price_each").cast("string")).try_cast("double")
     val total = col("price_total").try_cast("double")
     val expected = total /
@@ -136,10 +139,10 @@ object DataValidator {
         !(length(t) === 42 && t.startsWith("0x") &&
           translate(t, "0123456789abcdefABCDEF", "") === "x")
     }
-    val fused = Seq(count(lit(1)).as("__total")) ++
-      criticalCols.map(c =>
+    Seq(count(lit(1)).as("__total")) ++
+      presentCriticalCols(df).map(c =>
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c")) ++
-      addrCols.map(c =>
+      presentAddrCols(df).map(c =>
         sum(when(invalidAddr(c), 1L).otherwise(0L)).as(s"__addr_$c")) ++
       Seq(
         sum(when(total < 0, 1L).otherwise(0L)).as("__neg"),
@@ -149,18 +152,39 @@ object DataValidator {
         sum(when(col("timestamp").try_cast("long") < minUnixTs ||
           col("timestamp").try_cast("long") >= maxUnixTs, 1L).otherwise(0L))
           .as("__ts_range"))
-    val row = df.select(fused: _*).head()
-    def l(name: String): Long = row.getAs[Long](name)
+  }
+
+  /** Assemble the report from already-computed pieces: the fused
+    * row-local metrics (from `observe` or a standalone select) plus the
+    * two shuffle audits.
+    */
+  def reportFrom(df: DataFrame, metrics: String => Long,
+      dupKeys: Long, invalidTypes: Map[String, Long]): ValidationReport =
     ValidationReport(
-      totalRows = l("__total"),
+      totalRows = metrics("__total"),
       missingColumns = missingColumns(df),
-      nullCounts = criticalCols.map(c => c -> l(s"__null_$c")).toMap,
-      duplicateKeyCount = duplicateKeyCount(df),
-      invalidEventTypes = invalidEventTypes(df),
-      invalidAddressCounts = addrCols.map(c => c -> l(s"__addr_$c")).toMap,
-      negativePriceCount = l("__neg"),
-      priceMismatchCount = l("__mismatch"),
-      outOfRangeTimestampCount = l("__ts_range"))
+      nullCounts =
+        presentCriticalCols(df).map(c => c -> metrics(s"__null_$c")).toMap,
+      duplicateKeyCount = dupKeys,
+      invalidEventTypes = invalidTypes,
+      invalidAddressCounts =
+        presentAddrCols(df).map(c => c -> metrics(s"__addr_$c")).toMap,
+      negativePriceCount = metrics("__neg"),
+      priceMismatchCount = metrics("__mismatch"),
+      outOfRangeTimestampCount = metrics("__ts_range"))
+
+  /** Full report — the reference's generate_report (validate.py:239-282).
+    *
+    * All row-local audits are fused into ONE aggregate pass; only the two
+    * audits that need a shuffle (duplicate keys, event-type counts) run
+    * as separate jobs. OpenSeaPipeline avoids even the one fused pass by
+    * observing [[rowLocalAuditExprs]] on the clean+write scan.
+    */
+  def report(df: DataFrame): ValidationReport = {
+    val exprs = rowLocalAuditExprs(df)
+    val row = df.select(exprs: _*).head()
+    reportFrom(df, name => row.getAs[Long](name),
+      duplicateKeyCount(df), invalidEventTypes(df))
   }
 
   /** V9 — post-clean quality metrics (clean_events.py:292-316), as a

@@ -39,59 +39,88 @@ object OpenSeaPipeline {
       val r = f
       phaseLog.synchronized {
         phaseLog.append(
-          f"phase $name: ${(System.nanoTime() - p0) / 1e9}%.2f s\n")
+          f"phase $name: ${(System.nanoTime() - p0) / 1e9}%.2f s " +
+            f"(t=${(p0 - t0) / 1e9}%.2f..${(System.nanoTime() - t0) / 1e9}%.2f)\n")
       }
       r
     }
 
+    // Run each concurrent phase in its own FAIR-scheduler pool (created
+    // on demand; RunPipeline sets spark.scheduler.mode=FAIR) so a long
+    // job shares task slots with short ones instead of queueing them —
+    // pool assignment is thread-local, hence set inside the Future.
+    def inPool[A](pool: String)(f: => A): A = {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+      try f
+      finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    }
+
     // 1. load — per-file tolerant CSV + union-by-name (S1). NOT cached:
     // columnar in-memory caching of 17 string columns costs more than the
-    // pruned re-scans do (measured 22s vs ~3s/pass at the 1.5M anchor);
-    // each validator pass reads only the columns it audits.
+    // pruned re-scans do (measured 22s vs ~3s/pass at the 1.5M anchor).
     val rawPaths = listCsvs(config.rawDataDir)
     val raw = Readers.readCsvUnionByName(spark, rawPaths)
-
-    // 2. validation report — independent of cleaning, so it runs as a
-    // concurrent Spark job while clean+write executes; the scheduler
-    // interleaves its stages into idle task slots.
-    val reportF = Future(phase("validate")(DataValidator.report(raw)))
 
     // 3+5a. clean — one lazy plan, written straight to the versioned
     // parquet output; the parquet file then serves as the materialized
     // form for the aggregate fan-out (columnar, compressed, pruned reads
     // — cheaper than an in-memory cache it would only use five times).
+    // The observation point sits on raw rows BEFORE any cleaning filter,
+    // so the audit sees exactly what DataValidator.report(raw) would.
+    val audit = org.apache.spark.sql.Observation("raw_audit")
+    val auditExprs = DataValidator.rowLocalAuditExprs(raw)
+    val rawObserved = raw.observe(audit, auditExprs.head, auditExprs.tail: _*)
     val outDir = Writers.versionedDir(config.cleanBaseDir)
-    phase("clean+write")(Writers.writeParquet(EventCleaner.clean(raw),
-      s"$outDir/minimal_events.parquet", config.compression))
+    phase("clean+write")(inPool("clean")(Writers.writeParquet(
+      EventCleaner.clean(rawObserved),
+      s"$outDir/minimal_events.parquet", config.compression)))
+    val auditMetrics = audit.get
     val clean = spark.read.parquet(s"$outDir/minimal_events.parquet")
+
+    // 2. validation — the row-local audit (nulls, addresses, prices,
+    // timestamp range) was observed on the clean+write scan above, so it
+    // cost NO extra pass over the raw CSV. The two audits that need
+    // their own shuffle run as separate (pruned-column) jobs here,
+    // overlapped with the aggregate fan-out — that window has spare task
+    // slots (the aggregates are fixed-cost-bound, not CPU-bound), while
+    // running them beside clean+write measurably stretched both.
+    val dupF = Future(inPool("audit")(phase("audit dup-keys")(
+      DataValidator.duplicateKeyCount(raw))))
+    val evtF = Future(inPool("audit")(phase("audit event-types")(
+      DataValidator.invalidEventTypes(raw))))
 
     // 4. the aggregates are mutually independent reads of the written
     // fact table — submitted concurrently, same rationale as validation.
     val aggWrites = Seq(
-      Future(phase("agg daily")(Writers.writeParquet(
+      "daily" -> (() => Writers.writeParquet(
         EventAggregator.dailyCollectionStats(clean),
-        s"$outDir/daily_collection_stats.parquet", config.compression))),
-      Future(phase("agg tokens")(Writers.writeParquet(
+        s"$outDir/daily_collection_stats.parquet", config.compression)),
+      "tokens" -> (() => Writers.writeParquet(
         EventAggregator.tokenStats(clean),
-        s"$outDir/token_stats.parquet", config.compression))),
-      Future(phase("agg collection_dim")(Writers.writeParquet(
+        s"$outDir/token_stats.parquet", config.compression)),
+      "collection_dim" -> (() => Writers.writeParquet(
         EventAggregator.collectionDimension(clean),
-        s"$outDir/collection_dimension.parquet", config.compression))),
-      Future(phase("agg summary")(Writers.writeParquet(
+        s"$outDir/collection_dimension.parquet", config.compression)),
+      "summary" -> (() => Writers.writeParquet(
         EventAggregator.collectionSummary(clean),
-        s"$outDir/collection_summary.parquet", config.compression)))) ++
+        s"$outDir/collection_summary.parquet", config.compression))) ++
       (if (config.createWalletDim)
-        Seq(Future(phase("agg wallet_dim")(Writers.writeParquet(
+        Seq("wallet_dim" -> (() => Writers.writeParquet(
           EventAggregator.walletDimension(clean,
             config.minWalletTransactions),
-          s"$outDir/wallet_dimension.parquet", config.compression))))
+          s"$outDir/wallet_dimension.parquet", config.compression)))
       else Nil)
-    val metricsF = Future(phase("metrics")(
-      DataValidator.qualityMetrics(clean)))
+    val aggFutures = aggWrites.map { case (name, write) =>
+      Future(inPool(s"agg_$name")(phase(s"agg $name")(write())))
+    }
+    val metricsF = Future(inPool("metrics")(phase("metrics")(
+      DataValidator.qualityMetrics(clean))))
 
     // 6. join everything + run log
-    val report = Await.result(reportF, Duration.Inf)
-    aggWrites.foreach(Await.result(_, Duration.Inf))
+    val report = DataValidator.reportFrom(raw,
+      name => auditMetrics(name).asInstanceOf[Long],
+      Await.result(dupF, Duration.Inf), Await.result(evtF, Duration.Inf))
+    aggFutures.foreach(Await.result(_, Duration.Inf))
     val metrics = Await.result(metricsF, Duration.Inf)
     Writers.writeMetricsJson(metrics, s"$outDir/metrics.json")
     val elapsed = (System.nanoTime() - t0) / 1e9

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Source operators (SURVEY §2.1 S1-S4, S10-S11).
   *
@@ -22,16 +23,38 @@ object Readers {
     * fails the whole scan), and the cleaner's `try_cast`s are the
     * authoritative typing anyway. `inferSchema = true` is for known-clean
     * inputs.
+    *
+    * In the all-string path each file's schema is built from a
+    * driver-side read of its header line and passed explicitly — without
+    * it, `spark.read.csv(path)` launches a header-sniffing Spark job PER
+    * FILE at plan time (measured 5.6 s of the anchor run's wall before
+    * the first real job; at cluster scale, N files → N scheduler
+    * round-trips before planning even starts).
     */
   def readCsvUnionByName(spark: SparkSession, paths: Seq[String],
       inferSchema: Boolean = false): DataFrame =
     paths.map { p =>
-      spark.read
+      val reader = spark.read
         .option("header", "true")
-        .option("inferSchema", inferSchema.toString)
         .option("mode", "PERMISSIVE")
-        .csv(p)
+      (if (inferSchema) reader.option("inferSchema", "true")
+       else reader.schema(headerSchema(p))).csv(p)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** All-string StructType from a CSV file's header line (driver-side;
+    * handles the simple-quoting headers our sources use).
+    */
+  private def headerSchema(path: String): StructType = {
+    val f = new java.io.File(path)
+    val file =
+      if (f.isDirectory)
+        f.listFiles().filter(_.getName.endsWith(".csv")).minBy(_.getName)
+      else f
+    val src = scala.io.Source.fromFile(file)
+    val header = try src.getLines().next() finally src.close()
+    val cols = header.split(",", -1).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+  }
 
   /** S3: plain parquet scan. */
   def readParquet(spark: SparkSession, path: String): DataFrame =

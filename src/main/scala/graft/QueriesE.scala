@@ -129,6 +129,17 @@ object QueriesE {
       FROM unit a JOIN unit b ON a.id < b.id
       WHERE list_dot_product(a.vec, b.vec) >= 0.45"""))
 
+  // t11b: the LSH-bucketed scale path for the same near-dup semantics —
+  // checked against the SAME oracle as the exact t11 (the j11/j11b
+  // pattern: one result contract, two plans). Candidates come from
+  // hyperplane buckets; exact cosine only on candidates. At corpus scale
+  // this replaces t11's O(N²) crossJoin with a bucket equi-join.
+  val t11b = Q("t11b_embedding_neardup_lsh",
+    (s, d) => Similarity.lshThresholdPairs(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", 0.45),
+    t11.oracle)
+
   // Deterministic class-balanced sampling: per-language keep rates via
   // the same md5 hash bucket (downsample the dominant class).
   val t12 = Q("t12_stratified_sample",
@@ -148,5 +159,5 @@ object QueriesE {
         < CASE WHEN lang = 'en' THEN 20 ELSE 80 END
       GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(t9, t10, e3b, j11b, o7, t11, t12)
+  val all: Seq[Q] = Seq(t9, t10, e3b, j11b, o7, t11, t11b, t12)
 }

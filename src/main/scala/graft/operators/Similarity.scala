@@ -100,6 +100,44 @@ object Similarity {
         round(col("cosine") + lit(1e-9), 6).as("cosine"))
   }
 
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): based
+    * on the same md5-derived integer hash the dedup operators use, so
+    * every run (and every engine re-implementation) buckets identically.
+    */
+  private def planeComponent(table: Int, plane: Int, d: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$table:$plane:$d".getBytes("UTF-8"))
+    val bits = java.nio.ByteBuffer.wrap(h).getLong(0)
+    bits.toDouble / Long.MaxValue.toDouble
+  }
+
+  /** LSH bucket key for one table: `numPlanes` hyperplane sign bits. */
+  private def bucketKey(table: Int, numPlanes: Int, dim: Int): Column =
+    (0 until numPlanes).map { pIdx =>
+      val plane = array((0 until dim).map(d =>
+        lit(planeComponent(table, pIdx, d))): _*)
+      when(fastDot(col("vec"), plane) >= 0, lit(1L << pIdx)).otherwise(lit(0L))
+    }.reduce((x, y) => x + y)
+
+  /** Candidate id pairs from `numTables` independent bucketings,
+    * deduplicated across tables BEFORE any dot product, so each
+    * surviving pair pays for exactly one cosine. `ordered = true` emits
+    * each unordered pair once (left id < right id — the threshold-pairs
+    * shape); `false` emits both directions (the top-k shape).
+    */
+  private def lshCandidates(base: DataFrame, dim: Int, numPlanes: Int,
+      numTables: Int, leftId: String, rightId: String,
+      ordered: Boolean): DataFrame =
+    (0 until numTables).map { t =>
+      val bucketed = base.withColumn("bucket", bucketKey(t, numPlanes, dim))
+      val l = bucketed.select(col("id").as(leftId), col("bucket"))
+      val r = bucketed.select(col("id").as(rightId), col("bucket"))
+      l.join(r, Seq("bucket"))
+        .where(if (ordered) col(leftId) < col(rightId)
+               else col(leftId) =!= col(rightId))
+        .select(col(leftId), col(rightId))
+    }.reduce(_ unionAll _).distinct()
+
   /** Random-hyperplane LSH bucketing: sign bits of `numPlanes` fixed
     * pseudo-random hyperplane projections form the bucket key. Vectors
     * only compare within a bucket → pair space shrinks from N² to
@@ -111,32 +149,8 @@ object Similarity {
       numPlanes: Int = 4, numTables: Int = 8): DataFrame = {
     val base = unitVectors(df, idCol, vecCol).cache()
     val dim = base.select(size(col("vec"))).head().getInt(0)
-
-    // Deterministic pseudo-random plane component in [-1, 1): based on the
-    // same md5-derived integer hash the dedup operators use.
-    def planeComponent(table: Int, plane: Int, d: Int): Double = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"plane:$table:$plane:$d".getBytes("UTF-8"))
-      val bits = java.nio.ByteBuffer.wrap(h).getLong(0)
-      (bits.toDouble / Long.MaxValue.toDouble)
-    }
-
-    // Candidate (query, neighbor) id pairs first — deduplicated across
-    // tables BEFORE any dot product, so each surviving pair pays for
-    // exactly one cosine (computing per-table then distinct-ing wide
-    // rows costs numTables× the arithmetic).
-    val candidateIds = (0 until numTables).map { t =>
-      val bucketBits = (0 until numPlanes).map { pIdx =>
-        val plane = array((0 until dim).map(d => lit(planeComponent(t, pIdx, d))): _*)
-        when(fastDot(col("vec"), plane) >= 0, lit(1L << pIdx)).otherwise(lit(0L))
-      }.reduce((x, y) => x + y)
-      val bucketed = base.withColumn("bucket", bucketBits)
-      val l = bucketed.select(col("id").as("query_id"), col("bucket"))
-      val r = bucketed.select(col("id").as("neighbor_id"), col("bucket"))
-      l.join(r, Seq("bucket"))
-        .where(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"))
-    }.reduce(_ unionAll _).distinct()
+    val candidateIds = lshCandidates(base, dim, numPlanes, numTables,
+      "query_id", "neighbor_id", ordered = false)
 
     val scored = candidateIds
       .join(base.select(col("id").as("query_id"), col("vec").as("vec_a")),
@@ -151,6 +165,35 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine") + lit(1e-9), 6).as("cosine"))
+  }
+
+  /** Near-duplicate pairs above a cosine threshold, LSH-bucketed: the
+    * scale path for embedding-space dedup. Candidates come from
+    * hyperplane buckets (each unordered pair once, id_a < id_b); exact
+    * cosine is computed only on candidates, then thresholded — the pair
+    * space is sum-of-|bucket|² instead of N²/2. Few planes + many tables
+    * biases toward recall (wider buckets, more chances): at cosine ≥
+    * 0.45 a pair shares a 2-plane bucket with p ≈ 0.42 per table, so 16
+    * tables miss it with p ≈ 0.58^16 ≈ 1e-4. For a dedup pipeline that
+    * is the right trade — a missed near-dup costs a duplicate document,
+    * a spurious candidate costs one dot product.
+    */
+  def lshThresholdPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 2, numTables: Int = 16): DataFrame = {
+    val base = unitVectors(df, idCol, vecCol).cache()
+    val dim = base.select(size(col("vec"))).head().getInt(0)
+    val candidateIds = lshCandidates(base, dim, numPlanes, numTables,
+      "id_a", "id_b", ordered = true)
+    candidateIds
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")),
+        Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        fastDot(col("vec_a"), col("vec_b")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"),
         round(col("cosine") + lit(1e-9), 6).as("cosine"))
   }
 }

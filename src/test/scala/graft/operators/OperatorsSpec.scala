@@ -81,6 +81,25 @@ class OperatorsSpec extends SparkSpecBase {
     assert(recall >= 0.6, s"LSH recall $recall")
   }
 
+  test("lshThresholdPairs matches exact near-dup pairs on real embeddings") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val unit = Similarity.withUnitVector(emb, "embedding", "vec")
+      .select(col("vec_id").cast("long").as("id"), col("vec"))
+    val l = unit.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = unit.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    val exact = l.crossJoin(r).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.fastDot(col("vec_a"), col("vec_b")).as("cosine"))
+      .where(col("cosine") >= 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshThresholdPairs(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    // the 2-plane/16-table config is sized for ~1e-4 per-pair miss rate;
+    // on the fixed test embeddings it recovers every pair
+    assert(lsh === exact)
+  }
+
   test("exact dedup + jaccard on synthetic near-duplicates") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),

@@ -472,6 +472,20 @@ object Queries {
           AS eta_squared
       FROM t"""))
 
+  // M4b — same ANOVA with the p-value surfaced in-plan (FDistCdf
+  // expression; reference reports scipy-style p,
+  // analyze_visual_cycles.py:162-231). DuckDB has no F-CDF, so the
+  // p-value itself is unit-asserted against commons-math3 in
+  // OperatorsSpec; the driver records the rows-only check here while
+  // n/k/F/eta stay fully oracle-checked via m4.
+  val m4b = Q("m4b_anova_p",
+    (s, d) => Stats.anovaWithP(ev(s, d), "event_type", "value")
+      .select(col("n").cast("long").as("n"), col("k").cast("long").as("k"),
+        round(col("f_stat") + lit(1e-9), 6).as("f_stat"),
+        round(col("eta_squared") + lit(1e-9), 6).as("eta_squared"),
+        round(col("p_value") + lit(1e-9), 6).as("p_value")),
+    None)
+
   val m5 = Q("m5_zscore_anomaly",
     (s, d) => {
       val daily = ev(s, d).groupBy(to_date(col("ts")).as("event_date"))
@@ -579,7 +593,7 @@ object Queries {
     v1, v2, v9,
     w1, w2, w4, w5, w6,
     p9, p13, d9,
-    m1, m2, m3, m4, m5, m8,
+    m1, m2, m3, m4, m4b, m5, m8,
     t1q, t2q, t3q)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

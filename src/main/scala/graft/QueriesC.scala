@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, MapType, StringType}
+import org.apache.spark.sql.types.{ArrayType, LongType, MapType, StringType,
+  StructField, StructType}
 
 import graft.Queries.Q
 import graft.operators._
@@ -126,6 +127,48 @@ object QueriesC {
         + 1e-9,6) AS avg_prop_value
       FROM events WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''
       GROUP BY 1"""))
+
+  // J10b: the reference's trait-metadata parse shape (SURVEY §1.1;
+  // analyze_cluster_traits.py:58-145 over raw/bayc_metadata.json):
+  // a JSON ARRAY of {"trait_type","value"} objects per token →
+  // from_json to ARRAY<STRUCT> → map_from_entries → explode →
+  // per-trait value shares. The testdata carries no array-JSON column,
+  // so the attribute string is synthesized in-plan from event columns
+  // (deterministic, same on both sides); the operator under test is the
+  // array-parse path, which j10's MAP form does not exercise.
+  val j10b = Q("j10b_trait_array_map",
+    (s, d) => {
+      val band = when(col("value") > 50, lit("high")).otherwise(lit("normal"))
+      val attrs = concat(
+        lit("""[{"trait_type":"EventType","value":""""), col("event_type"),
+        lit(""""},{"trait_type":"ValueBand","value":""""), band,
+        lit(""""}]"""))
+      val traitSchema = ArrayType(StructType(Seq(
+        StructField("trait_type", StringType),
+        StructField("value", StringType))))
+      val parsed = ev(s, d).select(
+        map_from_entries(transform(from_json(attrs, traitSchema),
+          x => struct(x.getField("trait_type"), x.getField("value"))))
+          .as("traits"))
+      parsed.select(explode(col("traits")).as(Seq("trait_type", "trait_value")))
+        .groupBy(col("trait_type"), col("trait_value"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("pct_in_trait",
+          round(col("n") * lit(100.0) /
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("trait_type"))) + lit(1e-9), 6))
+    },
+    Some("""WITH t AS (
+        SELECT 'EventType' AS trait_type, event_type AS trait_value
+          FROM events
+        UNION ALL
+        SELECT 'ValueBand',
+          CASE WHEN value > 50 THEN 'high' ELSE 'normal' END FROM events)
+      SELECT trait_type, trait_value, count(*) AS n,
+        round(count(*) * 100.0 /
+          sum(count(*)) OVER (PARTITION BY trait_type) + 1e-9, 6)
+          AS pct_in_trait
+      FROM t GROUP BY 1, 2"""))
 
   // M6: distributed KMeans over the embedding table (no SQL oracle —
   // centroid init is engine-specific; driver records rows>0, unit tests
@@ -289,6 +332,6 @@ object QueriesC {
       md5(md5(text) || CAST(i AS VARCHAR)) AS patch_sig
       FROM documents, unnest(generate_series(0, 3)) AS g(i)"""))
 
-  val all: Seq[Q] = Seq(s1, s4, st1, j5, j8, j10, m6, m9,
+  val all: Seq[Q] = Seq(s1, s4, st1, j5, j8, j10, j10b, m6, m9,
     t5q, t6q, t7q, t8q, ann1, mm1, mm2)
 }

@@ -115,6 +115,90 @@ object QueriesD {
       FROM peer JOIN purchases e ON e.event_id = peer.event_id
       WHERE peer.n_peers > 0"""))
 
+  // E3c — the reference's SECOND peer-effect target (timing:
+  // analyze_peer_effects.py:239-344): days_to_next_sale per purchase,
+  // peers' mean time-to-next in the lookback window, then OLS of
+  // log(days_to_next + 1) on log(n_peers) after the reference's two
+  // regression filters (n_peers >= 2, days_to_next below its p95 — the
+  // p95 computed over all n_peers >= 1 rows, as the reference does).
+  // Composition: TimeSeries.daysToNext → Similarity KNN →
+  // PeerEffects.neighborWindowAgg → Stats.olsByGroup, one lazy plan.
+  // Defined divergence: peers are sales WITH next-sale data (the metric
+  // being averaged), so n_peers counts timed peers; the reference counts
+  // all peer sales but averages only timed ones.
+  val e3c = Q("e3c_peer_effect_timing",
+    (s, d) => {
+      val purchases = ev(s, d).where(col("event_type") === "purchase")
+      val probes = purchases.join(
+        Tables.embeddings(s, d).select(col("vec_id").as("user_id")),
+        Seq("user_id"), "left_semi")
+      val timed = TimeSeries.daysToNext(probes, Seq("user_id"), "ts",
+          col("event_id"), "days_to_next")
+        .where(col("days_to_next").isNotNull)
+      val neighbors = Similarity.bruteForceTopKFor(
+        Tables.embeddings(s, d),
+        purchases.select(col("user_id").as("vec_id")).distinct(),
+        "vec_id", "embedding", 5)
+      val peerStats = PeerEffects.neighborWindowAgg(
+        timed, neighbors, timed, "user_id", "ts", "days_to_next",
+        "event_id", windowDays = 7)
+      val joined = peerStats.where(col("n_peers") >= 1)
+        .join(timed.select(col("event_id"), col("days_to_next")),
+          Seq("event_id"))
+      val p95 = joined.agg(
+        percentile(col("days_to_next"), lit(0.95)).as("__q95"))
+      val reg = joined.crossJoin(broadcast(p95))
+        .where(col("days_to_next") < col("__q95") && col("n_peers") >= 2)
+        .withColumn("log_days", log(col("days_to_next") + lit(1.0)))
+        .withColumn("log_peers", log(col("n_peers").cast("double")))
+      val ols = Stats.olsByGroup(reg, Seq(), col("log_peers"), col("log_days"))
+      val pearson = Stats.corrByGroup(reg, Seq(),
+        col("n_peers").cast("double"), col("days_to_next"))
+        .select(col("pearson_r"))
+      ols.crossJoin(broadcast(pearson))
+        .select(col("n"),
+          round(col("slope") + lit(1e-9), 6).as("slope"),
+          round(col("intercept") + lit(1e-9), 6).as("intercept"),
+          round(col("r2") + lit(1e-9), 6).as("r2"),
+          round(col("pearson_r") + lit(1e-9), 6).as("timing_corr"))
+    },
+    Some("""WITH pairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          AS c
+        FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+      nb AS (SELECT qid, nid FROM (SELECT qid, nid,
+        row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rn
+        FROM pairs) WHERE rn <= 5),
+      probes AS (SELECT * FROM events WHERE event_type = 'purchase'
+        AND user_id IN (SELECT vec_id FROM embeddings)),
+      timed AS (SELECT * FROM (SELECT user_id, event_id, ts,
+          (epoch_us(lead(ts) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id)) - epoch_us(ts)) / 86400e6 AS days_to_next
+        FROM probes) WHERE days_to_next IS NOT NULL),
+      peer AS (SELECT e.event_id, count(p.days_to_next) AS n_peers,
+        avg(p.days_to_next) AS peer_avg
+        FROM timed e
+        JOIN nb ON nb.qid = e.user_id
+        LEFT JOIN timed p ON p.user_id = nb.nid
+          AND p.ts >= e.ts - INTERVAL 7 DAY AND p.ts < e.ts
+        GROUP BY 1),
+      joined AS (SELECT e.days_to_next, peer.n_peers
+        FROM peer JOIN timed e ON e.event_id = peer.event_id
+        WHERE peer.n_peers >= 1),
+      q AS (SELECT quantile_cont(days_to_next, 0.95) AS q95 FROM joined),
+      reg AS (SELECT ln(days_to_next + 1) AS log_days,
+          ln(CAST(n_peers AS DOUBLE)) AS log_peers,
+          days_to_next, n_peers
+        FROM joined, q
+        WHERE days_to_next < q95 AND n_peers >= 2)
+      SELECT count(*) AS n,
+        round(regr_slope(log_days, log_peers) + 1e-9, 6) AS slope,
+        round(regr_intercept(log_days, log_peers) + 1e-9, 6) AS intercept,
+        round(regr_r2(log_days, log_peers) + 1e-9, 6) AS r2,
+        round(corr(CAST(n_peers AS DOUBLE), days_to_next) + 1e-9, 6)
+          AS timing_corr
+      FROM reg"""))
+
   // T4 oracle — language ID (argmax over marker-hit ratios, ties to the
   // alphabetically-first language)
   private def langScoreSql(markers: Seq[String]): String =
@@ -207,5 +291,76 @@ object QueriesD {
         round(cosine + 1e-9, 6) AS cosine
       FROM ranked WHERE knn_rank <= 5"""))
 
-  val all: Seq[Q] = Seq(w3, d9b, e3, t4b, ann2)
+  // ANN, IVF multi-probe: same inverted-file layout as ann2, but each
+  // QUERY probes its 2 nearest cells (neighbors stay in their single
+  // home cell, so candidate pairs are unique without a distinct). The
+  // standard IVF recall knob — nprobe trades one extra equi-join
+  // lookup per query for recovering neighbors that fell just across a
+  // cell boundary. Measured on the sf0.001 embeddings in OperatorsSpec:
+  // single-probe ann2 vs this; recall strictly improves.
+  val ann2b = Q("ann2b_ivf_multiprobe",
+    (s, d) => {
+      val base = Tables.embeddings(s, d)
+      val unit = base.select(col("vec_id").cast("long").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("raw"))
+        .select(col("id"), transform(col("raw"),
+          x => x / Similarity.l2Norm(col("raw"))).as("vec"))
+      val cents = unit.where(col("id") % 37 === 0)
+        .select(col("id").as("cent_id"), col("vec").as("cent_vec"))
+      val simTo = unit.join(broadcast(cents))
+        .select(col("id"), col("cent_id"),
+          Similarity.fastDot(col("vec"), col("cent_vec")).as("sim"))
+      val wCell = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+        .orderBy(col("sim").desc, col("cent_id").desc)
+      val rankedCells = simTo.withColumn("cell_rank",
+        row_number().over(wCell))
+      val home = rankedCells.where(col("cell_rank") === 1)
+        .select(col("id"), col("cent_id").as("cell"))
+      val probes = rankedCells.where(col("cell_rank") <= 2)
+        .select(col("id"), col("cent_id").as("cell"))
+      val l = unit.join(probes, Seq("id"))
+        .select(col("id").as("query_id"), col("vec").as("vec_a"), col("cell"))
+      val r = unit.join(home, Seq("id"))
+        .select(col("id").as("neighbor_id"), col("vec").as("vec_b"),
+          col("cell"))
+      val pairs = l.join(r, Seq("cell"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.fastDot(col("vec_a"), col("vec_b")).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      pairs.withColumn("knn_rank", row_number().over(w))
+        .where(col("knn_rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("knn_rank"),
+          round(col("cosine") + lit(1e-9), 6).as("cosine"))
+    },
+    Some("""WITH unit AS (SELECT vec_id AS id,
+        list_transform(embedding::DOUBLE[],
+          x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+            embedding::DOUBLE[]))) AS vec
+        FROM embeddings),
+      cents AS (SELECT id AS cent_id, vec AS cent_vec FROM unit
+        WHERE id % 37 = 0),
+      ranked_cells AS (SELECT u.id, c.cent_id AS cell,
+          row_number() OVER (PARTITION BY u.id
+            ORDER BY list_dot_product(u.vec, c.cent_vec) DESC,
+              c.cent_id DESC) AS cell_rank
+        FROM unit u, cents c),
+      home AS (SELECT id, cell FROM ranked_cells WHERE cell_rank = 1),
+      probes AS (SELECT id, cell FROM ranked_cells WHERE cell_rank <= 2),
+      pairs AS (SELECT a.id AS query_id, b.id AS neighbor_id,
+        list_dot_product(ua.vec, ub.vec) AS cosine
+        FROM probes a
+        JOIN home b ON a.cell = b.cell AND a.id <> b.id
+        JOIN unit ua ON ua.id = a.id
+        JOIN unit ub ON ub.id = b.id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS knn_rank FROM pairs)
+      SELECT query_id, neighbor_id, knn_rank,
+        round(cosine + 1e-9, 6) AS cosine
+      FROM ranked WHERE knn_rank <= 5"""))
+
+  val all: Seq[Q] = Seq(w3, d9b, e3, e3c, t4b, ann2, ann2b)
 }

@@ -129,6 +129,36 @@ object QueriesE {
       FROM unit a JOIN unit b ON a.id < b.id
       WHERE list_dot_product(a.vec, b.vec) >= 0.45"""))
 
+  // J12b — the reference's K-sweep (analyze_peer_effects.py:63-64 runs
+  // K ∈ {10,20,50} as separate passes): K becomes a dimension column in
+  // ONE plan — rank once at the maximum K, explode the K values, filter
+  // rank <= K, aggregate per K. One crossJoin + one window for the whole
+  // sweep instead of one per K.
+  val j12b = Q("j12b_knn_k_sweep",
+    (s, d) => Similarity.bruteForceTopK(
+        Tables.embeddings(s, d), "vec_id", "embedding", 5)
+      .withColumn("k", explode(array(lit(3), lit(5))))
+      .where(col("rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("cosine")) + lit(1e-9), 6).as("avg_cosine")),
+    Some("""WITH unit AS (SELECT vec_id AS id,
+        list_transform(embedding::DOUBLE[],
+          x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+            embedding::DOUBLE[]))) AS vec
+        FROM embeddings),
+      pairs AS (SELECT a.id AS query_id, b.id AS neighbor_id,
+        list_dot_product(a.vec, b.vec) AS c
+        FROM unit a JOIN unit b ON a.id <> b.id),
+      ranked AS (SELECT round(c + 1e-9, 6) AS cosine,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY c DESC, neighbor_id) AS rn FROM pairs),
+      ks AS (SELECT unnest([3, 5]) AS k)
+      SELECT k, count(*) AS n_pairs,
+        round(avg(cosine) + 1e-9, 6) AS avg_cosine
+      FROM ranked JOIN ks ON ranked.rn <= ks.k
+      GROUP BY k"""))
+
   // t11b: the LSH-bucketed scale path for the same near-dup semantics —
   // checked against the SAME oracle as the exact t11 (the j11/j11b
   // pattern: one result contract, two plans). Candidates come from
@@ -159,5 +189,5 @@ object QueriesE {
         < CASE WHEN lang = 'en' THEN 20 ELSE 80 END
       GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(t9, t10, e3b, j11b, o7, t11, t11b, t12)
+  val all: Seq[Q] = Seq(t9, t10, e3b, j11b, j12b, o7, t11, t11b, t12)
 }

@@ -57,6 +57,15 @@ object Stats {
       .select("n", "k", "f_stat", "eta_squared", "df_between", "df_within")
   }
 
+  /** ANOVA with the p-value surfaced IN the plan via the FDistCdf
+    * expression (one interpreted special-function call on the single
+    * aggregated row — no UDF, no driver-side post-step).
+    */
+  def anovaWithP(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    anova(df, groupCol, valueCol).withColumn("p_value",
+      graft.expressions.FDistCdf.fPValue(
+        col("f_stat"), col("df_between"), col("df_within")))
+
   /** p-value for an F statistic — driver-side scalar on ANOVA output. */
   def fPValue(fStat: Double, dfBetween: Double, dfWithin: Double): Double = {
     val dist = new org.apache.commons.math3.distribution.FDistribution(

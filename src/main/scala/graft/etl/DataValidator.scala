@@ -187,29 +187,46 @@ object DataValidator {
       duplicateKeyCount(df), invalidEventTypes(df))
   }
 
-  /** V9 — post-clean quality metrics (clean_events.py:292-316), as a
-    * Map for the metrics.json sink.
+  /** V9 — post-clean quality metrics, keyed and nested EXACTLY like the
+    * reference's committed metrics.json (get_data_quality_metrics,
+    * clean_events.py:292-316; golden file
+    * clean/2025-10-31_02-04-53/metrics.json), so a run of this pipeline
+    * is field-for-field comparable with a run of the reference:
+    * total_rows / total_collections / total_tokens / date_range{min,max} /
+    * event_types[] / collections[] (count-descending) / null_prices /
+    * transactions_with_price.
     */
   def qualityMetrics(clean: DataFrame): Map[String, Any] = {
     val agg = clean.agg(
       count(lit(1)).as("total_rows"),
-      countDistinct(col("collection")).as("n_collections"),
-      countDistinct(col("token_id")).as("n_tokens"),
+      countDistinct(col("collection")).as("total_collections"),
+      countDistinct(col("token_id")).as("total_tokens"),
       min(col("event_date")).cast("string").as("min_date"),
       max(col("event_date")).cast("string").as("max_date"),
-      sum(when(col("price_total_eth") > 0, 1L).otherwise(0L)).as("n_priced"),
-      sum(when(col("price_total_eth") <= 0, 1L).otherwise(0L)).as("n_unpriced"))
+      sum(when(col("price_total_eth") > 0, 1L).otherwise(0L))
+        .as("transactions_with_price"),
+      sum(when(col("price_total_eth") === 0, 1L).otherwise(0L))
+        .as("null_prices"))
       .head()
-    val eventMix = clean.groupBy(col("event_type")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // count-descending like the reference's sort('count', descending=True);
+    // name ascending as the deterministic tie-break
+    val eventTypes: Seq[Any] = clean.groupBy(col("event_type")).count()
+      .orderBy(col("count").desc, col("event_type")).collect()
+      .map(r => Map[String, Any]("event_type" -> r.getString(0),
+        "count" -> r.getLong(1))).toSeq
+    val collections: Seq[Any] = clean.groupBy(col("collection")).count()
+      .orderBy(col("count").desc, col("collection")).collect()
+      .map(r => Map[String, Any]("collection" -> r.getString(0),
+        "count" -> r.getLong(1))).toSeq
     Map(
       "total_rows" -> agg.getLong(0),
-      "n_collections" -> agg.getLong(1),
-      "n_tokens" -> agg.getLong(2),
-      "min_date" -> agg.getString(3),
-      "max_date" -> agg.getString(4),
-      "n_priced" -> agg.getLong(5),
-      "n_unpriced" -> agg.getLong(6),
-      "event_mix" -> eventMix)
+      "total_collections" -> agg.getLong(1),
+      "total_tokens" -> agg.getLong(2),
+      "date_range" -> Map[String, Any](
+        "min" -> agg.getString(3), "max" -> agg.getString(4)),
+      "event_types" -> eventTypes,
+      "collections" -> collections,
+      "null_prices" -> agg.getLong(6),
+      "transactions_with_price" -> agg.getLong(5))
   }
 }

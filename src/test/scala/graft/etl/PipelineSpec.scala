@@ -40,7 +40,7 @@ class PipelineSpec extends SparkSpecBase {
 
     assert(result.report.totalRows === 50)
     assert(result.metrics("total_rows") === 50L)
-    assert(result.metrics("n_collections") === 2L)
+    assert(result.metrics("total_collections") === 2L)
 
     val clean = spark.read.parquet(s"$out/minimal_events.parquet")
     assert(clean.count() === 50)

@@ -6,6 +6,12 @@ import org.apache.spark.sql.SparkSession
   * over SPARK_GRAFT_SF_DIR. A short warmup (tiny action + one scan per
   * table) runs before timing so JVM/codegen startup and first-touch file
   * listing don't land on whichever query happens to run first.
+  *
+  * Methodology note: the warmup caches the input tables, so timings
+  * measure WARM buffer-pool scans plus query execution, not parquet
+  * I/O — applied uniformly to every query, and the right basis for
+  * comparing operator plans, but add scan cost before comparing against
+  * any disk-inclusive baseline.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

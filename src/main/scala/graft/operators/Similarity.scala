@@ -172,12 +172,20 @@ object Similarity {
     * scale path for embedding-space dedup. Candidates come from
     * hyperplane buckets (each unordered pair once, id_a < id_b); exact
     * cosine is computed only on candidates, then thresholded — the pair
-    * space is sum-of-|bucket|² instead of N²/2. Few planes + many tables
-    * biases toward recall (wider buckets, more chances): at cosine ≥
-    * 0.45 a pair shares a 2-plane bucket with p ≈ 0.42 per table, so 16
-    * tables miss it with p ≈ 0.58^16 ≈ 1e-4. For a dedup pipeline that
-    * is the right trade — a missed near-dup costs a duplicate document,
-    * a spurious candidate costs one dot product.
+    * space is sum-of-|bucket|² instead of N²/2.
+    *
+    * Tuning is threshold-driven and the caller MUST size it for their
+    * corpus: a pair at cosine t shares one hyperplane bit with
+    * p = 1 - acos(t)/π, a `numPlanes`-bit bucket with p^numPlanes, and
+    * is missed by all `numTables` tables with (1-p^planes)^tables.
+    * The defaults (2 planes / 16 tables) are recall-first for the
+    * catalog's deliberately-low 0.45 oracle threshold (miss ≈ 1e-4) —
+    * but 2 planes = 4 buckets, so the candidate space stays O(N²/4):
+    * fine at 10^4-10^5 vectors, NOT a 10^8 configuration. Production
+    * near-dup thresholds (≥ 0.85, p_bit ≈ 0.86) support 8-12 planes,
+    * where buckets are 2^8-2^12-way selective and the same miss bound
+    * needs only ~16 tables — that is the shape to deploy at corpus
+    * scale (or MinHash banding via [[Dedup.minHashLshPairs]] for text).
     */
   def lshThresholdPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 2, numTables: Int = 16): DataFrame = {

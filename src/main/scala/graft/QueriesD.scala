@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
@@ -145,17 +146,30 @@ object QueriesD {
       val joined = peerStats.where(col("n_peers") >= 1)
         .join(timed.select(col("event_id"), col("days_to_next")),
           Seq("event_id"))
-      val p95 = joined.agg(
-        percentile(col("days_to_next"), lit(0.95)).as("__q95"))
-      val reg = joined.crossJoin(broadcast(p95))
+      // p95 as a global window over `joined` (one row per probe event —
+      // small by construction), NOT the agg+crossJoin form p13 uses over
+      // a plain scan: here the subtree below is the KNN crossJoin + peer
+      // window join, and a crossJoin'd scalar would recompute all of it.
+      // One window exchange of the small frame keeps the plan single-pass.
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val reg = joined
+        .withColumn("__q95", percentile(col("days_to_next"), lit(0.95))
+          .over(wAll))
         .where(col("days_to_next") < col("__q95") && col("n_peers") >= 2)
         .withColumn("log_days", log(col("days_to_next") + lit(1.0)))
         .withColumn("log_peers", log(col("n_peers").cast("double")))
-      val ols = Stats.olsByGroup(reg, Seq(), col("log_peers"), col("log_days"))
-      val pearson = Stats.corrByGroup(reg, Seq(),
-        col("n_peers").cast("double"), col("days_to_next"))
-        .select(col("pearson_r"))
-      ols.crossJoin(broadcast(pearson))
+      // every regression statistic in ONE aggregate — the slope/intercept/
+      // r2 forms mirror Stats.olsByGroup; the raw-variable corr rides the
+      // same pass instead of a second branch over the heavy subtree
+      val x = col("log_peers"); val y = col("log_days")
+      reg.agg(
+          count(lit(1)).as("n"),
+          (covar_samp(x, y) / var_samp(x)).as("slope"),
+          (avg(y) - covar_samp(x, y) / var_samp(x) * avg(x)).as("intercept"),
+          (corr(x, y) * corr(x, y)).as("r2"),
+          corr(col("n_peers").cast("double"), col("days_to_next"))
+            .as("pearson_r"))
         .select(col("n"),
           round(col("slope") + lit(1e-9), 6).as("slope"),
           round(col("intercept") + lit(1e-9), 6).as("intercept"),

@@ -38,21 +38,30 @@ object Readers {
         .option("header", "true")
         .option("mode", "PERMISSIVE")
       (if (inferSchema) reader.option("inferSchema", "true")
-       else reader.schema(headerSchema(p))).csv(p)
+       else reader.schema(headerSchema(spark, p))).csv(p)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 
-  /** All-string StructType from a CSV file's header line (driver-side;
-    * handles the simple-quoting headers our sources use).
+  /** All-string StructType from a CSV file's header line. Read through
+    * the Hadoop FileSystem API so it works on any scheme the cluster
+    * can reach (local, hdfs://, s3a://) — one driver-side line read per
+    * file, never a Spark job.
     */
-  private def headerSchema(path: String): StructType = {
-    val f = new java.io.File(path)
+  private def headerSchema(spark: SparkSession, path: String): StructType = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val fs = p0.getFileSystem(conf)
     val file =
-      if (f.isDirectory)
-        f.listFiles().filter(_.getName.endsWith(".csv")).minBy(_.getName)
-      else f
-    val src = scala.io.Source.fromFile(file)
-    val header = try src.getLines().next() finally src.close()
-    val cols = header.split(",", -1).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      if (fs.getFileStatus(p0).isDirectory)
+        fs.listStatus(p0).filter(_.getPath.getName.endsWith(".csv"))
+          .minBy(_.getPath.getName).getPath
+      else p0
+    val in = fs.open(file)
+    val header =
+      try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8")).readLine()
+      finally in.close()
+    val cols = header.split(",", -1)
+      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
     StructType(cols.map(c => StructField(c, StringType, nullable = true)))
   }
 

@@ -170,6 +170,30 @@ object QueriesE {
       "vec_id", "embedding", 0.45),
     t11.oracle)
 
+  // ST2: gap-based sessionization, batch form — same semantics as the
+  // streaming flatMapGroupsWithState sessionizer (SessionizeSpec asserts
+  // equivalence); here as window functions with a full SQL oracle.
+  val st2 = Q("st2_sessionize_batch",
+    (s, d) => Sessionize.batchSessions(ev(s, d), "user_id", "ts",
+        "value", gapMinutes = 30)
+      .select(col("user_id"), col("session_start_ms"),
+        col("session_end_ms"), col("n_events"),
+        round(col("sum_value") + lit(1e-9), 6).as("sum_value")),
+    Some("""WITH flagged AS (SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30 * 60 * 1000
+          THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      indexed AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS session_idx FROM flagged)
+      SELECT user_id,
+        min(epoch_ms(ts)) AS session_start_ms,
+        max(epoch_ms(ts)) AS session_end_ms,
+        CAST(count(*) AS BIGINT) AS n_events,
+        round(sum(value) + 1e-9, 6) AS sum_value
+      FROM indexed GROUP BY user_id, session_idx"""))
+
   // Deterministic class-balanced sampling: per-language keep rates via
   // the same md5 hash bucket (downsample the dominant class).
   val t12 = Q("t12_stratified_sample",
@@ -189,5 +213,5 @@ object QueriesE {
         < CASE WHEN lang = 'en' THEN 20 ELSE 80 END
       GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(t9, t10, e3b, j11b, j12b, o7, t11, t11b, t12)
+  val all: Seq[Q] = Seq(t9, t10, e3b, j11b, j12b, o7, st2, t11, t11b, t12)
 }

@@ -38,5 +38,13 @@ class SessionizeSpec extends SparkSpecBase {
       .select("user_id", "n_events", "sum_value")
       .as[(Long, Int, Double)].collect().toSet
     assert(out === Set((1L, 2, 3.0)))
+
+    // batch form: same gap rule over the same input yields the closed
+    // session PLUS the still-open ones the stream is withholding
+    val batch = graft.operators.Sessionize.batchSessions(
+        rows, "user_id", "ts", "value", gapMinutes = 60)
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch === Set((1L, 2L, 3.0), (1L, 2L, 7.0), (2L, 1L, 5.0)))
   }
 }

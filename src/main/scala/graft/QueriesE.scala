@@ -170,6 +170,39 @@ object QueriesE {
       "vec_id", "embedding", 0.45),
     t11.oracle)
 
+  // T13: Gopher-style repetition quality filter — flags documents whose
+  // duplicate-bigram or top-word share marks them as repetitious
+  // low-quality training data. Pure array math; full SQL oracle.
+  val t13 = Q("t13_repetition_quality",
+    (s, d) => TextAnalysis.withRepetitionStats(docs(s, d), "text")
+      .select(col("doc_id"), col("n_words"),
+        round(col("dup_word_frac") + lit(1e-9), 6).as("dup_word_frac"),
+        round(col("dup_bigram_frac") + lit(1e-9), 6).as("dup_bigram_frac"),
+        round(col("top_word_frac") + lit(1e-9), 6).as("top_word_frac"),
+        (col("dup_bigram_frac") > 0.3 || col("top_word_frac") > 0.2)
+          .as("repetitive")),
+    Some("""WITH w AS (SELECT doc_id,
+        string_split_regex(lower(trim(text)), '\s+') AS words
+        FROM documents),
+      m AS (SELECT doc_id, len(words) AS n_words,
+        1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+          AS dup_word_frac,
+        CASE WHEN len(words) > 1 THEN 1.0 -
+          CAST(len(list_distinct(list_transform(range(1, len(words)),
+            i -> words[i] || ' ' || words[i + 1]))) AS DOUBLE)
+            / (len(words) - 1)
+          ELSE 0.0 END AS dup_bigram_frac,
+        CAST(list_max(list_transform(list_distinct(words),
+          w2 -> len(list_filter(words, x -> x = w2)))) AS DOUBLE)
+          / len(words) AS top_word_frac
+        FROM w)
+      SELECT doc_id, n_words,
+        round(dup_word_frac + 1e-9, 6) AS dup_word_frac,
+        round(dup_bigram_frac + 1e-9, 6) AS dup_bigram_frac,
+        round(top_word_frac + 1e-9, 6) AS top_word_frac,
+        (dup_bigram_frac > 0.3 OR top_word_frac > 0.2) AS repetitive
+      FROM m"""))
+
   // ST2: gap-based sessionization, batch form — same semantics as the
   // streaming flatMapGroupsWithState sessionizer (SessionizeSpec asserts
   // equivalence); here as window functions with a full SQL oracle.
@@ -213,5 +246,6 @@ object QueriesE {
         < CASE WHEN lang = 'en' THEN 20 ELSE 80 END
       GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(t9, t10, e3b, j11b, j12b, o7, st2, t11, t11b, t12)
+  val all: Seq[Q] = Seq(t9, t10, e3b, j11b, j12b, o7, st2, t11, t11b, t12,
+    t13)
 }

@@ -112,4 +112,33 @@ object TextAnalysis {
       lit(0L),
       (acc, w) => pmod(acc * 31 + pmod(Dedup.md5Hash56(w), lit(1000000007L)),
         lit(1000000007L)))
+
+  /** Gopher-style within-document repetition metrics (Rae et al. 2021
+    * §A1.1: repetitious documents are low-quality training data):
+    * duplicate-word fraction, duplicate-bigram fraction, and the
+    * fraction of the document taken by its single most frequent word.
+    * Pure array math over the token array — the top-word scan is
+    * O(distinct·n) per row, fine for document-sized arrays and still a
+    * single codegen'd projection at corpus scale. Thresholds stay with
+    * the caller (the catalog query flags >30% dup bigrams or >20%
+    * top-word share).
+    */
+  def withRepetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    val n = size(words)
+    val bigrams = zip_with(
+      slice(words, lit(1), greatest(n - 1, lit(0))),
+      slice(words, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val topWordCount = array_max(transform(array_distinct(words),
+      w => size(filter(words, x => x === w))))
+    df.withColumn("n_words", n)
+      .withColumn("dup_word_frac",
+        lit(1.0) - size(array_distinct(words)).cast("double") / n)
+      .withColumn("dup_bigram_frac",
+        when(n > 1, lit(1.0) -
+          size(array_distinct(bigrams)).cast("double") / (n - 1))
+          .otherwise(lit(0.0)))
+      .withColumn("top_word_frac", topWordCount.cast("double") / n)
+  }
 }

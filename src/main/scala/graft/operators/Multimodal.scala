@@ -63,4 +63,54 @@ object Multimodal {
         (col("patch_idx") * (col("byte_len") / n)).cast("long"))
       .withColumn("patch_sig",
         md5(concat(col("payload_md5"), col("patch_idx").cast("string"))))
+
+  case class AssetRow(asset_id: Long, payload: Array[Byte])
+  case class DecodedRow(asset_id: Long, width: Int, height: Int)
+
+  /** Batched decode harness — the JVM shape a real vectorized codec
+    * plugs into (the Scala analogue of Python's `mapInPandas`): a
+    * `mapPartitions` that groups the partition's payloads into batches
+    * of at most `maxBatchRows` / `maxBatchBytes` and hands each batch to
+    * the decoder in one call. Batching matters at scale for the same
+    * reason arrow batches do — codec setup is amortized per batch, and
+    * the bound keeps a partition of large payloads from materializing in
+    * heap at once (the iterator stays lazy between batches). This is the
+    * one justified `mapPartitions` in the library: an opaque codec can't
+    * be a Catalyst expression. The default `decode` is the deterministic
+    * stub (no media libs in this container); swap the function, keep the
+    * contract.
+    */
+  def decodeBatched(assets: DataFrame, maxBatchRows: Int = 64,
+      maxBatchBytes: Long = 8L << 20)(
+      decode: Seq[AssetRow] => Seq[DecodedRow] = stubDecode): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id").cast("long"), col("payload"))
+      .as[AssetRow]
+      .mapPartitions { rows =>
+        new Iterator[Seq[DecodedRow]] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Seq[DecodedRow] = {
+            val batch = scala.collection.mutable.Buffer.empty[AssetRow]
+            var bytes = 0L
+            while (rows.hasNext && batch.size < maxBatchRows &&
+                bytes < maxBatchBytes) {
+              val r = rows.next()
+              batch += r
+              bytes += (if (r.payload == null) 0L else r.payload.length.toLong)
+            }
+            decode(batch.toSeq)
+          }
+        }.flatten
+      }
+      .toDF("asset_id", "width", "height")
+  }
+
+  /** The stub codec: same pseudo-dimensions as
+    * [[withFakeDecodedFeatures]], computed per batch.
+    */
+  def stubDecode(batch: Seq[AssetRow]): Seq[DecodedRow] = batch.map { r =>
+    val len = if (r.payload == null) 0L else r.payload.length.toLong
+    DecodedRow(r.asset_id, (len % 640 + 1).toInt, ((len * 7) % 480 + 1).toInt)
+  }
 }

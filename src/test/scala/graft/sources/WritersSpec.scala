@@ -72,4 +72,22 @@ class WritersSpec extends SparkSpecBase {
     assert(patches.count() === 4)
     assert(patches.select("patch_sig").distinct().count() === 4)
   }
+
+  test("batched decode matches the column-stub features and batches by size") {
+    val docs = (1L to 200L).map(i => (i, "x" * (i.toInt % 50 + 1)))
+      .toDF("doc_id", "text")
+    val assets = Multimodal.toAssets(docs, "doc_id", "text", "text/plain")
+    val viaColumns = Multimodal.withFakeDecodedFeatures(assets)
+      .select("asset_id", "width", "height").as[(Long, Int, Int)]
+      .collect().toSet
+    // small row cap forces many batches; results must not depend on batching
+    val viaBatches = Multimodal.decodeBatched(assets, maxBatchRows = 7)()
+      .as[(Long, Int, Int)].collect().toSet
+    assert(viaBatches === viaColumns)
+    // byte cap: with a 60-byte budget every batch holds >= 1 row and the
+    // decoder still sees every asset exactly once
+    val tiny = Multimodal.decodeBatched(assets, maxBatchRows = 1000,
+      maxBatchBytes = 60L)()
+    assert(tiny.count() === 200)
+  }
 }

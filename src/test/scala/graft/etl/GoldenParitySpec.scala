@@ -70,9 +70,17 @@ class GoldenParitySpec extends SparkSpecBase {
     // duplicate rows: repeat the first nDupRows body lines verbatim
     // (same tx/token/type/timestamp → dedup key collision)
     val dups = body.take(nDupRows)
-    // negative prices: dropped by the cleaner, invisible in metrics
+    // negative prices: dropped by the cleaner, invisible in metrics —
+    // which makes them the carrier for every OTHER planted audit
+    // violation (bad timestamps, junk addresses, null collections,
+    // unknown event types): the raw-side validation must count each,
+    // while the metrics assertions above stay untouched.
     val negatives = (0 until nNegative).map { i =>
-      s"ethereum,azuki,neg$i,sale,,${t0 + i},0xN$i,,,,,1,-5.0,ETH,0xC1,tokneg$i,"
+      val ts = if (i < 30) 100L + i else t0 + i        // 30 out-of-range
+      val seller = if (i >= 30 && i < 60) "JUNK" else "" // 30 bad format
+      val coll = if (i >= 60 && i < 80) "" else "azuki"  // 20 null colls
+      val et = if (i >= 80) "airdrop" else "sale"        // 20 unknown type
+      s"ethereum,$coll,neg$i,$et,,$ts,0xN$i,$seller,,,,1,-5.0,ETH,0xC1,tokneg$i,"
     }
     Files.writeString(Paths.get(s"$dir/events.csv"),
       (header +: (body ++ anchors ++ dups ++ negatives)).mkString("\n"))
@@ -87,10 +95,18 @@ class GoldenParitySpec extends SparkSpecBase {
     val m = result.metrics
     val expectedClean = nRows + 2 // body + 2 anchors; dups deduped, negatives dropped
 
-    // _run.log / report: raw totals & duplicates (golden _run.log:7-14)
+    // _run.log / report: raw totals & duplicates (golden _run.log:7-14).
+    // The row-local fields travel through the observe path on the
+    // clean+write scan — each must carry exactly its planted count.
     assert(result.report.totalRows === nRows + 2 + nDupRows + nNegative)
     assert(result.report.duplicateKeyCount === nDupRows)
     assert(result.report.negativePriceCount === nNegative)
+    assert(result.report.outOfRangeTimestampCount === 30)
+    assert(result.report.invalidAddressCounts("seller") === 30)
+    assert(result.report.invalidAddressCounts("buyer") === 0)
+    assert(result.report.nullCounts("collection") === 20)
+    assert(result.report.invalidEventTypes === Map("airdrop" -> 20L))
+    assert(result.report.priceMismatchCount === 0)
 
     // metrics.json, field for field in the reference's shape
     assert(m("total_rows") === expectedClean.toLong)

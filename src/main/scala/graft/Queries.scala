@@ -47,6 +47,22 @@ object Queries {
       round(avg(value) + 1e-9,6) AS avg_value FROM events GROUP BY 1"""),
     headline = true)
 
+  // A1b — the approximate fast path (SURVEY §7.4 risk 7): HLL distinct
+  // counts + approx_percentile in ONE aggregate, no expand, mergeable
+  // sketches all the way — the dashboard-grade knob at 100 TB where ±2%
+  // beats a second shuffle. No SQL oracle by design (sketch internals
+  // are engine-specific); the driver records the rows check and
+  // MiscOperatorsSpec bounds the approximation against the exact form.
+  val a1b = Q("a1b_daily_stats_approx",
+    (s, d) => ev(s, d)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        round(approx_percentile(col("value"), lit(0.5), lit(1000))
+          + lit(1e-9), 6).as("median_value_approx")),
+    None)
+
   val a2 = Q("a2_price_stats_median",
     (s, d) => li(s, d)
       .groupBy(col("l_returnflag"))
@@ -588,7 +604,7 @@ object Queries {
   // --------------------------------------------------------------- catalog
 
   val all: Seq[Q] = Seq(
-    a1, a2, a5, a7, a11, a19, a22,
+    a1, a1b, a2, a5, a7, a11, a19, a22,
     j1, j3, j4, j7, j7a, j11, j12,
     v1, v2, v9,
     w1, w2, w4, w5, w6,

@@ -116,6 +116,33 @@ object QueriesD {
       FROM peer JOIN purchases e ON e.event_id = peer.event_id
       WHERE peer.n_peers > 0"""))
 
+  // E3-LSH — the flagship composition with the KNN stage swapped from
+  // brute force to the bucketed LSH provider: the 100× scale form of e3
+  // (the neighbor provider is the only change; window join + OLS are
+  // identical plans). No SQL oracle by design — LSH recall < 1 makes
+  // the neighbor set approximation-dependent — so the driver records
+  // the rows check and OperatorsSpec bounds the regression output.
+  val e3d = Q("e3d_peer_elasticity_lsh",
+    (s, d) => {
+      val purchases = ev(s, d).where(col("event_type") === "purchase")
+      val neighbors = Similarity.lshTopK(
+        Tables.embeddings(s, d), "vec_id", "embedding", 5)
+      val probes = purchases.join(
+        Tables.embeddings(s, d).select(col("vec_id").as("user_id")),
+        Seq("user_id"), "left_semi")
+      val peerStats = PeerEffects.neighborWindowAgg(
+        probes, neighbors, purchases, "user_id", "ts", "value", "event_id",
+        windowDays = 7)
+      val joined = peerStats.where(col("n_peers") > 0)
+        .join(purchases.select(col("event_id"), col("value")), Seq("event_id"))
+      Stats.olsByGroup(joined, Seq(), col("peer_avg"), col("value"))
+        .select(col("n"),
+          round(col("slope") + lit(1e-9), 6).as("slope"),
+          round(col("intercept") + lit(1e-9), 6).as("intercept"),
+          round(col("r2") + lit(1e-9), 6).as("r2"))
+    },
+    None)
+
   // E3c — the reference's SECOND peer-effect target (timing:
   // analyze_peer_effects.py:239-344): days_to_next_sale per purchase,
   // peers' mean time-to-next in the lookback window, then OLS of
@@ -376,5 +403,5 @@ object QueriesD {
         round(cosine + 1e-9, 6) AS cosine
       FROM ranked WHERE knn_rank <= 5"""))
 
-  val all: Seq[Q] = Seq(w3, d9b, e3, e3c, t4b, ann2, ann2b)
+  val all: Seq[Q] = Seq(w3, d9b, e3, e3c, e3d, t4b, ann2, ann2b)
 }

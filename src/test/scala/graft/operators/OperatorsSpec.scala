@@ -120,6 +120,14 @@ class OperatorsSpec extends SparkSpecBase {
     assert(multi >= 0.3, s"2-probe recall $multi")
   }
 
+  test("e3d LSH elasticity: sane regression output from approximate KNN") {
+    val row = graft.SparkEntry.queries("e3d_peer_elasticity_lsh")(
+      spark, sf("sf0.001")).head()
+    assert(row.getAs[Long]("n") > 0)
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2 $r2")
+  }
+
   test("anovaWithP: in-plan p-value matches the commons-math3 scalar") {
     val ev = graft.Tables.events(spark, sf("sf0.001"))
       .select("event_type", "value")

@@ -301,7 +301,8 @@ object QueriesC {
   // oracle; recall vs the exact j12 baseline is asserted in unit tests)
   val ann1 = Q("ann1_lsh_topk",
     (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), "vec_id",
-        "embedding", k = 5, numPlanes = 4, numTables = 8)
+        "embedding", k = 5, numPlanes = 4, numTables = 8,
+        dim = Tables.embeddingDim)
       .withColumnRenamed("rank", "knn_rank"),
     None)
 

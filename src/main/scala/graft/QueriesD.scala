@@ -126,7 +126,8 @@ object QueriesD {
     (s, d) => {
       val purchases = ev(s, d).where(col("event_type") === "purchase")
       val neighbors = Similarity.lshTopK(
-        Tables.embeddings(s, d), "vec_id", "embedding", 5)
+        Tables.embeddings(s, d), "vec_id", "embedding", 5,
+        dim = Tables.embeddingDim)
       val probes = purchases.join(
         Tables.embeddings(s, d).select(col("vec_id").as("user_id")),
         Seq("user_id"), "left_semi")

@@ -167,7 +167,7 @@ object QueriesE {
   val t11b = Q("t11b_embedding_neardup_lsh",
     (s, d) => Similarity.lshThresholdPairs(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", 0.45),
+      "vec_id", "embedding", 0.45, dim = Tables.embeddingDim),
     t11.oracle)
 
   // T13: Gopher-style repetition quality filter — flags documents whose

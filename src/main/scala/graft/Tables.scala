@@ -12,6 +12,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Fixed vector length of `embeddings.embedding` in the driver fixtures
+    * (every scale factor). LSH callers pass this so plane construction
+    * needs no eager one-row probe job at plan-build time.
+    */
+  val embeddingDim: Int = 64
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The testdata writes `events.ts` as TIMESTAMP(NANOS), which Spark 4
     // rejects by default. Read nanos as long, then convert to a real

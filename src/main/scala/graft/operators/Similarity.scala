@@ -119,6 +119,14 @@ object Similarity {
       when(fastDot(col("vec"), plane) >= 0, lit(1L << pIdx)).otherwise(lit(0L))
     }.reduce((x, y) => x + y)
 
+  /** Vector length for plane construction: the caller-supplied `dim` if
+    * positive, else probed from one row of the (already cached) frame.
+    * The probe is an extra eager job at plan-build time — catalog queries
+    * pass the fixture's known dim so LSH plans build with zero pre-jobs.
+    */
+  private def resolveDim(base: DataFrame, dim: Int): Int =
+    if (dim > 0) dim else base.select(size(col("vec"))).head().getInt(0)
+
   /** Candidate id pairs from `numTables` independent bucketings,
     * deduplicated across tables BEFORE any dot product, so each
     * surviving pair pays for exactly one cosine. `ordered = true` emits
@@ -146,10 +154,10 @@ object Similarity {
     * `numTables` independent bucketings raise it (union of candidates).
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      numPlanes: Int = 4, numTables: Int = 8): DataFrame = {
+      numPlanes: Int = 4, numTables: Int = 8, dim: Int = 0): DataFrame = {
     val base = unitVectors(df, idCol, vecCol).cache()
-    val dim = base.select(size(col("vec"))).head().getInt(0)
-    val candidateIds = lshCandidates(base, dim, numPlanes, numTables,
+    val d = resolveDim(base, dim)
+    val candidateIds = lshCandidates(base, d, numPlanes, numTables,
       "query_id", "neighbor_id", ordered = false)
 
     val scored = candidateIds
@@ -188,10 +196,11 @@ object Similarity {
     * scale (or MinHash banding via [[Dedup.minHashLshPairs]] for text).
     */
   def lshThresholdPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numPlanes: Int = 2, numTables: Int = 16): DataFrame = {
+      threshold: Double, numPlanes: Int = 2, numTables: Int = 16,
+      dim: Int = 0): DataFrame = {
     val base = unitVectors(df, idCol, vecCol).cache()
-    val dim = base.select(size(col("vec"))).head().getInt(0)
-    val candidateIds = lshCandidates(base, dim, numPlanes, numTables,
+    val d = resolveDim(base, dim)
+    val candidateIds = lshCandidates(base, d, numPlanes, numTables,
       "id_a", "id_b", ordered = true)
     candidateIds
       .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")),
@@ -203,5 +212,66 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("cosine") + lit(1e-9), 6).as("cosine"))
+  }
+
+  /** Probability that one hyperplane bit agrees for a pair at cosine `t`
+    * (Charikar's SimHash bound): p = 1 − acos(t)/π.
+    */
+  def bitAgreeProb(t: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, t))) / math.Pi
+
+  /** Tables needed so a pair at EXACTLY the threshold cosine is found
+    * with probability ≥ `targetRecall` given `numPlanes`-bit buckets:
+    * miss = (1 − p^planes)^tables ≤ 1 − recall. Pairs above the
+    * threshold collide more often, so this is the worst-case bound.
+    */
+  def tablesForRecall(threshold: Double, numPlanes: Int,
+      targetRecall: Double): Int = {
+    val pBucket = math.pow(bitAgreeProb(threshold), numPlanes)
+    math.max(1, math.ceil(
+      math.log1p(-targetRecall) / math.log1p(-pBucket)).toInt)
+  }
+
+  /** The production-shaped near-dup entry point: sizes the table count
+    * from the threshold and target recall via [[tablesForRecall]], so the
+    * caller picks only the selectivity knob (`numPlanes` — bucket space
+    * is 2^planes per table). At a real near-dup threshold (≥ 0.85,
+    * p_bit ≈ 0.82) 8 planes give 256-way-selective buckets and ~13
+    * tables reach 95% recall — the configuration to deploy at corpus
+    * scale, measured in OperatorsSpec against exact pairs.
+    */
+  def lshThresholdPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 8, targetRecall: Double = 0.95,
+      dim: Int = 0): DataFrame =
+    lshThresholdPairs(df, idCol, vecCol, threshold, numPlanes,
+      tablesForRecall(threshold, numPlanes, targetRecall), dim)
+
+  /** Exact near-duplicate pairs above a cosine threshold (brute force,
+    * each unordered pair once) — the O(N²) ground truth the LSH form is
+    * measured against.
+    */
+  def exactThresholdPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val base = unitVectors(df, idCol, vecCol)
+    val l = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    l.crossJoin(r).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        fastDot(col("vec_a"), col("vec_b")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("cosine") + lit(1e-9), 6).as("cosine"))
+  }
+
+  /** The candidate pair set an LSH configuration would score (before the
+    * exact-cosine filter) — exposed so tests and capacity planning can
+    * measure the candidate-space reduction vs N(N−1)/2 directly.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, numTables: Int, dim: Int = 0): DataFrame = {
+    val base = unitVectors(df, idCol, vecCol).cache()
+    val d = resolveDim(base, dim)
+    lshCandidates(base, d, numPlanes, numTables, "id_a", "id_b",
+      ordered = true)
   }
 }

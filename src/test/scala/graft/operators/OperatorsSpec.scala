@@ -120,6 +120,52 @@ class OperatorsSpec extends SparkSpecBase {
     assert(multi >= 0.3, s"2-probe recall $multi")
   }
 
+  test("lshThresholdPairsAuto: production config (0.85, 8 planes) recall " +
+      ">= 0.95 with a shrunken candidate space") {
+    // The driver fixtures contain no pairs above cosine 0.7, so the
+    // production-threshold measurement plants seeded near-duplicates of
+    // the REAL sf0.01 vectors: each planted vector is its base plus
+    // orthogonal-ish gaussian noise sized for cosine ~0.93-0.97 — the
+    // shape a crawled corpus's near-dups actually have.
+    val rnd = new scala.util.Random(42)
+    val base = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val planted = base.map { case (id, v) =>
+      val eps = 0.25 + 0.15 * rnd.nextDouble()
+      val g = Array.fill(v.length)(rnd.nextGaussian())
+      val gn = math.sqrt(g.map(x => x * x).sum)
+      val vn = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val w = v.indices.map(i => (v(i) + (eps * vn * g(i) / gn)).toFloat)
+      (100000L + id, w)
+    }
+    val corpus = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val n = base.length * 2L
+
+    val exact = Similarity.exactThresholdPairs(
+        corpus, "vec_id", "embedding", 0.85)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= base.length / 2,
+      s"planting should create near-dup pairs, got ${exact.size}")
+
+    val planes = 8
+    val tables = Similarity.tablesForRecall(0.85, planes, 0.95)
+    assert(tables >= 8 && tables <= 20, s"tables $tables")
+    val lsh = Similarity.lshThresholdPairsAuto(
+        corpus, "vec_id", "embedding", 0.85, numPlanes = planes)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((lsh -- exact).isEmpty, "LSH scores exact cosine — no false positives")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    val candidates = Similarity.lshCandidatePairs(
+      corpus, "vec_id", "embedding", planes, tables).count()
+    val allPairs = n * (n - 1) / 2
+    info(f"recall $recall%.4f, candidates $candidates of $allPairs " +
+      f"(${100.0 * candidates / allPairs}%.1f%%), $tables tables")
+    assert(recall >= 0.95, s"recall $recall")
+    assert(candidates <= allPairs / 5,
+      s"candidate space $candidates vs all-pairs $allPairs")
+  }
+
   test("e3d LSH elasticity: sane regression output from approximate KNN") {
     val row = graft.SparkEntry.queries("e3d_peer_elasticity_lsh")(
       spark, sf("sf0.001")).head()

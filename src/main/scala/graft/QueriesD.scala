@@ -404,5 +404,25 @@ object QueriesD {
         round(cosine + 1e-9, 6) AS cosine
       FROM ranked WHERE knn_rank <= 5"""))
 
-  val all: Seq[Q] = Seq(w3, d9b, e3, e3c, e3d, t4b, ann2, ann2b)
+  // ANN, IVF with LEARNED centroids: the layout you'd actually deploy —
+  // the coarse quantizer comes from spherical KMeans (k ≈ √N) instead of
+  // hash-picked rows, so cells track the corpus's density and recall at
+  // the same nprobe beats the data-blind ann2/ann2b forms (measured in
+  // OperatorsSpec against the exact j12 baseline). No SQL oracle by
+  // design — spark.ml's KMeans init is engine-specific, the same reason
+  // m6 is oracle-less. The count() for k-sizing and the iterative fit
+  // are both inherently eager; this is a model-building query, not a
+  // one-pass scan.
+  val ann2c = Q("ann2c_ivf_learned",
+    (s, d) => {
+      val base = Tables.embeddings(s, d)
+      val k = math.max(4,
+        math.round(math.sqrt(base.count().toDouble)).toInt)
+      val cents = graft.ml.Clustering.kmeansCentroids(
+        base, "embedding", k, seed = 7L)
+      Similarity.ivfTopK(base, "vec_id", "embedding", 5, cents, nprobe = 2)
+    },
+    None)
+
+  val all: Seq[Q] = Seq(w3, d9b, e3, e3c, e3d, t4b, ann2, ann2b, ann2c)
 }

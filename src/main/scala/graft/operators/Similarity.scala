@@ -263,6 +263,50 @@ object Similarity {
         round(col("cosine") + lit(1e-9), 6).as("cosine"))
   }
 
+  /** IVF top-k over a supplied coarse quantizer: assign every vector to
+    * its nearest centroid cell (broadcast argmax — centroids are the
+    * small side by construction), search each query's `nprobe` nearest
+    * cells against neighbors' home cells, exact cosine only within
+    * probed cells. `centroids` is a (cell: Long, cent_vec: unit
+    * ARRAY<DOUBLE>) frame — deterministic hash-picked rows for the
+    * oracle-checked catalog forms (ann2/ann2b build it inline), or
+    * learned [[graft.ml.Clustering.kmeansCentroids]] for the layout a
+    * deployed index uses (ann2c): learned cells follow the data's
+    * density, so cell sizes stay balanced and recall at fixed nprobe is
+    * higher than any data-blind assignment. At 100 TB the cell id is
+    * the partition key — probes shuffle once to their cells instead of
+    * crossing the corpus.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroids: DataFrame, nprobe: Int = 1): DataFrame = {
+    val base = unitVectors(df, idCol, vecCol)
+    val simTo = base.join(broadcast(centroids))
+      .select(col("id"), col("cell"),
+        fastDot(col("vec"), col("cent_vec")).as("sim"))
+    val wCell = Window.partitionBy(col("id"))
+      .orderBy(col("sim").desc, col("cell").desc)
+    val rankedCells = simTo.withColumn("cell_rank", row_number().over(wCell))
+    val home = rankedCells.where(col("cell_rank") === 1)
+      .select(col("id"), col("cell"))
+    val probes = rankedCells.where(col("cell_rank") <= nprobe)
+      .select(col("id"), col("cell"))
+    val l = base.join(probes, Seq("id"))
+      .select(col("id").as("query_id"), col("vec").as("vec_a"), col("cell"))
+    val r = base.join(home, Seq("id"))
+      .select(col("id").as("neighbor_id"), col("vec").as("vec_b"),
+        col("cell"))
+    val pairs = l.join(r, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        fastDot(col("vec_a"), col("vec_b")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("knn_rank", row_number().over(w))
+      .where(col("knn_rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("knn_rank"),
+        round(col("cosine") + lit(1e-9), 6).as("cosine"))
+  }
+
   /** The candidate pair set an LSH configuration would score (before the
     * exact-cosine filter) — exposed so tests and capacity planning can
     * measure the candidate-space reduction vs N(N−1)/2 directly.

@@ -246,6 +246,62 @@ object QueriesE {
         < CASE WHEN lang = 'en' THEN 20 ELSE 80 END
       GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(t9, t10, e3b, j11b, j12b, o7, st2, t11, t11b, t12,
-    t13)
+  // E3E — the reference's FULL peer-effect parameter grid
+  // (analyze_peer_effects.py:32,63-64: K ∈ {10,20,50} × window ∈ {7,30},
+  // six separate Python passes) as ONE plan: KNN ranked once at K=50,
+  // peers joined once at the 30-day widest window, then the 6-combo grid
+  // exploded and filtered before the per-(probe,k,window) aggregation —
+  // j12b's rank-once-explode-K composed with e3b's window explode. The
+  // output is the reference's 6-row elasticity table.
+  val e3e = Q("e3e_peer_grid",
+    (s, d) => {
+      val purchases = ev(s, d).where(col("event_type") === "purchase")
+      val neighbors = Similarity.bruteForceTopKFor(
+        Tables.embeddings(s, d),
+        purchases.select(col("user_id").as("vec_id")).distinct(),
+        "vec_id", "embedding", 50)
+      val probes = purchases.join(
+        Tables.embeddings(s, d).select(col("vec_id").as("user_id")),
+        Seq("user_id"), "left_semi")
+      val peerStats = PeerEffects.neighborGridAgg(
+        probes, neighbors, purchases, "user_id", "ts", "value", "event_id",
+        ks = Seq(10, 20, 50), windowsDays = Seq(7, 30))
+      val joined = peerStats.where(col("n_peers") > 0)
+        .join(purchases.select(col("event_id"), col("value")),
+          Seq("event_id"))
+      Stats.olsByGroup(joined, Seq("k", "window_days"),
+          col("peer_avg"), col("value"))
+        .select(col("k"), col("window_days"), col("n"),
+          round(col("slope") + lit(1e-9), 6).as("slope"),
+          round(col("intercept") + lit(1e-9), 6).as("intercept"),
+          round(col("r2") + lit(1e-9), 6).as("r2"))
+    },
+    Some("""WITH pairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          AS c
+        FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+      ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        ORDER BY c DESC, nid) AS rn FROM pairs),
+      purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      grid AS (SELECT k, window_days
+        FROM (SELECT unnest([10, 20, 50]) AS k)
+        CROSS JOIN (SELECT unnest([7, 30]) AS window_days)),
+      peer AS (SELECT e.event_id, g.k, g.window_days,
+        count(p.value) AS n_peers, avg(p.value) AS peer_avg
+        FROM purchases e
+        JOIN ranked nb ON nb.qid = e.user_id
+        CROSS JOIN grid g
+        JOIN purchases p ON p.user_id = nb.nid
+          AND p.ts >= e.ts - to_days(g.window_days) AND p.ts < e.ts
+        WHERE nb.rn <= g.k
+        GROUP BY 1, 2, 3)
+      SELECT peer.k, peer.window_days, count(*) AS n,
+        round(regr_slope(e.value, peer.peer_avg) + 1e-9, 6) AS slope,
+        round(regr_intercept(e.value, peer.peer_avg) + 1e-9, 6) AS intercept,
+        round(regr_r2(e.value, peer.peer_avg) + 1e-9, 6) AS r2
+      FROM peer JOIN purchases e ON e.event_id = peer.event_id
+      GROUP BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(t9, t10, e3b, e3e, j11b, j12b, o7, st2, t11, t11b,
+    t12, t13)
 }

@@ -98,6 +98,51 @@ object PeerEffects {
         max(col("__pv")).as("peer_max"))
   }
 
+  /** The FULL parameter grid (K × window) in one plan — the reference
+    * re-runs its per-row loop once per combination
+    * (analyze_peer_effects.py:32,63-64: K ∈ {10,20,50} × window ∈
+    * {7,30}); here the expensive work happens ONCE at the widest
+    * parameters and every combo is derived from it: join probes to
+    * neighbors ranked at max(K), join peers with the max(window) range
+    * residual, THEN explode the (k, window_days) grid and filter
+    * rank ≤ k ∧ ts-in-window before aggregating per
+    * (probe, k, window_days). One neighbor join + one peer join + one
+    * aggregation shuffle for all |K|×|windows| combos, instead of a
+    * re-scan per combo.
+    *
+    * `rankedNeighbors` is (query_id, neighbor_id, rank) ranked at
+    * max(ks) or deeper — Similarity.bruteForceTopK(For) / lshTopK output.
+    * Inner-join semantics: probes with zero peers for a combo simply
+    * don't appear in that combo's groups (the n_peers > 0 regression
+    * filter downstream makes left-join padding dead weight).
+    */
+  def neighborGridAgg(probes: DataFrame, rankedNeighbors: DataFrame,
+      peers: DataFrame, key: String, tsCol: String, valueCol: String,
+      idCol: String, ks: Seq[Int], windowsDays: Seq[Int]): DataFrame = {
+    val maxW = windowsDays.max
+    val nb = rankedNeighbors.select(col("query_id").as(key),
+      col("neighbor_id").as("__nk"), col("rank").as("__rank"))
+    val p = peers.select(col(key).as("__pk"), col(tsCol).as("__pts"),
+      col(valueCol).as("__pv"))
+    val grid = array((for (k <- ks; w <- windowsDays) yield
+      struct(lit(k).as("k"), lit(w).as("window_days"))): _*)
+    probes
+      .join(nb, Seq(key))
+      .join(p,
+        col("__nk") === col("__pk") &&
+          col("__pts") >= col(tsCol) - expr(s"INTERVAL $maxW DAYS") &&
+          col("__pts") < col(tsCol))
+      .withColumn("__g", explode(grid))
+      .where(col("__rank") <= col("__g.k") &&
+        col("__pts") >= col(tsCol) - make_dt_interval(col("__g.window_days")))
+      .groupBy(col(idCol), col("__g.k").as("k"),
+        col("__g.window_days").as("window_days"))
+      .agg(
+        count(col("__pv")).as("n_peers"),
+        avg(col("__pv")).as("peer_avg"),
+        max(col("__pv")).as("peer_max"))
+  }
+
   /** Peer join through a neighbor table (the reference's actual shape:
     * peers of a sale = sales of the K visually-nearest tokens). Composes
     * the KNN output (Similarity.bruteForceTopK / lshTopK) with the range

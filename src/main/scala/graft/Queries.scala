@@ -52,7 +52,9 @@ object Queries {
   // sketches all the way — the dashboard-grade knob at 100 TB where ±2%
   // beats a second shuffle. No SQL oracle by design (sketch internals
   // are engine-specific); the driver records the rows check and
-  // MiscOperatorsSpec bounds the approximation against the exact form.
+  // MiscOperatorsSpec bounds THIS query against the exact a1 (and the
+  // underlying EventAggregator.dailyCollectionStatsApprox operator
+  // against its exact form) within sketch tolerance.
   val a1b = Q("a1b_daily_stats_approx",
     (s, d) => ev(s, d)
       .groupBy(to_date(col("ts")).as("event_date"))

@@ -164,6 +164,15 @@ object QueriesE {
   // pattern: one result contract, two plans). Candidates come from
   // hyperplane buckets; exact cosine only on candidates. At corpus scale
   // this replaces t11's O(N²) crossJoin with a bucket equi-join.
+  //
+  // Oracle-pinning caveat: exact-equality vs t11 holds on the FIXED
+  // driver fixtures (per-pair miss ≈ 1e-4 at 2 planes / 16 tables,
+  // verified at sf0.001/0.01/0.1) — regenerated embeddings or much
+  // larger N could miss a pair without any code bug. That is a property
+  // of checking an approximate operator against an exact oracle; the
+  // recall-bound form of the guarantee (the one that survives any
+  // fixture) is the lshThresholdPairsAuto measurement in OperatorsSpec
+  // (recall 0.998 at a production threshold).
   val t11b = Q("t11b_embedding_neardup_lsh",
     (s, d) => Similarity.lshThresholdPairs(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),

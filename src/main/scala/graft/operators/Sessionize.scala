@@ -25,6 +25,14 @@ object Sessionize {
     val ms = unix_millis(col(tsCol))
     val prevMs = lag(ms, 1).over(w)
     events
+      // A null timestamp can't belong to any gap-defined session: without
+      // this filter, nulls-first ordering makes every consecutive null-ts
+      // row its own degenerate one-row session with null start/end —
+      // matching the streaming form, which never sees such rows (the
+      // watermark column can't be null). Cleaned ETL output deliberately
+      // KEEPS null-ts rows, so a batch backfill over it must drop them
+      // here rather than rely on the caller.
+      .where(col(tsCol).isNotNull)
       .withColumn("__new_session",
         when(prevMs.isNull || ms - prevMs > gapMs, 1L).otherwise(0L))
       .withColumn("__session_idx",

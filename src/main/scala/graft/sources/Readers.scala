@@ -60,9 +60,40 @@ object Readers {
       try new java.io.BufferedReader(
         new java.io.InputStreamReader(in, "UTF-8")).readLine()
       finally in.close()
-    val cols = header.split(",", -1)
-      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+    if (header == null || header.trim.isEmpty)
+      throw new IllegalArgumentException(
+        s"empty CSV header in $file — cannot derive a schema")
+    StructType(splitCsvHeader(header)
+      .map(c => StructField(c, StringType, nullable = true)))
+  }
+
+  /** RFC-4180-aware header split: quoted fields may contain commas and
+    * doubled quotes; a leading UTF-8 BOM is stripped (it would otherwise
+    * become part of the first column name and silently break
+    * unionByName / downstream lookups).
+    */
+  private[sources] def splitCsvHeader(line: String): Array[String] = {
+    val s = line.stripPrefix("\uFEFF")
+    val out = Array.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuotes) {
+        if (c == '"' && i + 1 < s.length && s.charAt(i + 1) == '"') {
+          cur += '"'; i += 1
+        } else if (c == '"') inQuotes = false
+        else cur += c
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => out += cur.result().trim; cur.clear()
+        case _   => cur += c
+      }
+      i += 1
+    }
+    out += cur.result().trim
+    out.result()
   }
 
   /** S3: plain parquet scan. */

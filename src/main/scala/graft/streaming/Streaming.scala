@@ -114,7 +114,14 @@ object Streaming {
                 out += ((user, s.start, s.last, s.n, s.sum))
                 st = SessionState(t, t, 1, e.value)
               case s =>
-                st = SessionState(s.start, t, s.n + 1, s.sum + e.value)
+                // min/max, not (start, t): an out-of-order event landing
+                // inside the open session must never move the session end
+                // BACKWARD (end < start was possible before). Events late
+                // enough to belong to an already-emitted session fold into
+                // the open one — append mode can't retract; that batch/
+                // stream divergence is pinned in SessionizeSpec.
+                st = SessionState(math.min(s.start, t), math.max(s.last, t),
+                  s.n + 1, s.sum + e.value)
             }
           }
           if (st != null) state.update(st)

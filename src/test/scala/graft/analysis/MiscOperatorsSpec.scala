@@ -55,6 +55,34 @@ class MiscOperatorsSpec extends SparkSpecBase {
     assert(math.abs(ac.getAs[Double]("pearson_r") + 1.0) < 1e-9)
   }
 
+  test("a1b catalog query tracks exact a1 within sketch tolerance") {
+    val d = sf("sf0.001")
+    val exact = graft.SparkEntry.queries("a1_daily_event_stats")(spark, d)
+      .select(col("event_date"), col("n_events"), col("n_users"))
+    val approx = graft.SparkEntry.queries("a1b_daily_stats_approx")(spark, d)
+      .select(col("event_date"), col("n_events").as("n_events_a"),
+        col("n_users_approx"), col("median_value_approx"))
+    // approx_percentile returns a true element, percentile() interpolates
+    // — so bound the approx median by the exact p40..p60 band instead of
+    // a relative delta (on ~60 rows/day adjacent elements differ by a lot)
+    val exactBand = graft.Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(expr("percentile(value, 0.4)").as("p40"),
+        expr("percentile(value, 0.6)").as("p60"))
+    val joined = exact.join(approx, Seq("event_date"))
+      .join(exactBand, Seq("event_date")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_events") === r.getAs[Long]("n_events_a"))
+      val u = r.getAs[Long]("n_users").toDouble
+      val ua = r.getAs[Long]("n_users_approx").toDouble
+      assert(math.abs(ua - u) / u <= 0.05, s"HLL drift $ua vs $u")
+      val ma = r.getAs[Double]("median_value_approx")
+      assert(ma >= r.getAs[Double]("p40") && ma <= r.getAs[Double]("p60"),
+        s"approx median $ma outside exact p40..p60 band")
+    }
+  }
+
   test("approx daily stats track the exact form within sketch tolerance") {
     val events = graft.Tables.events(spark, sf("sf0.01"))
       .withColumn("collection", col("event_type"))
@@ -83,9 +111,20 @@ class MiscOperatorsSpec extends SparkSpecBase {
   }
 
   test("GraftExtensions registers dot_product in a fresh session") {
+    // `spark.sql.extensions` is a STATIC conf: it only takes effect on
+    // the JVM's first SparkContext, so the config-string form is not
+    // testable once any suite session exists (the test was previously
+    // order-dependent on winning that race). The builder's programmatic
+    // withExtensions path runs the same GraftExtensions injection at
+    // new-session construction — that is what this pins. Clearing the
+    // active/default session forces getOrCreate to actually construct
+    // a new session (reusing the JVM-wide SparkContext).
+    spark // materialize the lazy shared session before clearing
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s2 = SparkSession.builder().master("local[2]")
       .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new graft.GraftExtensions()(_))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {

@@ -127,11 +127,22 @@ class GoldenParitySpec extends SparkSpecBase {
     assert(priced + unpriced === expectedClean.toLong)
     assert(priced < unpriced) // golden: 496,976 priced vs 1,060,831 null
 
-    // the metrics.json file itself parses and carries the nested shape
+    // the metrics.json file itself parses with a REAL JSON parser
+    // (Spark's) and carries the nested values — a contains() check would
+    // let invalid JSON from a future writeMetricsJson change slip through
     val json = Files.readString(Paths.get(s"${result.outputDir}/metrics.json"))
-    for (key <- Seq("total_rows", "total_collections", "total_tokens",
-        "date_range", "event_types", "collections", "null_prices",
-        "transactions_with_price"))
-      assert(json.contains("\"" + key + "\""), s"metrics.json missing $key")
+    import spark.implicits._
+    val parsed = spark.read.option("mode", "FAILFAST").option("multiLine", true)
+      .json(Seq(json).toDS())
+    val row = parsed.selectExpr("total_rows", "total_collections",
+      "date_range.min", "date_range.max", "null_prices",
+      "transactions_with_price", "size(event_types)", "size(collections)")
+      .head()
+    assert(row.getLong(0) === expectedClean.toLong)
+    assert(row.getLong(1) === collections.size.toLong)
+    assert(row.getString(2) === minDate)
+    assert(row.getString(3) === maxDate)
+    assert(row.getLong(4) + row.getLong(5) === expectedClean.toLong)
+    assert(row.getInt(6) === 3 && row.getInt(7) === collections.size)
   }
 }

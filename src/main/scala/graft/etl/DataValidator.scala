@@ -197,7 +197,14 @@ object DataValidator {
     * transactions_with_price.
     */
   def qualityMetrics(clean: DataFrame): Map[String, Any] = {
-    val agg = clean.agg(
+    // the three collects are independent jobs over the (cached) clean
+    // frame — run them concurrently so this phase's wall time is the
+    // max, not the sum (they were measured serializing ~3 s of an ~5 s
+    // phase at the 1.5M-row anchor)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val aggF = Future(clean.agg(
       count(lit(1)).as("total_rows"),
       countDistinct(col("collection")).as("total_collections"),
       countDistinct(col("token_id")).as("total_tokens"),
@@ -207,17 +214,20 @@ object DataValidator {
         .as("transactions_with_price"),
       sum(when(col("price_total_eth") === 0, 1L).otherwise(0L))
         .as("null_prices"))
-      .head()
+      .head())
     // count-descending like the reference's sort('count', descending=True);
     // name ascending as the deterministic tie-break
-    val eventTypes: Seq[Any] = clean.groupBy(col("event_type")).count()
+    val eventTypesF = Future(clean.groupBy(col("event_type")).count()
       .orderBy(col("count").desc, col("event_type")).collect()
       .map(r => Map[String, Any]("event_type" -> r.getString(0),
-        "count" -> r.getLong(1))).toSeq
-    val collections: Seq[Any] = clean.groupBy(col("collection")).count()
+        "count" -> r.getLong(1))).toSeq: Seq[Any])
+    val collectionsF = Future(clean.groupBy(col("collection")).count()
       .orderBy(col("count").desc, col("collection")).collect()
       .map(r => Map[String, Any]("collection" -> r.getString(0),
-        "count" -> r.getLong(1))).toSeq
+        "count" -> r.getLong(1))).toSeq: Seq[Any])
+    val agg = Await.result(aggF, Duration.Inf)
+    val eventTypes = Await.result(eventTypesF, Duration.Inf)
+    val collections = Await.result(collectionsF, Duration.Inf)
     Map(
       "total_rows" -> agg.getLong(0),
       "total_collections" -> agg.getLong(1),

@@ -71,43 +71,85 @@ object OpenSeaPipeline {
     val auditExprs = DataValidator.rowLocalAuditExprs(raw)
     val rawObserved = raw.observe(audit, auditExprs.head, auditExprs.tail: _*)
     val outDir = Writers.versionedDir(config.cleanBaseDir)
+
+    // 2a. the two audits that need their own shuffle run concurrently
+    // with clean+write, over ONE shared cached projection of just the
+    // key + event_type columns: together they re-parse the CSV once, not
+    // twice (text tokenization dominates; at 100 TB each avoided pass is
+    // a full corpus read). When the audits were two full passes they
+    // measurably stretched the clean phase; a single pruned pass under
+    // FAIR pools overlaps cleanly. Sequential within one future: the
+    // first audit populates the cache, the second rides it for pennies.
+    val auditCols = (Schemas.dedupKey :+ "event_type").distinct
+      .filter(raw.columns.contains)
+    val rawKeys = raw.select(auditCols.map(
+      org.apache.spark.sql.functions.col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val auditsF = Future(inPool("audit") {
+      val dup = phase("audit dup-keys")(
+        DataValidator.duplicateKeyCount(rawKeys))
+      val evt = phase("audit event-types")(
+        DataValidator.invalidEventTypes(rawKeys))
+      rawKeys.unpersist(blocking = false)
+      (dup, evt)
+    })
+
     phase("clean+write")(inPool("clean")(Writers.writeParquet(
       EventCleaner.clean(rawObserved),
       s"$outDir/minimal_events.parquet", config.compression)))
     val auditMetrics = audit.get
-    val clean = spark.read.parquet(s"$outDir/minimal_events.parquet")
+    // The aggregate fan-out below reads the fact table nine times (daily
+    // main+median, tokens, dim, summary main+quartiles, metrics ×3).
+    // Cache the pruned union of the columns those consumers actually
+    // touch — typed, dictionary-friendly, ~an order of magnitude smaller
+    // than the raw strings whose caching was measured a net loss — so
+    // parquet is decoded ONCE and the nine plans read columnar memory.
+    // Concurrent first readers don't duplicate work: BlockManager's
+    // per-partition getOrElseUpdate makes one job compute a block while
+    // the others wait on it.
+    val written = spark.read.parquet(s"$outDir/minimal_events.parquet")
+    val factCols = Seq("collection", "event_date", "event_type", "buyer",
+      "seller", "token_id", "price_total_eth", "price_each_eth",
+      "contract_address", "to_address", "event_timestamp", "rarity_rank",
+      "rarity_score").filter(written.columns.contains)
+    val clean = written.select(factCols.map(
+      org.apache.spark.sql.functions.col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // No explicit materialization pass: letting the fan-out's first
+    // touchers build the cache concurrently measured FASTER than a
+    // serial count() + warm-cache fan-out (BlockManager's per-partition
+    // getOrElseUpdate keeps duplicate work out either way, and the
+    // serial pass just adds its own wall-clock).
 
-    // 2. validation — the row-local audit (nulls, addresses, prices,
-    // timestamp range) was observed on the clean+write scan above, so it
-    // cost NO extra pass over the raw CSV. The two audits that need
-    // their own shuffle run as separate (pruned-column) jobs here,
-    // overlapped with the aggregate fan-out — that window has spare task
-    // slots (the aggregates are fixed-cost-bound, not CPU-bound), while
-    // running them beside clean+write measurably stretched both.
-    val dupF = Future(inPool("audit")(phase("audit dup-keys")(
-      DataValidator.duplicateKeyCount(raw))))
-    val evtF = Future(inPool("audit")(phase("audit event-types")(
-      DataValidator.invalidEventTypes(raw))))
+    // 2b. the row-local audit (nulls, addresses, prices, timestamp
+    // range) was observed on the clean+write scan above, so it cost NO
+    // extra pass over the raw CSV.
 
     // 4. the aggregates are mutually independent reads of the written
     // fact table — submitted concurrently, same rationale as validation.
+    // Each output is coalesce(1)'d: the grains are aggregate-bound
+    // (collections × days, tokens), not data-bound — they stay small at
+    // any input scale — and one file per output replaces a 32-task final
+    // wave plus 32 per-task commits with one of each (the partial
+    // aggregation upstream still runs fully parallel; only the trivial
+    // final merge + write collapses).
     val aggWrites = Seq(
       "daily" -> (() => Writers.writeParquet(
-        EventAggregator.dailyCollectionStats(clean),
+        EventAggregator.dailyCollectionStats(clean).coalesce(1),
         s"$outDir/daily_collection_stats.parquet", config.compression)),
       "tokens" -> (() => Writers.writeParquet(
-        EventAggregator.tokenStats(clean),
+        EventAggregator.tokenStats(clean).coalesce(1),
         s"$outDir/token_stats.parquet", config.compression)),
       "collection_dim" -> (() => Writers.writeParquet(
-        EventAggregator.collectionDimension(clean),
+        EventAggregator.collectionDimension(clean).coalesce(1),
         s"$outDir/collection_dimension.parquet", config.compression)),
       "summary" -> (() => Writers.writeParquet(
-        EventAggregator.collectionSummary(clean),
+        EventAggregator.collectionSummary(clean).coalesce(1),
         s"$outDir/collection_summary.parquet", config.compression))) ++
       (if (config.createWalletDim)
         Seq("wallet_dim" -> (() => Writers.writeParquet(
           EventAggregator.walletDimension(clean,
-            config.minWalletTransactions),
+            config.minWalletTransactions).coalesce(1),
           s"$outDir/wallet_dimension.parquet", config.compression)))
       else Nil)
     val aggFutures = aggWrites.map { case (name, write) =>
@@ -117,11 +159,12 @@ object OpenSeaPipeline {
       DataValidator.qualityMetrics(clean))))
 
     // 6. join everything + run log
+    val (dupKeys, invalidTypes) = Await.result(auditsF, Duration.Inf)
     val report = DataValidator.reportFrom(raw,
-      name => auditMetrics(name).asInstanceOf[Long],
-      Await.result(dupF, Duration.Inf), Await.result(evtF, Duration.Inf))
+      name => auditMetrics(name).asInstanceOf[Long], dupKeys, invalidTypes)
     aggFutures.foreach(Await.result(_, Duration.Inf))
     val metrics = Await.result(metricsF, Duration.Inf)
+    clean.unpersist(blocking = false)
     Writers.writeMetricsJson(metrics, s"$outDir/metrics.json")
     val elapsed = (System.nanoTime() - t0) / 1e9
     java.nio.file.Files.writeString(

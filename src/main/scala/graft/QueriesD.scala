@@ -176,9 +176,17 @@ object QueriesD {
           Seq("event_id"))
       // p95 as a global window over `joined` (one row per probe event —
       // small by construction), NOT the agg+crossJoin form p13 uses over
-      // a plain scan: here the subtree below is the KNN crossJoin + peer
-      // window join, and a crossJoin'd scalar would recompute all of it.
-      // One window exchange of the small frame keeps the plan single-pass.
+      // a plain scan. The alternative was MEASURED and rejected: a
+      // broadcast 1-row percentile aggregate makes `joined` appear twice
+      // in the plan, and column pruning (the p95 branch needs only
+      // days_to_next) canonicalizes the two copies differently, so
+      // ReuseExchange does NOT fire and the KNN crossJoin + peer window
+      // join — the dominant cost — run twice (plan-verified: 0
+      // ReusedExchange nodes, 29 Exchanges; same-harness timing ~12%
+      // slower cold-JVM where JIT floors both, ~2× once warm). At
+      // deployment scale the right form is persist(joined) + broadcast
+      // agg; as a pure single-plan catalog query, one window exchange of
+      // the small frame stays the better plan.
       val wAll = org.apache.spark.sql.expressions.Window
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val reg = joined

@@ -19,7 +19,8 @@ object RunPipeline {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("opensea-pipeline")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.scheduler.mode", "FAIR")
       // AQE default-off for this single-node CLI: at the 1.5M-row anchor
       // its per-stage re-plan round-trips on the driver cost ~5 s across

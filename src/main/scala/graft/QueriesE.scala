@@ -311,6 +311,91 @@ object QueriesE {
       FROM peer JOIN purchases e ON e.event_id = peer.event_id
       GROUP BY 1, 2"""))
 
+  // T14 — PII redaction over the documents table. The synthetic corpus
+  // carries no real PII, so the query plants deterministic PII spans
+  // (emails / phones / chain addresses keyed off doc_id — the oracle
+  // replants them identically) and then runs the production operator.
+  // Output keeps the redacted text as an md5 so the full masked string is
+  // value-checked without shipping long text through the compare.
+  val t14 = Q("t14_pii_redaction",
+    (s, d) => {
+      val planted = docs(s, d).withColumn("text_pii",
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com")))
+        .when(col("doc_id") % 11 === 0, concat(col("text"),
+          lit(" call +1 555 000 12"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+        .when(col("doc_id") % 13 === 0, concat(col("text"),
+          lit(" wallet 0x"), lpad(col("doc_id").cast("string"), 40, "0")))
+        .otherwise(col("text")))
+      TextAnalysis.redactPii(planted, "text_pii")
+        .select(col("doc_id"), col("n_redactions"),
+          md5(col("text_redacted")).as("redacted_md5"))
+    },
+    Some("""WITH aug AS (SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN text || ' contact user'
+            || CAST(doc_id AS VARCHAR) || '@example.com'
+          WHEN doc_id % 11 = 0 THEN text || ' call +1 555 000 12'
+            || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+          WHEN doc_id % 13 = 0 THEN text || ' wallet 0x'
+            || lpad(CAST(doc_id AS VARCHAR), 40, '0')
+          ELSE text END AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(t, '\+[0-9][0-9 -]{7,}[0-9]'))
+          + len(regexp_extract_all(t, '0x[0-9a-fA-F]{40}')) AS BIGINT)
+          AS n_redactions,
+        md5(regexp_replace(regexp_replace(regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\+[0-9][0-9 -]{7,}[0-9]', '[PHONE]', 'g'),
+          '0x[0-9a-fA-F]{40}', '[ADDR]', 'g')) AS redacted_md5
+      FROM aug"""))
+
+  // T15 — benchmark-contamination check: docs with doc_id % 97 == 0 play
+  // the held-out eval set; every other document is scored by its count of
+  // DISTINCT shared word 3-grams and flagged at >= 5 (the GPT-3/PaLM-style
+  // n-gram decontamination pass, as a shingle equi-join — never all-pairs).
+  val t15 = Q("t15_contamination_check",
+    (s, d) => {
+      val bench = docs(s, d).where(col("doc_id") % 97 === 0)
+      val cands = docs(s, d).where(col("doc_id") % 97 =!= 0)
+      TextAnalysis.contaminationCheck(cands, bench, "text", "doc_id",
+        n = 3, minOverlap = 5)
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ')
+          AS shingle
+        FROM toks, unnest(generate_series(1, len(tk) - 2)) AS g(i)
+        WHERE len(tk) >= 3),
+      bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+      SELECT s.doc_id, count(*) AS n_overlap,
+        count(*) >= 5 AS contaminated
+      FROM sh s JOIN bench b USING (shingle)
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY 1"""))
+
+  // T16 — deterministic shard packing: the md5-bucket shard assignment
+  // (stable per doc across runs/engines, uncorrelated with ingest order =
+  // a coordination-free global shuffle) summarized per shard. The physical
+  // packing (one output partition per shard, key-sorted within) is
+  // Sampling.packShards, exercised in SamplingSpec.
+  val t16 = Q("t16_shard_pack",
+    (s, d) => Sampling.withShard(docs(s, d), "doc_id", numShards = 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id")),
+    Some("""SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+          AS BIGINT) % 16 AS shard,
+        count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      FROM documents GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(t9, t10, e3b, e3e, j11b, j12b, o7, st2, t11, t11b,
-    t12, t13)
+    t12, t13, t14, t15, t16)
 }

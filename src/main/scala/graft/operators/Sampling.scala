@@ -37,4 +37,27 @@ object Sampling {
         .when(b < valPct + testPct, "test")
         .otherwise("train"))
   }
+
+  /** Deterministic shard assignment for training-data packing: shard =
+    * md5 bucket of the key. The assignment is a pure column (same shard
+    * for a document on any run, any engine, any partitioning) and
+    * doubles as a coordination-free global shuffle — md5 ordering is
+    * uncorrelated with ingest order, so a sequential read of shard files
+    * is an unbiased sample stream, with no sort and no RNG state.
+    */
+  def withShard(df: DataFrame, keyCol: String, numShards: Int,
+      outCol: String = "shard"): DataFrame =
+    df.withColumn(outCol, hashBucket(col(keyCol), numShards))
+
+  /** Physically pack into `numShards` shard files: one output partition
+    * per shard, rows ordered by key within a shard (stable, resumable
+    * reads). repartition-by-column is a hash shuffle on the shard id —
+    * at 100 TB each task writes exactly one shard, no driver involvement.
+    * Write with Writers.writePartitioned(..., Seq("shard")) or straight
+    * parquet — files-per-shard stays 1 either way.
+    */
+  def packShards(df: DataFrame, keyCol: String, numShards: Int): DataFrame =
+    withShard(df, keyCol, numShards)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(keyCol))
 }

@@ -141,4 +141,55 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .withColumn("top_word_frac", topWordCount.cast("double") / n)
   }
+
+  /** PII redaction patterns — deliberately RE2-compatible (no lookarounds,
+    * no backreferences) so the DuckDB oracle and any engine's regex
+    * runtime accept them verbatim: emails, international-format phone
+    * numbers, and 0x-hex chain addresses.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\+[0-9][0-9 -]{7,}[0-9]" -> "[PHONE]",
+    "0x[0-9a-fA-F]{40}" -> "[ADDR]")
+
+  /** PII scrubbing: mask emails / phone numbers / chain addresses with
+    * typed placeholder tokens and count the redactions — the masking pass
+    * a training pipeline runs before anything leaves the raw zone. Pure
+    * regexp projection (codegen'd, scan-speed); order matters (emails
+    * first, so a phone regex can never eat part of a mangled address).
+    */
+  def redactPii(df: DataFrame, textCol: String,
+      outCol: String = "text_redacted"): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (pattern, token)) => regexp_replace(c, pattern, token)
+    }
+    val nRedactions = piiPatterns.map { case (pattern, _) =>
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0)))
+    }.reduce(_ + _)
+    df.withColumn(outCol, redacted)
+      .withColumn("n_redactions", nRedactions.cast("long"))
+  }
+
+  /** Benchmark-contamination check: count, per candidate document, the
+    * DISTINCT word n-grams it shares with a benchmark/eval corpus, and
+    * flag docs at or above `minOverlap` (the n-gram-overlap decontamination
+    * step of pretraining pipelines — e.g. GPT-3 appendix C / PaLM §7.1
+    * style 8-13-gram collision checks, here parameterized).
+    *
+    * Scale shape: both sides explode to DISTINCT (id, shingle) rows
+    * (Dedup.shingles), the benchmark side collapses to a distinct shingle
+    * set, and the overlap is an equi-join on the shingle string — a
+    * hash-partitioned join on n-gram keys, never an all-pairs comparison.
+    * At corpus scale the benchmark side is tiny and broadcasts.
+    */
+  def contaminationCheck(candidates: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int, minOverlap: Int): DataFrame = {
+    val candShingles = Dedup.shingles(candidates, textCol, idCol, n)
+    val benchShingles = Dedup.shingles(benchmark, textCol, idCol, n)
+      .select(col("shingle")).distinct()
+    candShingles.join(benchShingles, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
 }

@@ -294,4 +294,66 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out(1L) === ((0, 0L)))
     assert(out(2L) === ((1, 5L))) // ceil(20/4)
   }
+
+  test("redactPii masks every span type, counts them, leaves clean text") {
+    val docs = Seq(
+      (0L, "mail a@b.io and c.d+x@e-f.org today"),
+      (1L, "call +1 555 123 4567 or +44 20-7946-0958 now"),
+      (2L, "wallet 0x" + "ab12" * 10 + " paid"),
+      (3L, "no pii here"),
+      (4L, "a@b.io then +1 555 123 4567 then 0x" + "0" * 40))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs, "text")
+      .select("doc_id", "text_redacted", "n_redactions")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(0L) === (("mail [EMAIL] and [EMAIL] today", 2L)))
+    assert(out(1L) === (("call [PHONE] or [PHONE] now", 2L)))
+    assert(out(2L) === (("wallet [ADDR] paid", 1L)))
+    assert(out(3L) === (("no pii here", 0L)))
+    assert(out(4L) === (("[EMAIL] then [PHONE] then [ADDR]", 3L)))
+  }
+
+  test("contaminationCheck counts distinct shared n-grams, flags at bound") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val cands = Seq(
+      // shares 3 distinct 3-grams with bench (full containment)
+      (0L, "zz alpha beta gamma delta epsilon yy"),
+      // shares exactly 1 ("alpha beta gamma"), repeated — distinct = 1
+      (1L, "alpha beta gamma xx alpha beta gamma"),
+      (2L, "nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationCheck(cands, bench, "text",
+        "doc_id", n = 3, minOverlap = 2)
+      .select("doc_id", "n_overlap", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(0L) === ((3L, true)))
+    assert(out(1L) === ((1L, false)))
+    assert(!out.contains(2L)) // no overlap -> no row (inner join)
+  }
+
+  test("packShards: one file per shard, deterministic assignment, " +
+      "key-sorted within shards") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val packed = Sampling.packShards(docs, "doc_id", numShards = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    graft.sources.Writers.writePartitioned(packed, dir, Seq("shard"))
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length === 8)
+    // exactly one data file per shard (the point of packing)
+    shardDirs.foreach { sd =>
+      val parts = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1, s"${sd.getName}: ${parts.length} files")
+    }
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count())
+    // assignment is the pure md5 bucket — re-derivable from the key
+    val mismatches = back.where(
+      Sampling.hashBucket(col("doc_id"), 8) =!= col("shard")).count()
+    assert(mismatches === 0L)
+  }
 }

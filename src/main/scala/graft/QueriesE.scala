@@ -236,6 +236,35 @@ object QueriesE {
         round(sum(value) + 1e-9, 6) AS sum_value
       FROM indexed GROUP BY user_id, session_idx"""))
 
+  // ST3 — view→purchase attribution interval join, batch form. The
+  // streaming twin is Streaming.intervalJoin (stream-stream inner join,
+  // watermarked both sides, time-bounded both ends so join state is
+  // evictable); StreamingSpec pins stream ≡ batch on this exact shape.
+  // One hash-partitioned equi-join on user_id with the time bound as a
+  // residual predicate — at scale this is j11's bucketed form's sibling.
+  val st3 = Q("st3_interval_join_batch",
+    (s, d) => {
+      val purchases = ev(s, d).where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      val views = ev(s, d).where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"))
+      purchases.join(views,
+          purchases("user_id") === views("user_id") &&
+            col("v_ts") >= col("p_ts") - expr("interval 24 hours") &&
+            col("v_ts") < col("p_ts"))
+        .groupBy(purchases("event_id"))
+        .agg(count(lit(1)).as("n_views"),
+          min(unix_seconds(col("p_ts")) - unix_seconds(col("v_ts")))
+            .as("min_gap_sec"))
+    },
+    Some("""SELECT p.event_id, count(*) AS n_views,
+        min(date_diff('second', v.ts, p.ts)) AS min_gap_sec
+      FROM events p JOIN events v ON v.user_id = p.user_id
+        AND v.event_type = 'view'
+        AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts < p.ts
+      WHERE p.event_type = 'purchase'
+      GROUP BY 1"""))
+
   // Deterministic class-balanced sampling: per-language keep rates via
   // the same md5 hash bucket (downsample the dominant class).
   val t12 = Q("t12_stratified_sample",
@@ -396,6 +425,6 @@ object QueriesE {
         min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
       FROM documents GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(t9, t10, e3b, e3e, j11b, j12b, o7, st2, t11, t11b,
-    t12, t13, t14, t15, t16)
+  val all: Seq[Q] = Seq(t9, t10, e3b, e3e, j11b, j12b, o7, st2, st3, t11,
+    t11b, t12, t13, t14, t15, t16)
 }

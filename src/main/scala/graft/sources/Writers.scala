@@ -26,6 +26,22 @@ object Writers {
     df.write.mode("overwrite").option("compression", compression)
       .partitionBy(partitionCols: _*).parquet(path)
 
+  /** Incremental ingest sink: dynamic partition overwrite — only the
+    * partitions PRESENT in `df` are replaced; every other partition of
+    * the existing table is left byte-identical. This is the daily-merge
+    * pattern at 100 TB: a day's re-ingest rewrites that day's partition
+    * directory and touches nothing else (no read-modify-write of the
+    * whole table, no driver-side diffing). The mode is set per-write, so
+    * the session default (static = truncate-all) stays safe elsewhere.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String], compression: String = "zstd"): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", compression)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** S7/S13: CSV sink (header on). `singleFile` coalesces to one part for
     * small report tables only — never for fact-scale data.
     */

@@ -131,6 +131,25 @@ object Streaming {
         "sum_value")
   }
 
+  /** Stream-stream interval join: attribute each `right` event (e.g. a
+    * purchase) to the `left` events of the same key within the trailing
+    * `maxDelayMinutes` (e.g. the views that preceded it). Both sides are
+    * watermarked and the join condition is time-bounded on BOTH ends, so
+    * Spark can size the join state and evict rows as the watermarks
+    * advance — the bounded-state form of the batch interval join (J11
+    * family; batch twin in the st3 catalog query). Inner join: an
+    * unmatched right row produces nothing, same as the batch form.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, maxDelayMinutes: Int, watermark: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    r.join(l, expr(
+      s"""l.$keyCol = r.$keyCol AND
+          l.$tsCol >= r.$tsCol - interval $maxDelayMinutes minutes AND
+          l.$tsCol < r.$tsCol"""))
+  }
+
   /** Sliding-window stats with a watermark — the continuous-ingestion
     * shape (not exercised by the batch oracle, covered by unit tests).
     */

@@ -90,4 +90,34 @@ class WritersSpec extends SparkSpecBase {
       maxBatchBytes = 60L)()
     assert(tiny.count() === 200)
   }
+
+  test("overwritePartitions replaces only the partitions present in the " +
+      "incremental frame") {
+    val dir = Files.createTempDirectory("graft_incr").toString
+    def day(d: String, v: Double) = Seq((d, 1L, v), (d, 2L, v))
+      .toDF("event_date", "id", "value")
+    // base load: days 1-3
+    Writers.writePartitioned(
+      day("2024-01-01", 1.0).union(day("2024-01-02", 2.0))
+        .union(day("2024-01-03", 3.0)),
+      dir, Seq("event_date"))
+    def fileOf(d: String) = new java.io.File(s"$dir/event_date=$d")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(f =>
+        f.getName -> f.lastModified()).toSeq.sorted
+    val d1Before = fileOf("2024-01-01")
+    val d3Before = fileOf("2024-01-03")
+    // incremental: re-ingest day 2 (corrected values) + brand-new day 4
+    Writers.overwritePartitions(
+      day("2024-01-02", 20.0).union(day("2024-01-04", 4.0)),
+      dir, Seq("event_date"))
+    // untouched partitions keep their exact files (no rewrite)
+    assert(fileOf("2024-01-01") === d1Before)
+    assert(fileOf("2024-01-03") === d3Before)
+    // day 2 replaced, day 4 added, days 1/3 intact
+    val back = spark.read.parquet(dir)
+      .groupBy(col("event_date")).agg(sum(col("value")).as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(back === Map("2024-01-01" -> 2.0, "2024-01-02" -> 40.0,
+      "2024-01-03" -> 6.0, "2024-01-04" -> 8.0))
+  }
 }

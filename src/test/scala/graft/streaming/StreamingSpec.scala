@@ -31,4 +31,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.columns.toSeq === Seq("window_start", "window_end",
       "event_type", "n", "sum_value"))
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    import spark.implicits._
+    val raw = Streaming.readEventsStream(spark, sf("sf0.001"))
+    val views = raw.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"))
+    val purchases = raw.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val joined = Streaming.intervalJoin(views, purchases, "user_id", "ts",
+      maxDelayMinutes = 60, watermark = "1 hour")
+    // append mode is the only legal mode for stream-stream joins
+    val q = joined.select(col("r.event_id"), col("l.ts").as("v_ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st_spec_ssjoin")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("st_spec_ssjoin")
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_views"))
+      .as[(Long, Long)].collect().toMap
+
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val want = p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("interval 60 minutes") &&
+        col("v_ts") < col("p_ts"))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_views"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
 }

@@ -53,8 +53,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup rep (untimed) + median-of-3 timed reps, per query.
+    // warmup rep (untimed) + median-of-3 timed reps, per query. The GC
+    // before each query matters at suite scale: ContextCleaner frees the
+    // previous queries' shuffle files and broadcasts only via weak
+    // references, i.e. only on GC, so ~400 jobs in one JVM otherwise
+    // accumulate dead state into whichever queries run late in the
+    // alphabet (same finding as RunPipeline --repeat, where reruns
+    // degraded 16 s → 41 s without an explicit GC).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.gc()
       runOnce(fn) // throwaway: JIT + codegen cache + shuffle warmup for this plan
       val reps = (1 to 3).map(_ => runOnce(fn)).sorted
       (name, reps(1), reps)

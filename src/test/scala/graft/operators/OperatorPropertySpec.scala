@@ -1,0 +1,138 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Property-style invariants over randomized inputs for the operator
+  * layer (the CleanerPropertySpec pattern): seeded generators, declared
+  * guarantees checked for every sample.
+  */
+class OperatorPropertySpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // ---- sampling / splits / shards ------------------------------------
+
+  test("sampling algebra: buckets in range, splits exhaustive and " +
+      "order-independent, shards preserve the row multiset") {
+    val rnd = new Random(7)
+    val ids = (1 to 500).map(_ => rnd.nextLong() % 100000)
+    val df = ids.toDF("id")
+
+    val buckets = df.select(Sampling.hashBucket(col("id"), 17).as("b"))
+      .as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 17))
+
+    val splits = Sampling.withSplit(df, "id", valPct = 10, testPct = 15)
+    assert(splits.count() === df.count()) // no row lost or duplicated
+    assert(splits.where(!col("split").isin("val", "test", "train"))
+      .count() === 0)
+    // same key -> same split, independent of row order/partitioning
+    val a = splits.select("id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.withSplit(df.orderBy(rand(99)).repartition(7), "id",
+        valPct = 10, testPct = 15)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a === b)
+
+    val packed = Sampling.packShards(df, "id", numShards = 5)
+    assert(packed.select(Sampling.hashBucket(col("id"), 5) =!= col("shard"))
+      .as[Boolean].collect().forall(_ == false))
+    // multiset of ids preserved exactly
+    val before = ids.groupBy(identity).view.mapValues(_.size).toMap
+    val after = packed.select("id").as[Long].collect()
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(after === before)
+  }
+
+  // ---- PII redaction --------------------------------------------------
+
+  test("redactPii is idempotent and leaves no matchable PII behind") {
+    val rnd = new Random(23)
+    val words = Seq("alpha", "beta", "a@b.io", "x.y+z@mail-host.org",
+      "+1 555 123 4567", "+44 20-7946-0958", "0x" + "aB3f" * 10,
+      "plain", "0xshort", "semi@nodot", "+12", "end.")
+    val docs = (1L to 120L).map { i =>
+      (i, (1 to 1 + rnd.nextInt(12))
+        .map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val once = TextAnalysis.redactPii(docs, "text")
+      .select(col("doc_id"), col("text_redacted"), col("n_redactions"))
+    // 1. no residual matches of any PII pattern in the output
+    val residual = TextAnalysis.piiPatterns.map { case (p, _) =>
+      once.where(col("text_redacted").rlike(p)).count()
+    }.sum
+    assert(residual === 0L)
+    // 2. idempotent: redacting the redacted text changes nothing
+    val twice = TextAnalysis.redactPii(
+        once.withColumnRenamed("text_redacted", "text"), "text")
+      .select(col("doc_id"), col("text_redacted"), col("n_redactions"))
+    assert(twice.where(col("n_redactions") =!= 0).count() === 0)
+    assert(twice.select("doc_id", "text_redacted")
+      .except(once.select("doc_id", "text_redacted"))
+      .count() === 0)
+  }
+
+  // ---- sessionization -------------------------------------------------
+
+  test("batch sessions partition non-null events; inter-session gaps " +
+      "exceed the threshold; spans are consistent") {
+    val rnd = new Random(5)
+    val gapMin = 30
+    val rows = (1 to 400).map { _ =>
+      val user = rnd.nextInt(8).toLong
+      val ts = new java.sql.Timestamp(
+        1700000000000L + rnd.nextInt(5000) * 60000L)
+      (user, ts, rnd.nextDouble())
+    }.toDF("user_id", "ts", "value")
+
+    val sessions = Sessionize.batchSessions(rows, "user_id", "ts", "value",
+      gapMinutes = gapMin).cache()
+
+    // every event lands in exactly one session
+    assert(sessions.agg(sum("n_events")).as[Long].head() === 400L)
+    // spans are well-formed
+    assert(sessions.where(col("session_end_ms") < col("session_start_ms"))
+      .count() === 0)
+    // per user: sessions ordered by start are separated by > gap and
+    // never overlap
+    val byUser = sessions
+      .select("user_id", "session_start_ms", "session_end_ms")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).values
+    byUser.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, prevEnd), (_, nextStart, _)) =>
+          assert(nextStart - prevEnd > gapMin * 60000L,
+            s"sessions closer than gap: end=$prevEnd next=$nextStart")
+        case _ => ()
+      }
+    }
+  }
+
+  // ---- deterministic dedup -------------------------------------------
+
+  test("deterministic dedup: unique keys, survivors from input, " +
+      "invariant under repartition/shuffle") {
+    val rnd = new Random(13)
+    val rows = (1 to 300).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(5), rnd.nextDouble())
+    }.toDF("k", "sub", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.dropDuplicatesDeterministic(df, Seq("k"),
+          xxhash64(col("k"), col("sub"), col("v")))
+        .select("k", "sub", "v").as[(Long, Int, Double)].collect().toSet
+
+    val out = run(rows)
+    assert(out.size === rows.select("k").distinct().count().toInt)
+    val inputSet = rows.as[(Long, Int, Double)].collect().toSet
+    assert(out.subsetOf(inputSet))
+    // same survivors whatever the physical layout
+    assert(run(rows.orderBy(rand(3)).repartition(13)) === out)
+    assert(run(rows.coalesce(1)) === out)
+  }
+}

@@ -369,6 +369,29 @@ object Queries {
           / lag(avg_value) OVER (ORDER BY event_date) + 1e-9, 6) AS pct_change
       FROM daily"""))
 
+  // W8 (extension): forward-fill — nulls planted deterministically
+  // (event_id % 5) so the oracle replants them; per-user series ordered
+  // by (ts, event_id) for a total order.
+  val w8 = Q("w8_forward_fill",
+    (s, d) => {
+      val gappy = ev(s, d).withColumn("v",
+        when(col("event_id") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+      TimeSeries.forwardFill(gappy, Seq("user_id"), "ts", col("event_id"),
+          "v", "v_filled")
+        .select(col("event_id"), col("user_id"),
+          round(col("v_filled") + lit(1e-9), 6).as("v_filled"))
+    },
+    Some("""WITH gappy AS (SELECT event_id, user_id, ts,
+        CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        FROM events)
+      SELECT event_id, user_id,
+        round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6)
+          AS v_filled
+      FROM gappy"""))
+
   val w5 = Q("w5_cumsum_by_type",
     (s, d) => {
       val daily = ev(s, d)
@@ -609,7 +632,7 @@ object Queries {
     a1, a1b, a2, a5, a7, a11, a19, a22,
     j1, j3, j4, j7, j7a, j11, j12,
     v1, v2, v9,
-    w1, w2, w4, w5, w6,
+    w1, w2, w4, w5, w6, w8,
     p9, p13, d9,
     m1, m2, m3, m4, m4b, m5, m8,
     t1q, t2q, t3q)

@@ -82,6 +82,24 @@ object TimeSeries {
         / lit(86400e6))
   }
 
+  /** Forward-fill: replace each null with the most recent non-null value
+    * within the partition, in (orderCol, tieBreak) order — the gap-repair
+    * primitive for sensor/price series (Polars `fill_null(strategy=
+    * "forward")`, not used by the reference but table stakes for a
+    * time-series engine). `last(ignoreNulls).over(running frame)` is a
+    * running window aggregate: one shuffle on the partition keys, no
+    * self-join, no driver involvement. The tie-break makes the order
+    * total, so results are deterministic under any physical layout.
+    */
+  def forwardFill(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+      tieBreak: Column, valueCol: String, outCol: String): DataFrame = {
+    val w = (if (partitionCols.isEmpty) Window.orderBy(col(orderCol), tieBreak)
+      else Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(orderCol), tieBreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
   private def windowFor(partitionCols: Seq[String], orderCol: String): WindowSpec =
     if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
     else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))

@@ -392,6 +392,29 @@ object Queries {
           AS v_filled
       FROM gappy"""))
 
+  // W9 (extension): EWMA via the closed-form running window — the oracle
+  // runs the SAME unrolled arithmetic (per-row weight, ordered running
+  // sum, final scale), so the two engines add in the same order.
+  val w9 = Q("w9_ewma",
+    (s, d) => TimeSeries.ewma(ev(s, d), Seq("user_id"), "ts",
+        col("event_id"), "value", alpha = 0.3, "ewma")
+      .select(col("event_id"), col("user_id"),
+        round(col("ewma") + lit(1e-9), 6).as("ewma")),
+    Some("""WITH ordered AS (SELECT user_id, event_id, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+          AS j
+        FROM events),
+      wx AS (SELECT user_id, event_id, j,
+        CASE WHEN j = 0 THEN 1.0
+          ELSE 0.3 * power(0.7, -CAST(j AS DOUBLE)) END * value AS wx
+        FROM ordered)
+      SELECT event_id, user_id,
+        round(power(0.7, CAST(j AS DOUBLE))
+          * sum(wx) OVER (PARTITION BY user_id ORDER BY j
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6)
+          AS ewma
+      FROM wx"""))
+
   val w5 = Q("w5_cumsum_by_type",
     (s, d) => {
       val daily = ev(s, d)
@@ -632,7 +655,7 @@ object Queries {
     a1, a1b, a2, a5, a7, a11, a19, a22,
     j1, j3, j4, j7, j7a, j11, j12,
     v1, v2, v9,
-    w1, w2, w4, w5, w6, w8,
+    w1, w2, w4, w5, w6, w8, w9,
     p9, p13, d9,
     m1, m2, m3, m4, m4b, m5, m8,
     t1q, t2q, t3q)

@@ -100,6 +100,36 @@ object TimeSeries {
     df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Exponentially-weighted moving average (the recursive
+    * y_t = α·x_t + (1−α)·y_{t−1}, y_0 = x_0) WITHOUT a sequential pass:
+    * the recurrence unrolls to y_t = (1−α)^t · Σ_{j≤t} w_j·x_j with
+    * w_0 = 1, w_j = α·(1−α)^{−j} — a per-row weight, one running-window
+    * sum, one final scale. Same shuffle shape as any windowed aggregate;
+    * no mapPartitions, no driver loop.
+    *
+    * Dynamic-range bound: (1−α)^{−j} grows with the per-key row index j,
+    * overflowing double near j ≈ 700/−log10(1−α) (α=0.1 → ~6,700 rows
+    * per key; α=0.5 → ~1,000). Fine for per-entity event series at any
+    * corpus scale; for longer single-key series, rebase in blocks (the
+    * within-block closed form + an O(#blocks) carry) before reaching for
+    * an imperative pass.
+    */
+  def ewma(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+      tieBreak: Column, valueCol: String, alpha: Double,
+      outCol: String): DataFrame = {
+    val ord = (if (partitionCols.isEmpty) Window.orderBy(col(orderCol), tieBreak)
+      else Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(orderCol), tieBreak))
+    val running = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val j = row_number().over(ord) - 1
+    val weight = when(j === 0, lit(1.0))
+      .otherwise(lit(alpha) * pow(lit(1.0 - alpha), -j.cast("double")))
+    df.withColumn("__w_x", weight * col(valueCol))
+      .withColumn(outCol,
+        pow(lit(1.0 - alpha), j.cast("double")) * sum(col("__w_x")).over(running))
+      .drop("__w_x")
+  }
+
   private def windowFor(partitionCols: Seq[String], orderCol: String): WindowSpec =
     if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
     else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))

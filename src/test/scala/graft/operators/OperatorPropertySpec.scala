@@ -114,6 +114,24 @@ class OperatorPropertySpec extends SparkSpecBase {
     }
   }
 
+  // ---- EWMA -----------------------------------------------------------
+
+  test("ewma closed form equals the sequential recurrence") {
+    val rnd = new Random(31)
+    for (alpha <- Seq(0.1, 0.3, 0.7)) {
+      val series = (1 to 150).map(i => (1L, i, rnd.nextDouble() * 100 - 20))
+      val df = series.toDF("k", "i", "x")
+      val got = TimeSeries.ewma(df, Seq("k"), "i", col("i"), "x", alpha,
+          "y").select("i", "y").as[(Int, Double)].collect().toMap
+      var y = series.head._3
+      series.foreach { case (_, i, x) =>
+        y = if (i == 1) x else alpha * x + (1 - alpha) * y
+        assert(math.abs(got(i) - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+          s"alpha=$alpha i=$i got=${got(i)} want=$y")
+      }
+    }
+  }
+
   // ---- deterministic dedup -------------------------------------------
 
   test("deterministic dedup: unique keys, survivors from input, " +

@@ -236,6 +236,36 @@ object QueriesE {
         round(sum(value) + 1e-9, 6) AS sum_value
       FROM indexed GROUP BY user_id, session_idx"""))
 
+  // J13 — as-of join (the market-data "quote in effect at trade time"):
+  // each purchase matched to the most recent view of the same user at or
+  // before it. The Spark plan is AsOfJoin.asOf's union + ordered window
+  // (no join node, no range-join pair blowup); the oracle is DuckDB's
+  // native ASOF LEFT JOIN. Views are pre-aggregated to one row per
+  // (user, ts) — the uniqueness contract both forms need.
+  val j13 = Q("j13_asof_join",
+    (s, d) => {
+      val views = ev(s, d).where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+        .withColumn("view_ts_sec", unix_seconds(col("ts")))
+      val purchases = ev(s, d).where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOfJoin.asOf(purchases, views, Seq("user_id"), "ts",
+          Seq("view_value", "view_ts_sec"))
+        .select(col("event_id"), col("user_id"),
+          round(col("asof_view_value") + lit(1e-9), 6).as("asof_view_value"),
+          col("asof_view_ts_sec"))
+    },
+    Some("""WITH v AS (SELECT user_id, ts, max(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      p AS (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id,
+        round(v.view_value + 1e-9, 6) AS asof_view_value,
+        CAST(floor(epoch(v.ts)) AS BIGINT) AS asof_view_ts_sec
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND v.ts <= p.ts"""))
+
   // ST3 — view→purchase attribution interval join, batch form. The
   // streaming twin is Streaming.intervalJoin (stream-stream inner join,
   // watermarked both sides, time-bounded both ends so join state is
@@ -425,6 +455,6 @@ object QueriesE {
         min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
       FROM documents GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(t9, t10, e3b, e3e, j11b, j12b, o7, st2, st3, t11,
+  val all: Seq[Q] = Seq(t9, t10, e3b, e3e, j11b, j12b, j13, o7, st2, st3, t11,
     t11b, t12, t13, t14, t15, t16)
 }

@@ -295,6 +295,22 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out(2L) === ((1, 5L))) // ceil(20/4)
   }
 
+  test("asOf join: inclusive tie, latest-prior pick, null when no prior, " +
+      "per-key isolation") {
+    val right = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "v")
+    val left = Seq((1L, 15L, 100L), (1L, 25L, 101L), (1L, 20L, 102L),
+      (1L, 5L, 103L), (2L, 7L, 104L))
+      .toDF("k", "ts", "id")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, String)].collect().toMap
+    assert(out(100L) === "a")  // 10 <= 15 < 20 -> a
+    assert(out(101L) === "b")  // latest prior is 20
+    assert(out(102L) === "b")  // equal ts matches (inclusive <=)
+    assert(out(103L) === null) // nothing at or before 5 for k=1
+    assert(out(104L) === "c")  // other key sees only its own rows
+  }
+
   test("redactPii masks every span type, counts them, leaves clean text") {
     val docs = Seq(
       (0L, "mail a@b.io and c.d+x@e-f.org today"),

@@ -415,6 +415,44 @@ object Queries {
           AS ewma
       FROM wx"""))
 
+  // W10 (extension): time-weighted linear interpolation — same planted
+  // nulls as w8; the oracle rebuilds the identical two-window
+  // prev/next-neighbor arithmetic (DuckDB has no native interpolate).
+  val w10 = Q("w10_interpolate",
+    (s, d) => {
+      val gappy = ev(s, d).withColumn("v",
+        when(col("event_id") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+      TimeSeries.interpolateTime(gappy, Seq("user_id"), "ts",
+          col("event_id"), "v", "v_interp")
+        .select(col("event_id"), col("user_id"),
+          round(col("v_interp") + lit(1e-9), 6).as("v_interp"))
+    },
+    Some("""WITH gappy AS (SELECT event_id, user_id, ts,
+        epoch_us(ts)::DOUBLE AS t,
+        CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        FROM events),
+      nb AS (SELECT event_id, user_id, t, v,
+        last_value(v IGNORE NULLS) OVER asc_w AS prev_v,
+        last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+          OVER asc_w AS prev_t,
+        last_value(v IGNORE NULLS) OVER desc_w AS next_v,
+        last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+          OVER desc_w AS next_t
+        FROM gappy
+        WINDOW asc_w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        desc_w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, round(CASE
+          WHEN v IS NOT NULL THEN v
+          WHEN prev_v IS NULL THEN NULL
+          WHEN next_v IS NULL THEN prev_v
+          WHEN next_t = prev_t THEN prev_v
+          ELSE prev_v + (next_v - prev_v) * (t - prev_t)
+            / (next_t - prev_t) END + 1e-9, 6) AS v_interp
+      FROM nb"""))
+
   val w5 = Q("w5_cumsum_by_type",
     (s, d) => {
       val daily = ev(s, d)
@@ -655,7 +693,7 @@ object Queries {
     a1, a1b, a2, a5, a7, a11, a19, a22,
     j1, j3, j4, j7, j7a, j11, j12,
     v1, v2, v9,
-    w1, w2, w4, w5, w6, w8, w9,
+    w1, w2, w4, w5, w6, w8, w9, w10,
     p9, p13, d9,
     m1, m2, m3, m4, m4b, m5, m8,
     t1q, t2q, t3q)

@@ -130,6 +130,41 @@ object TimeSeries {
       .drop("__w_x")
   }
 
+  /** Time-weighted linear interpolation of nulls (pandas
+    * `interpolate(method="time")` semantics): an interior null becomes
+    * prev + (next − prev)·(t − t_prev)/(t_next − t_prev) over the
+    * nearest non-null neighbors in time; trailing nulls forward-fill
+    * from the last value; leading nulls (no prior value) stay null.
+    * Two running windows (ascending for the previous neighbor,
+    * descending for the next) — one shuffle on the keys, one sort each
+    * direction, no self-join.
+    */
+  def interpolateTime(df: DataFrame, partitionCols: Seq[String],
+      tsCol: String, tieBreak: Column, valueCol: String,
+      outCol: String): DataFrame = {
+    def running(o: Seq[Column]) =
+      (if (partitionCols.isEmpty) Window.orderBy(o: _*)
+       else Window.partitionBy(partitionCols.map(col): _*).orderBy(o: _*))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val asc = running(Seq(col(tsCol), tieBreak))
+    val desc = running(Seq(col(tsCol).desc, tieBreak.desc))
+    val v = col(valueCol)
+    val t = unix_micros(col(tsCol)).cast("double")
+    val vT = when(v.isNotNull, t)
+    val prevV = last(v, ignoreNulls = true).over(asc)
+    val prevT = last(vT, ignoreNulls = true).over(asc)
+    val nextV = last(v, ignoreNulls = true).over(desc)
+    val nextT = last(vT, ignoreNulls = true).over(desc)
+    df.withColumn(outCol,
+      when(v.isNotNull, v)
+        .when(prevV.isNull, lit(null).cast("double"))
+        .when(nextV.isNull, prevV)
+        // equal-timestamp neighbors (possible with duplicate ts) would
+        // divide by zero — degenerate to the previous value
+        .when(nextT === prevT, prevV)
+        .otherwise(prevV + (nextV - prevV) * (t - prevT) / (nextT - prevT)))
+  }
+
   private def windowFor(partitionCols: Seq[String], orderCol: String): WindowSpec =
     if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
     else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))

@@ -455,6 +455,60 @@ object QueriesE {
         min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
       FROM documents GROUP BY 1"""))
 
+  // T17 — duplicate-CLUSTER resolution: near-dup pairs (same MinHash-LSH
+  // plan as t5) closed under transitivity via distributed min-label
+  // propagation, one canonical survivor per component (`keep` = the
+  // min-id doc). This is the step that turns pair evidence into an
+  // actionable training-set filter. Oracle: DuckDB recursive CTE
+  // computes the same transitive closure over the same pairs.
+  val t17 = Q("t17_dup_clusters",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d)
+      val pairs = Dedup.minHashLshPairs(dd, "text", "doc_id",
+        shingleSize = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      Dedup.connectedComponents(dd.select("doc_id"), "doc_id",
+          pairs, "id_a", "id_b")
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
+    },
+    Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+        FROM toks, unnest(generate_series(1, len(tk) - 2)) AS g(i)
+        WHERE len(tk) >= 3),
+      hx AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT) % 2147483647
+          AS h FROM sh),
+      sig AS (SELECT doc_id, i AS hash_idx,
+        min((h * ((2654435761 * (i+1)) % 2147483647)
+          + ((40503 * (i+1)) % 2147483647)) % 2147483647) AS min_hash
+        FROM hx, unnest(generate_series(0, 31)) AS g(i) GROUP BY 1, 2),
+      band AS (SELECT doc_id, hash_idx // 4 AS band,
+        list(min_hash ORDER BY hash_idx) AS bsig FROM sig GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+          AND a.doc_id < b.doc_id),
+      pairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+          CAST(sum(CASE WHEN sa.min_hash = sb.min_hash THEN 1 ELSE 0 END)
+            AS DOUBLE) / 32 AS ej
+          FROM cand
+          JOIN sig sa ON sa.doc_id = id_a
+          JOIN sig sb ON sb.doc_id = id_b AND sa.hash_idx = sb.hash_idx
+          GROUP BY 1, 2) WHERE ej >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, m) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.id, e.dst FROM reach r JOIN edges e ON r.m = e.src),
+      cc AS (SELECT id AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1)
+      SELECT doc_id, cluster_id,
+        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        doc_id = cluster_id AS keep
+      FROM cc"""))
+
   val all: Seq[Q] = Seq(t9, t10, e3b, e3e, j11b, j12b, j13, o7, st2, st3, t11,
-    t11b, t12, t13, t14, t15, t16)
+    t11b, t12, t13, t14, t15, t16, t17)
 }

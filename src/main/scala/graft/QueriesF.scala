@@ -1,0 +1,281 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.operators._
+
+/** Catalog part F (round 3): multi-granularity aggregates, the remaining
+  * window battery, distribution analysis, and blocked fuzzy matching —
+  * each a Spark-first plan with a full DuckDB oracle.
+  */
+object QueriesF {
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def part(s: SparkSession, d: String) = Tables.part(s, d)
+
+  // A26 — multi-granularity aggregate in ONE pass: ROLLUP(event_type,
+  // month) yields per-(type,month), per-type subtotal, and grand-total
+  // rows from a single shuffle (Catalyst expands grouping sets map-side;
+  // the alternative — three groupBys + union — scans the fact table three
+  // times). grouping_id() disambiguates the stratum. Sum rounded to 2
+  // decimals: subtotal/grand rows accumulate the whole table, where
+  // cross-engine float summation order dominates beyond that.
+  // (month rendered as a string so the subtotal rows' NULLs normalize
+  // identically across engines)
+  val a26 = Q("a26_rollup_multigrain",
+    (s, d) => ev(s, d)
+      .withColumn("month", date_format(date_trunc("month", col("ts")), "yyyy-MM"))
+      .rollup(col("event_type"), col("month"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")) + lit(1e-9), 2).as("sum_value"),
+        grouping_id().as("gid")),
+    Some("""SELECT event_type,
+        strftime(date_trunc('month', CAST(ts AS DATE)), '%Y-%m') AS month,
+        count(*) AS n_events, round(sum(value) + 1e-9, 2) AS sum_value,
+        GROUPING(event_type, month) AS gid
+      FROM events GROUP BY ROLLUP(event_type, month)"""))
+
+  // W11 — ranking battery: rank / dense_rank / percent_rank / cume_dist /
+  // ntile(4) in one window pass (one shuffle on the partition key; all
+  // five functions share the same sort). Tie-break on event_id makes the
+  // ordering total, so every rank flavor is deterministic cross-engine.
+  val w11 = Q("w11_rank_battery",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      ev(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w) + lit(1e-9), 6).as("prnk"),
+          round(cume_dist().over(w) + lit(1e-9), 6).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+    },
+    Some("""SELECT event_id, event_type, value,
+        rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        round(percent_rank() OVER w + 1e-9, 6) AS prnk,
+        round(cume_dist() OVER w + 1e-9, 6) AS cdist,
+        ntile(4) OVER w AS quartile
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)"""))
+
+  // W12 — rolling 7-row median of the daily value series. Spark has no
+  // median window function, but the frame is BOUNDED (≤7 rows), so a
+  // sorted in-row array does it inside whole-stage codegen: collect_list
+  // over the frame → array_sort → middle element (avg of the two middles
+  // for even counts). The array never exceeds the frame length, so this
+  // stays O(1) memory per row at any table size — the pattern for any
+  // order statistic over a bounded window.
+  val w12 = Q("w12_rolling_median",
+    (s, d) => {
+      val daily = ev(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
+        .agg(sum(col("value")).as("v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_date"))
+        .rowsBetween(-6, Window.currentRow)
+      val arr = array_sort(collect_list(col("v")).over(w))
+      val n = size(arr)
+      val med = when(n % 2 === 1, element_at(arr, ((n + 1) / 2).cast("int")))
+        .otherwise((element_at(arr, (n / 2).cast("int"))
+          + element_at(arr, (n / 2).cast("int") + 1)) / 2)
+      daily.select(col("event_type"), col("event_date"),
+        round(med + lit(1e-9), 6).as("rolling_median"))
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS event_date,
+        sum(value) AS v FROM events GROUP BY 1, 2)
+      SELECT event_type, event_date,
+        round(median(v) OVER (PARTITION BY event_type ORDER BY event_date
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) + 1e-9, 6)
+          AS rolling_median
+      FROM daily"""))
+
+  // M10 — dense fixed-bin histogram of the value distribution: bin
+  // arithmetic is the IDENTICAL float expression on both engines (no
+  // width_bucket, whose boundary rounding is implementation-defined),
+  // empty bins are filled by a range join so the domain is complete.
+  // The bin spine is a broadcast of `nBins` rows — the fact table is
+  // scanned once and aggregated map-side.
+  private val histStep = 25.0
+  private val histBins = 20
+  val m10 = Q("m10_histogram",
+    (s, d) => {
+      val binned = ev(s, d).where(col("value").isNotNull)
+        .withColumn("bin",
+          least(greatest(floor(col("value") / lit(histStep)), lit(0L)),
+            lit((histBins - 1).toLong)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")) + lit(1e-9), 6).as("avg_value"))
+      val spine = s.range(histBins).select(col("id").as("bin"))
+      spine.join(binned, Seq("bin"), "left")
+        .select(col("bin"), (col("bin") * lit(histStep)).as("bin_lo"),
+          coalesce(col("n"), lit(0L)).as("n"), col("avg_value"))
+    },
+    Some("""WITH binned AS (SELECT
+        CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin,
+        count(*) AS n, round(avg(value) + 1e-9, 6) AS avg_value
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+      spine AS (SELECT i AS bin FROM unnest(generate_series(0, 19)) AS g(i))
+      SELECT bin, bin * 25.0 AS bin_lo, coalesce(n, 0) AS n, avg_value
+      FROM spine LEFT JOIN binned USING (bin)"""))
+
+  // M11 — chi-square test of independence (event_type × weekday
+  // contingency): observed cell counts from one groupBy; expected =
+  // row·col/total derived with two tiny broadcast aggregates; statistic,
+  // degrees of freedom, and Cramér's V in closed form — the entire test
+  // is three aggregates over an already-tiny frame, no driver math.
+  // (marginals via windows over the already-aggregated ~35-row cell
+  // frame — the fact table is scanned exactly once; a join-based
+  // formulation would recompute the contingency subtree per marginal)
+  val m11 = Q("m11_chi_square",
+    (s, d) => {
+      val cells = ev(s, d)
+        .groupBy(col("event_type"), dayofweek(col("ts")).as("wd"))
+        .agg(count(lit(1)).cast("double").as("o"))
+      val wAll = Window.partitionBy()
+      val chi2raw = sum(pow(col("o") - col("e"), 2) / col("e"))
+      cells
+        .withColumn("rt", sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("ct", sum("o").over(Window.partitionBy("wd")))
+        .withColumn("tot", sum("o").over(wAll))
+        .withColumn("r", size(collect_set(col("event_type")).over(wAll)).cast("long"))
+        .withColumn("c", size(collect_set(col("wd")).over(wAll)).cast("long"))
+        .withColumn("e", col("rt") * col("ct") / col("tot"))
+        .agg(
+          round(chi2raw + lit(1e-9), 6).as("chi2"),
+          ((first("r") - 1) * (first("c") - 1)).as("dof"),
+          round(sqrt(chi2raw
+            / (first("tot") * least(first("r") - 1, first("c") - 1)))
+            + lit(1e-9), 6).as("cramers_v"))
+    },
+    Some("""WITH cells AS (SELECT event_type,
+        dayofweek(CAST(ts AS DATE)) + 1 AS wd, CAST(count(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2),
+      rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+      ct AS (SELECT wd, sum(o) AS ct FROM cells GROUP BY 1),
+      n AS (SELECT sum(o) AS tot, count(DISTINCT event_type) AS r,
+        count(DISTINCT wd) AS c FROM cells),
+      j AS (SELECT o, rt.rt * ct.ct / n.tot AS e, n.tot AS tot, n.r, n.c
+        FROM cells JOIN rt USING (event_type) JOIN ct USING (wd) CROSS JOIN n)
+      SELECT round(sum((o - e) * (o - e) / e) + 1e-9, 6) AS chi2,
+        (any_value(r) - 1) * (any_value(c) - 1) AS dof,
+        round(sqrt(sum((o - e) * (o - e) / e)
+          / (any_value(tot) * least(any_value(r) - 1, any_value(c) - 1)))
+          + 1e-9, 6) AS cramers_v
+      FROM j"""))
+
+  // T18 — fuzzy (edit-distance) matching over part names, summarized per
+  // distance. The pair space is bounded by LENGTH BLOCKING — a necessary
+  // condition for levenshtein(a,b) ≤ k is |len(a)−len(b)| ≤ k, so one
+  // side explodes k+1 candidate lengths and the join is a plain
+  // equi-join on length (shuffle-partitionable at any scale), never a
+  // quadratic cross join. The oracle verifies with an unconstrained
+  // inequality join (DuckDB nested-loop is fine at sf) — same pairs.
+  val t18 = Q("t18_fuzzy_name_match",
+    (s, d) => TextAnalysis.editDistancePairs(
+        part(s, d), "p_partkey", "p_name", maxDist = 1)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_a")).as("n_left"),
+        min(col("id_a")).as("min_id_a")),
+    Some("""SELECT levenshtein(a.p_name, b.p_name) AS dist,
+        count(*) AS n_pairs, count(DISTINCT a.p_partkey) AS n_left,
+        min(a.p_partkey) AS min_id_a
+      FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        AND abs(length(a.p_name) - length(b.p_name)) <= 1
+        AND levenshtein(a.p_name, b.p_name) <= 1
+      GROUP BY 1"""))
+
+  // A27 — ordered funnel (click → signup → purchase): each stage's entry
+  // time is the min event time AFTER the previous stage's entry, computed
+  // as three chained conditional-min windows over the SAME unordered
+  // user partition — one shuffle on user_id, no self-joins, no
+  // per-stage scans (the naive formulation joins the fact table once per
+  // stage). The final row aggregates stage counts and conversion rates.
+  val a27 = Q("a27_funnel",
+    (s, d) => {
+      val wu = Window.partitionBy(col("user_id"))
+      val staged = ev(s, d)
+        .withColumn("t1",
+          min(when(col("event_type") === "click", col("ts"))).over(wu))
+        .withColumn("t2", min(when(col("event_type") === "signup"
+          && col("ts") > col("t1"), col("ts"))).over(wu))
+        .withColumn("t3", min(when(col("event_type") === "purchase"
+          && col("ts") > col("t2"), col("ts"))).over(wu))
+      staged.groupBy(col("user_id"))
+        .agg(first("t1").as("t1"), first("t2").as("t2"), first("t3").as("t3"))
+        .agg(
+          count(col("t1")).as("n_stage1"),
+          count(col("t2")).as("n_stage2"),
+          count(col("t3")).as("n_stage3"),
+          round(count(col("t2")).cast("double") / count(col("t1"))
+            + lit(1e-9), 6).as("conv_1_2"),
+          round(count(col("t3")).cast("double") / count(col("t2"))
+            + lit(1e-9), 6).as("conv_2_3"))
+    },
+    Some("""WITH s1 AS (SELECT user_id, ts, event_type,
+        min(CASE WHEN event_type = 'click' THEN ts END)
+          OVER (PARTITION BY user_id) AS t1 FROM events),
+      s2 AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > t1
+          THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+      s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+          THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM s2),
+      per_user AS (SELECT user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+        any_value(t3) AS t3 FROM s3 GROUP BY 1)
+      SELECT count(t1) AS n_stage1, count(t2) AS n_stage2,
+        count(t3) AS n_stage3,
+        round(CAST(count(t2) AS DOUBLE) / count(t1) + 1e-9, 6) AS conv_1_2,
+        round(CAST(count(t3) AS DOUBLE) / count(t2) + 1e-9, 6) AS conv_2_3
+      FROM per_user"""))
+
+  // A28 — weekly cohort retention: cohort = the user's first active week
+  // (a min-window over the user partition — no extra join against a
+  // first-event frame), offset = weeks since cohort. One shuffle on
+  // user_id, one on the (cohort, offset) grid.
+  val a28 = Q("a28_cohort_retention",
+    (s, d) => {
+      val wk = ev(s, d)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+      val withCohort = wk
+        .withColumn("cohort_week",
+          min(col("week")).over(Window.partitionBy(col("user_id"))))
+        .withColumn("week_offset",
+          (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      withCohort
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""WITH wk AS (SELECT user_id,
+        CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week
+        FROM events),
+      c AS (SELECT user_id, week,
+        min(week) OVER (PARTITION BY user_id) AS cohort_week FROM wk)
+      SELECT cohort_week,
+        CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+        count(DISTINCT user_id) AS n_users
+      FROM c GROUP BY 1, 2"""))
+
+  // O9 — unpivot/melt: the wide daily pivot (one column per event type)
+  // folded back to long form with Dataset.unpivot (Spark's native melt —
+  // a generate, not a union of per-column scans). Default null-dropping
+  // semantics make pivot→unpivot equal the direct long-form aggregate,
+  // which is exactly what the oracle computes.
+  val o9 = Q("o9_unpivot_melt",
+    (s, d) => {
+      val piv = ev(s, d)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .pivot(col("event_type"))
+        .agg(count(lit(1)))
+      piv.unpivot(Array(col("event_date")),
+          piv.columns.filterNot(_ == "event_date").map(col).toArray,
+          "event_type", "n")
+    },
+    Some("""SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(a26, a27, a28, w11, w12, m10, m11, t18, o9)
+}

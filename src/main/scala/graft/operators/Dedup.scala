@@ -186,6 +186,77 @@ object Dedup {
         round(col("est_jaccard") + lit(1e-9), 6).as("est_jaccard"))
   }
 
+  /** Connected components over a duplicate-pair graph: the final step of
+    * every near-dup pipeline (pairs are only evidence; the unit of
+    * deduplication is the transitive *cluster*, from which one canonical
+    * document survives). Iterative min-label propagation: every node
+    * starts labeled with its own id; each round a node takes the min of
+    * its label and its neighbors' labels; fixpoint = every node labeled
+    * with the smallest id reachable from it.
+    *
+    * Scale shape: each round is one equi-join (edges ⋈ labels, shuffled
+    * on the join key) + one min-aggregate — no adjacency lists collected
+    * anywhere, and `localCheckpoint` truncates the growing lineage so
+    * round N's plan does not replay rounds 1..N−1. Rounds needed = graph
+    * diameter; near-dup clusters are shallow (a handful of hops), so this
+    * converges in 2–4 rounds in practice. For adversarially long chain
+    * graphs at 100 TB one would switch to the large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce"),
+    * which converges in O(log² n) rounds — same join/agg building blocks,
+    * more complex bookkeeping; the propagation form is kept because dedup
+    * graphs are diameter-bounded, and `maxIters` guards the pathological
+    * case (an assert fires rather than silently emitting a non-fixpoint).
+    *
+    * The per-round driver `count()` is the convergence test of an
+    * iterative algorithm (same pattern as KMeans), not a hot-path
+    * collect: it reads a 1-value aggregate off the just-checkpointed
+    * frame.
+    *
+    * @param nodes one row per vertex (`idCol`); isolated vertices come
+    *              out as their own singleton cluster
+    * @param pairs undirected edges, one row per pair (`aCol`, `bCol`)
+    * @return (idCol, cluster_id) with cluster_id = min reachable id
+    */
+  def connectedComponents(
+      nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .union(pairs.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+      .distinct()
+      .localCheckpoint(true) // pair generation (LSH etc.) runs ONCE, not per round
+    var labels = nodes.select(col(idCol), col(idCol).as("__label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col(idCol).as("__dst"),
+          col("__label").as("__nbr")), "__dst")
+        .groupBy(col("__src").as(idCol))
+        .agg(min("__nbr").as("__nbr_min"))
+      val prev = labels
+      val next = labels.join(nbrMin, Seq(idCol), "left")
+        .select(col(idCol),
+          least(col("__label"), coalesce(col("__nbr_min"), col("__label")))
+            .as("__label"),
+          coalesce(col("__nbr_min") < col("__label"), lit(false))
+            .as("__changed"))
+        .localCheckpoint(true)
+      changed = next.where(col("__changed")).count()
+      labels = next.drop("__changed")
+      prev.unpersist()
+      iters += 1
+    }
+    assert(changed == 0L,
+      s"connectedComponents did not converge in $maxIters rounds " +
+        "(graph diameter exceeds the bound — raise maxIters or switch " +
+        "to star contraction)")
+    edges.unpersist()
+    labels.withColumnRenamed("__label", "cluster_id")
+  }
+
   /** SimHash: 64-bit locality-sensitive fingerprint. Each token hashes to
     * 64 bits; for each bit position sum +1/-1 across tokens; sign → bit.
     * Computed with integer column math only (bitwise ops are codegen'd),

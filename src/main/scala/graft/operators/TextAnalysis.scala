@@ -192,4 +192,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
+
+  /** Fuzzy self-match: all unordered pairs within `maxDist` edit
+    * distance, found with LENGTH BLOCKING — levenshtein(a,b) ≤ k implies
+    * |len(a)−len(b)| ≤ k, so the probe side explodes the 2k+1 candidate
+    * lengths and the pair space collapses to an equi-join on length
+    * (hash-shuffleable at any scale; never a cross join). Each true pair
+    * is emitted exactly once: it matches on the single key equal to the
+    * build side's length, and `id_a < id_b` fixes the orientation.
+    * `levenshtein` is a codegen'd built-in; the O(|s|²) DP runs only on
+    * length-blocked candidates. For corpus-scale strings (documents, not
+    * names) block on q-gram signatures instead — same join shape, tighter
+    * candidate set.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .withColumn("__len", length(col("__s")))
+    val probe = base
+      .withColumn("__len_key",
+        explode(sequence(col("__len") - maxDist, col("__len") + maxDist)))
+      .select(col("__id").as("id_a"), col("__s").as("s_a"), col("__len_key"))
+    val build = base.select(col("__id").as("id_b"), col("__s").as("s_b"),
+      col("__len").as("__len_key"))
+    probe.join(build, "__len_key")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -132,6 +132,97 @@ class OperatorPropertySpec extends SparkSpecBase {
     }
   }
 
+  // ---- connected components ------------------------------------------
+
+  test("connectedComponents matches a sequential union-find on random " +
+      "graphs, including isolated vertices and multi-hop chains") {
+    val rnd = new Random(17)
+    for (trial <- 1 to 3) {
+      val n = 120
+      val nodes = (1L to n.toLong).toDF("id")
+      // sparse random edges plus a deliberate long chain (diameter test)
+      val randomEdges = (1 to 60).map { _ =>
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1)
+      }.filter { case (a, b) => a != b }
+      val chain = (100L until 115L).map(i => (i, i + 1))
+      val edges = (randomEdges ++ chain).toDF("a", "b")
+
+      val got = Dedup.connectedComponents(nodes, "id", edges, "a", "b",
+          maxIters = 40)
+        .as[(Long, Long)].collect().toMap
+
+      // sequential union-find reference
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      (randomEdges ++ chain).foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (1 to n).map { i =>
+        // canonical label = min id in component
+        val root = find(i)
+        val minId = (1 to n).filter(j => find(j) == root).min
+        i.toLong -> minId.toLong
+      }.toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  // ---- time-weighted interpolation -----------------------------------
+
+  test("interpolateTime matches a sequential nearest-neighbor reference: " +
+      "leading nulls stay null, trailing nulls forward-fill, interior " +
+      "nulls are time-weighted between neighbors") {
+    val rnd = new Random(41)
+    val rows = (1 to 300).map { i =>
+      val user = rnd.nextInt(6).toLong
+      val ts = new java.sql.Timestamp(1700000000000L + i * 60000L)
+      val v: java.lang.Double =
+        if (rnd.nextInt(4) == 0) null else rnd.nextDouble() * 50
+      (i.toLong, user, ts, v)
+    }
+    val df = rows.toDF("id", "user_id", "ts", "v")
+    val got = TimeSeries.interpolateTime(df, Seq("user_id"), "ts",
+        col("id"), "v", "out")
+      .select("id", "out").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+    rows.groupBy(_._2).values.foreach { series =>
+      val s = series.sortBy(r => (r._3.getTime, r._1))
+      s.indices.foreach { i =>
+        val (id, _, ts, v) = s(i)
+        val want: Option[Double] =
+          if (v != null) Some(v.doubleValue)
+          else {
+            val prev = s.take(i).reverse.find(_._4 != null)
+            val next = s.drop(i + 1).find(_._4 != null)
+            (prev, next) match {
+              case (None, _) => None
+              case (Some((_, _, _, pv)), None) => Some(pv.doubleValue)
+              case (Some((_, _, pt, pv)), Some((_, _, nt, nv))) =>
+                if (nt.getTime == pt.getTime) Some(pv.doubleValue)
+                else Some(pv.doubleValue + (nv.doubleValue - pv.doubleValue) *
+                  (ts.getTime - pt.getTime).toDouble /
+                  (nt.getTime - pt.getTime).toDouble)
+            }
+          }
+        (got(id), want) match {
+          case (None, None) => ()
+          case (Some(g), Some(w)) =>
+            assert(math.abs(g - w) <= 1e-9 * math.max(1.0, math.abs(w)),
+              s"id=$id got=$g want=$w")
+          case other => fail(s"id=$id mismatch: $other")
+        }
+      }
+    }
+  }
+
   // ---- deterministic dedup -------------------------------------------
 
   test("deterministic dedup: unique keys, survivors from input, " +

@@ -277,5 +277,144 @@ object QueriesF {
     Some("""SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n
       FROM events GROUP BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(a26, a27, a28, w11, w12, m10, m11, t18, o9)
+  // A29 — incremental aggregation: history and delta are aggregated
+  // SEPARATELY (each scanned once, as on successive pipeline runs) and
+  // the algebraic states merged key-wise; the oracle is the plain
+  // one-shot aggregate — passing proves state(A)⊕state(B) = state(A∪B).
+  val a29 = Q("a29_incremental_merge",
+    (s, d) => {
+      val e = ev(s, d).withColumn("day", to_date(col("ts")))
+      val history = e.where(col("day") <= lit("2024-01-15").cast("date"))
+      val delta = e.where(col("day") > lit("2024-01-15").cast("date"))
+      val merged = IncrementalAgg.merge(
+        Seq(IncrementalAgg.state(history, Seq("event_type"), "value"),
+          IncrementalAgg.state(delta, Seq("event_type"), "value")),
+        Seq("event_type"))
+      IncrementalAgg.finish(merged)
+        .select(col("event_type"), col("cnt"),
+          round(col("sum") + lit(1e-9), 6).as("sum"),
+          round(col("min") + lit(1e-9), 6).as("min"),
+          round(col("max") + lit(1e-9), 6).as("max"),
+          round(col("avg") + lit(1e-9), 6).as("avg"))
+    },
+    Some("""SELECT event_type, count(value) AS cnt,
+        round(sum(value) + 1e-9, 6) AS sum, round(min(value) + 1e-9, 6) AS min,
+        round(max(value) + 1e-9, 6) AS max,
+        round(sum(value) / count(value) + 1e-9, 6) AS avg
+      FROM events GROUP BY 1"""))
+
+  // W13 — sliding 7-day DISTINCT user count. COUNT(DISTINCT) over a
+  // moving window is not directly expressible in either engine's window
+  // frames; the scalable formulation explodes each distinct (user, day)
+  // activity fact to the 7 window-ends it contributes to (bounded ×7
+  // expansion of the ALREADY-distinct pairs, not of raw events), then
+  // one distinct-count groupBy. The oracle cross-checks with an
+  // explicit range join.
+  val w13 = Q("w13_sliding_distinct_users",
+    (s, d) => ev(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("window_end",
+        explode(sequence(col("day"), date_add(col("day"), 6))))
+      .groupBy(col("window_end"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d")),
+    Some("""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events),
+      we AS (SELECT DISTINCT day + CAST(i AS INT) AS window_end
+        FROM act, unnest(generate_series(0, 6)) AS g(i))
+      SELECT we.window_end, count(DISTINCT a.user_id) AS n_users_7d
+      FROM we JOIN act a
+        ON a.day BETWEEN we.window_end - 6 AND we.window_end
+      GROUP BY 1"""))
+
+  // T19 — TF-IDF top term per document: term frequency from one
+  // explode+groupBy, document frequency from a second groupBy on the
+  // (already doc-distinct) tf frame, corpus size as a 1-row broadcast,
+  // argmax per doc via ranked window with a total-order tie-break.
+  // Identical float arithmetic (tf · ln(N/df)) on both engines.
+  val t19 = Q("t19_tfidf_top_term",
+    (s, d) => {
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+      val tf = tk.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = tf.agg(countDistinct(col("doc_id")).as("n"))
+      val scored = tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * log(col("n") / col("df")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"),
+          round(col("tfidf") + lit(1e-9), 6).as("top_tfidf"))
+    },
+    Some("""WITH tk AS (SELECT doc_id,
+        unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+        WHERE term <> '' GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+      scored AS (SELECT doc_id, term,
+        tf * ln(CAST(n.n AS DOUBLE) / df) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      ranked AS (SELECT doc_id, term, tfidf, row_number()
+        OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        FROM scored)
+      SELECT doc_id, term AS top_term, round(tfidf + 1e-9, 6) AS top_tfidf
+      FROM ranked WHERE rn = 1"""))
+
+  // J14 — salted join on a deliberately skewed key (event_type has ~5
+  // values, so a plain shuffle join funnels 1/5 of the fact table
+  // through single reducers): fact rows salt into numSalts subkeys, the
+  // small-but-not-broadcastable dim replicates per salt, and the hot
+  // keys spread across reducers. The oracle is the PLAIN join — passing
+  // proves the salted plan is row-identical.
+  val j14 = Q("j14_salted_skew_join",
+    (s, d) => {
+      val e = ev(s, d)
+      val dim = e.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("type_avg"))
+      Skew.saltedJoin(e, dim, "event_type", numSalts = 8)
+        .select(col("event_id"), col("event_type"),
+          round(col("type_avg") + lit(1e-9), 6).as("type_avg"),
+          round(col("value") - col("type_avg") + lit(1e-9), 6)
+            .as("value_vs_type"))
+    },
+    Some("""WITH dim AS (SELECT event_type, avg(value) AS type_avg
+        FROM events GROUP BY 1)
+      SELECT e.event_id, e.event_type,
+        round(dim.type_avg + 1e-9, 6) AS type_avg,
+        round(e.value - dim.type_avg + 1e-9, 6) AS value_vs_type
+      FROM events e JOIN dim USING (event_type)"""))
+
+  // A30 — mergeable HLL sketches: per-day user sketches unioned into a
+  // weekly distinct estimate WITHOUT re-touching the raw events (the
+  // sketch is the state; re-aggregation is sketch-union — the same
+  // pattern IncrementalAgg uses for algebraic measures, extended to
+  // distinct counts). No SQL oracle by design (datasketches binary
+  // internals); the exact weekly distinct rides along and the spec
+  // bounds the estimate against it.
+  val a30 = Q("a30_hll_weekly_union",
+    (s, d) => {
+      val daily = ev(s, d)
+        .withColumn("week", date_trunc("week", col("ts")).cast("date"))
+        .groupBy(col("week"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+      val est = daily.groupBy(col("week"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+          .as("est_users"))
+      val exact = ev(s, d)
+        .withColumn("week", date_trunc("week", col("ts")).cast("date"))
+        .groupBy(col("week"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, "week")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(a26, a27, a28, a29, a30, w11, w12, m10, m11, t18,
+    t19, o9, w13, j14)
 }

@@ -48,4 +48,28 @@ object Skew {
     partial.groupBy(keys.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /** Salted equi-join for a skewed fact side against a dim side that is
+    * too big to broadcast but small enough to replicate `numSalts`×:
+    * every fact row gets a salt in [0, numSalts), the dim side is
+    * replicated once per salt value, and the join key becomes
+    * (key, salt) — a hot key's rows now spread over `numSalts` reducers
+    * instead of one. The result is row-identical to the plain join for
+    * inner/left semantics (each fact row meets exactly the dim rows of
+    * its key, on its own salt; asserted in the spec). AQE's skew-join
+    * split handles this adaptively when enabled; the explicit form is
+    * for static plans and for engines/pipelines where AQE is off.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      numSalts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_outer",
+      s"saltedJoin supports inner/left joins, got $joinType")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(numSalts)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit((numSalts - 1).toLong))))
+    saltedFact.join(replicatedDim, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
 }

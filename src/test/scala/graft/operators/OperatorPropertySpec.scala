@@ -132,6 +132,79 @@ class OperatorPropertySpec extends SparkSpecBase {
     }
   }
 
+  // ---- salted join ----------------------------------------------------
+
+  test("saltedJoin is row-identical to the plain join for inner and " +
+      "left semantics, including unmatched fact keys") {
+    val rnd = new Random(47)
+    // skewed fact: 80% of rows on one key; some keys missing from dim
+    val fact = (1 to 500).map { i =>
+      val k = if (rnd.nextInt(5) > 0) "hot" else s"k${rnd.nextInt(8)}"
+      (i.toLong, k, rnd.nextDouble())
+    }.toDF("id", "k", "v")
+    val dim = Seq(("hot", 1.0), ("k1", 2.0), ("k2", 3.0), ("k3", 4.0))
+      .toDF("k", "w")
+
+    for (jt <- Seq("inner", "left")) {
+      val plain = fact.join(dim, Seq("k"), jt)
+        .select("id", "k", "v", "w")
+        .as[(Long, String, Double, Option[Double])].collect().sorted
+      val salted = Skew.saltedJoin(fact, dim, "k", numSalts = 7, joinType = jt)
+        .select("id", "k", "v", "w")
+        .as[(Long, String, Double, Option[Double])].collect().sorted
+      assert(salted === plain, s"joinType=$jt")
+    }
+  }
+
+  // ---- HLL sketch union ----------------------------------------------
+
+  test("a30: unioned daily HLL sketches estimate weekly distincts " +
+      "within 5% of exact") {
+    val out = graft.QueriesF.a30.fn(spark, "/root/testdata/sf0.001")
+      .select("est_users", "exact_users")
+      .as[(Double, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (est, exact) =>
+      assert(math.abs(est - exact) <= 0.05 * exact,
+        s"est=$est exact=$exact")
+    }
+  }
+
+  // ---- incremental aggregation ---------------------------------------
+
+  test("IncrementalAgg: merging per-batch states equals the one-shot " +
+      "aggregate for any split, any batch count, any order") {
+    val rnd = new Random(29)
+    val rows = (1 to 400).map { _ =>
+      (rnd.nextInt(6).toString,
+        if (rnd.nextInt(10) == 0) null
+        else java.lang.Double.valueOf(rnd.nextDouble() * 100 - 30))
+    }.toDF("k", "v")
+    val oneShot = IncrementalAgg.state(rows, Seq("k"), "v")
+      .select("k", "cnt", "sum", "min", "max")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+
+    for (nBatches <- Seq(2, 3, 5)) {
+      val parts = rows.withColumn("b", pmod(xxhash64(col("k"), col("v")),
+        lit(nBatches)))
+      val states = (0 until nBatches).map(i =>
+        IncrementalAgg.state(parts.where(col("b") === i).drop("b"),
+          Seq("k"), "v"))
+      val merged = IncrementalAgg.merge(rnd.shuffle(states), Seq("k"))
+        .select("k", "cnt", "sum", "min", "max")
+        .as[(String, Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(merged.keySet === oneShot.keySet)
+      merged.foreach { case (k, (_, cnt, s, mn, mx)) =>
+        val (_, cnt0, s0, mn0, mx0) = oneShot(k)
+        assert(cnt === cnt0, s"cnt k=$k nB=$nBatches")
+        assert(math.abs(s - s0) <= 1e-9 * math.max(1.0, math.abs(s0)))
+        assert(mn === mn0 && mx === mx0)
+      }
+    }
+  }
+
   // ---- connected components ------------------------------------------
 
   test("connectedComponents matches a sequential union-find on random " +

@@ -168,22 +168,46 @@ object QueriesF {
       FROM j"""))
 
   // T18 — fuzzy (edit-distance) matching over part names, summarized per
-  // distance. The pair space is bounded by LENGTH BLOCKING — a necessary
-  // condition for levenshtein(a,b) ≤ k is |len(a)−len(b)| ≤ k, so one
-  // side explodes k+1 candidate lengths and the join is a plain
-  // equi-join on length (shuffle-partitionable at any scale), never a
-  // quadratic cross join. The oracle verifies with an unconstrained
-  // inequality join (DuckDB nested-loop is fine at sf) — same pairs.
+  // distance. Two-level blocking, the shape that survives scale:
+  //   1. DEDUP FIRST — fuzzy-join the distinct-string VOCABULARY, not
+  //      the corpus. Real string columns are heavy-tailed (here: 20k
+  //      rows share 64 names at sf0.1), and every duplicated string
+  //      would otherwise re-run the same DP quadratically. Identical
+  //      pairs (dist 0) fall out of the group sizes as C(cnt,2); cross
+  //      pairs expand as cnt_a·cnt_b — exact id-level counts without
+  //      id-level work.
+  //   2. LENGTH BLOCKING on the vocabulary — levenshtein(a,b) ≤ k needs
+  //      |len(a)−len(b)| ≤ k, so the probe side explodes 2k+1 candidate
+  //      lengths and the pair space is an equi-join on length, never a
+  //      cross join.
+  // The oracle verifies the same counts from the raw id-level
+  // inequality join — so a pass proves the grouped expansion exact.
   val t18 = Q("t18_fuzzy_name_match",
-    (s, d) => TextAnalysis.editDistancePairs(
-        part(s, d), "p_partkey", "p_name", maxDist = 1)
-      .groupBy(col("dist"))
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("id_a")).as("n_left"),
-        min(col("id_a")).as("min_id_a")),
+    (s, d) => {
+      val g = part(s, d).groupBy(col("p_name"))
+        .agg(count(lit(1)).as("cnt"))
+      val d0 = g.agg(
+        lit(0).as("dist"),
+        sum((col("cnt") * (col("cnt") - 1) / 2).cast("long")).as("n_pairs"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_name_pairs"))
+      val pairs = TextAnalysis.editDistancePairs(g, "p_name", "p_name",
+          maxDist = 1)
+        .where(col("dist") === 1)
+      val d1 = pairs
+        .join(broadcast(g.select(col("p_name").as("id_a"),
+          col("cnt").as("cnt_a"))), "id_a")
+        .join(broadcast(g.select(col("p_name").as("id_b"),
+          col("cnt").as("cnt_b"))), "id_b")
+        .agg(lit(1).as("dist"),
+          sum(col("cnt_a") * col("cnt_b")).as("n_pairs"),
+          count(lit(1)).as("n_name_pairs"))
+      d0.unionByName(d1)
+    },
     Some("""SELECT levenshtein(a.p_name, b.p_name) AS dist,
-        count(*) AS n_pairs, count(DISTINCT a.p_partkey) AS n_left,
-        min(a.p_partkey) AS min_id_a
+        count(*) AS n_pairs,
+        count(DISTINCT CASE WHEN a.p_name < b.p_name
+          THEN a.p_name || '|' || b.p_name
+          ELSE b.p_name || '|' || a.p_name END) AS n_name_pairs
       FROM part a JOIN part b ON a.p_partkey < b.p_partkey
         AND abs(length(a.p_name) - length(b.p_name)) <= 1
         AND levenshtein(a.p_name, b.p_name) <= 1
@@ -415,6 +439,66 @@ object QueriesF {
     },
     None)
 
+  // M12 — grouped vector aggregation: the per-label mean embedding
+  // (class prototype / cluster summary), long form. posexplode keeps the
+  // whole computation distributed — the shuffle carries (label, pos)
+  // partial sums, never whole vectors to one place; output is the
+  // labels × dim grid.
+  val m12 = Q("m12_label_centroids",
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("e").cast("double")) + lit(1e-9), 6).as("centroid")),
+    Some("""SELECT label, CAST(i - 1 AS INT) AS pos,
+        round(avg(CAST(embedding[i] AS DOUBLE)) + 1e-9, 6) AS centroid
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+      GROUP BY 1, 2"""))
+
+  // M13 — nearest-centroid assignment (classification by class
+  // prototype): centroids re-assembled into vectors (sorted
+  // struct-collect per label — 10 rows), broadcast against every
+  // embedding, cosine ranked with the j12 tie-break convention, and the
+  // label × assigned confusion matrix aggregated. The per-vector work
+  // is one broadcast nested loop over |labels| centroids — linear in N,
+  // no vector ever crosses the wire twice.
+  val m13 = Q("m13_nearest_centroid",
+    (s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val cents = base
+        .select(col("label").as("c_label"),
+          posexplode(col("vec")).as(Seq("pos", "e")))
+        .groupBy(col("c_label"), col("pos"))
+        .agg(avg(col("e")).as("c"))
+        .groupBy(col("c_label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s2 => s2.getField("c")).as("cvec"))
+      val scored = base.crossJoin(broadcast(cents))
+        .withColumn("cos", Similarity.fastDot(col("vec"), col("cvec"))
+          / (Similarity.l2Norm(col("vec")) * Similarity.l2Norm(col("cvec"))))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("c_label"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .groupBy(col("label"), col("c_label").as("assigned_label"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH centl AS (SELECT label AS c_label, i AS pos,
+        avg(CAST(embedding[i] AS DOUBLE)) AS c
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+        GROUP BY 1, 2),
+      cent AS (SELECT c_label, list(c ORDER BY pos) AS cvec
+        FROM centl GROUP BY 1),
+      scored AS (SELECT e.vec_id, e.label, c.c_label,
+        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS cos
+        FROM embeddings e CROSS JOIN cent c),
+      ranked AS (SELECT vec_id, label, c_label, row_number()
+        OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rn
+        FROM scored)
+      SELECT label, c_label AS assigned_label, count(*) AS n
+      FROM ranked WHERE rn = 1 GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(a26, a27, a28, a29, a30, w11, w12, m10, m11, t18,
-    t19, o9, w13, j14)
+    t19, o9, w13, j14, m12, m13)
 }

@@ -50,6 +50,26 @@ object Writers {
     d.write.mode("overwrite").option("header", "true").csv(path)
   }
 
+  /** Range-clustered layout: repartitionByRange + sortWithinPartitions
+    * on the filter column(s) before writing, so every output file covers
+    * a DISJOINT key range and parquet's per-row-group min/max statistics
+    * turn range predicates into file/row-group skips. At 100 TB this is
+    * the difference between a range query scanning every file and
+    * scanning ~(selectivity × files): the same rows cost the same bytes
+    * to store either way, but only the clustered layout lets the reader
+    * prove most files irrelevant from footer stats alone. (Bucketing
+    * co-locates equi-JOIN keys; range clustering serves range SCANS —
+    * complementary layouts.)
+    */
+  def writeRangeClustered(df: DataFrame, path: String, sortCols: Seq[String],
+      numFiles: Int, compression: String = "zstd"): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").option("compression", compression)
+      .parquet(path)
+  }
+
   /** Bucketed managed table: pre-shuffling a fact table into N buckets on
     * its join key makes every later equi-join on that key shuffle-free
     * (both sides scan co-located buckets). At 100 TB this converts the

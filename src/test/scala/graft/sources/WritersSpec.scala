@@ -32,6 +32,33 @@ class WritersSpec extends SparkSpecBase {
     assert(txt.contains("\"mix\": {"))
   }
 
+  test("writeRangeClustered: files cover disjoint sorted key ranges and " +
+      "preserve the row multiset") {
+    val path = Files.createTempDirectory("graft_rangelayout").toString + "/t"
+    val df = graft.Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "user_id", "value")
+    Writers.writeRangeClustered(df, path, Seq("event_id"), numFiles = 8)
+
+    val back = spark.read.parquet(path)
+    assert(back.count() === df.count())
+    assert(back.select(sum(col("event_id"))).as[Long].head() ===
+      df.select(sum(col("event_id"))).as[Long].head())
+
+    // per-file key ranges must not overlap: that disjointness is exactly
+    // what lets footer min/max stats prune range scans
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("event_id").as("lo"), max("event_id").as("hi"))
+      .orderBy("lo")
+      .select("lo", "hi").as[(Long, Long)].collect()
+    assert(ranges.length >= 2) // repartitionByRange produced real spread
+    ranges.sliding(2).foreach {
+      case Array((_, hiPrev), (loNext, _)) =>
+        assert(loNext > hiPrev,
+          s"overlapping file ranges: hi=$hiPrev lo=$loNext")
+      case _ => ()
+    }
+  }
+
   test("partitioned parquet roundtrip prunes partitions") {
     val dir = Files.createTempDirectory("graft_part").toString + "/t"
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")

@@ -21,6 +21,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("IncrementalAgg.state is streaming-compatible unchanged: the " +
+      "stream-built state equals the batch state equals a 2-way merge") {
+    import graft.operators.IncrementalAgg
+    import spark.implicits._
+    val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
+    val streamed = Streaming.runAvailableNow(spark,
+      IncrementalAgg.state(stream, Seq("event_type"), "value"),
+      "st_spec_incr")
+      .select("event_type", "cnt", "sum", "min", "max")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+
+    val events = graft.Tables.events(spark, sf("sf0.001"))
+    val batch = IncrementalAgg.state(events, Seq("event_type"), "value")
+      .select("event_type", "cnt", "sum", "min", "max")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val cut = col("event_id") % 2 === 0
+    val merged = IncrementalAgg.merge(Seq(
+        IncrementalAgg.state(events.where(cut), Seq("event_type"), "value"),
+        IncrementalAgg.state(events.where(!cut), Seq("event_type"), "value")),
+        Seq("event_type"))
+      .select("event_type", "cnt", "sum", "min", "max")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+
+    assert(streamed.keySet === batch.keySet)
+    assert(merged.keySet === batch.keySet)
+    batch.foreach { case (k, (_, cnt, s, mn, mx)) =>
+      val (_, cntS, sS, mnS, mxS) = streamed(k)
+      val (_, cntM, sM, mnM, mxM) = merged(k)
+      assert(cntS === cnt && cntM === cnt, s"cnt mismatch k=$k")
+      assert(math.abs(sS - s) <= 1e-6 && math.abs(sM - s) <= 1e-6)
+      assert(mnS === mn && mxS === mx && mnM === mn && mxM === mx)
+    }
+  }
+
   test("windowed aggregation with watermark runs to completion") {
     val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
     val out = Streaming.runAvailableNow(spark,

@@ -167,6 +167,17 @@ object QueriesF {
           + 1e-9, 6) AS cramers_v
       FROM j"""))
 
+  // M11b — the chi-square test WITH its p-value in-plan via the custom
+  // `ChiSquareCdf` expression (the m4/m4b FDistCdf pattern): one lazy
+  // frame end-to-end, no driver-side stats library post-step. No SQL
+  // oracle by design — DuckDB has no chi-square CDF — rows-checked by
+  // the driver; the spec pins the expression against commons-math3.
+  val m11b = Q("m11b_chi_square_p",
+    (s, d) => m11.fn(s, d).withColumn("p_value",
+      graft.expressions.ChiSquareCdf.chi2PValue(
+        col("chi2"), col("dof").cast("double"))),
+    None)
+
   // T18 — fuzzy (edit-distance) matching over part names, summarized per
   // distance. Two-level blocking, the shape that survives scale:
   //   1. DEDUP FIRST — fuzzy-join the distinct-string VOCABULARY, not
@@ -499,6 +510,36 @@ object QueriesF {
       SELECT label, c_label AS assigned_label, count(*) AS n
       FROM ranked WHERE rn = 1 GROUP BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(a26, a27, a28, a29, a30, w11, w12, m10, m11, t18,
-    t19, o9, w13, j14, m12, m13)
+  // W14 — TIME-range window frame (RANGE BETWEEN 6 DAYS PRECEDING):
+  // where w2/w3's row frames count the last N ROWS, a range frame
+  // covers the last N DAYS regardless of how many rows fall in them —
+  // semantically different whenever the series has calendar gaps (here
+  // forced deterministically by dropping every third day). Spark
+  // expresses the interval frame as rangeBetween over the epoch-seconds
+  // of the order key; same one-shuffle window shape as the row frames.
+  val w14 = Q("w14_interval_range_frame",
+    (s, d) => {
+      val daily = ev(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
+        .agg(sum(col("value")).as("v"))
+        .where(dayofmonth(col("event_date")) % 3 =!= 0)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("event_date").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400L, Window.currentRow)
+      daily.select(col("event_type"), col("event_date"),
+        round(sum(col("v")).over(w) + lit(1e-9), 6).as("sum_7d"),
+        count(lit(1)).over(w).as("n_days_7d"))
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS event_date,
+        sum(value) AS v FROM events GROUP BY 1, 2),
+      gappy AS (SELECT * FROM daily WHERE dayofmonth(event_date) % 3 <> 0)
+      SELECT event_type, event_date,
+        round(sum(v) OVER w + 1e-9, 6) AS sum_7d,
+        count(*) OVER w AS n_days_7d
+      FROM gappy
+      WINDOW w AS (PARTITION BY event_type ORDER BY event_date
+        RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)"""))
+
+  val all: Seq[Q] = Seq(a26, a27, a28, a29, a30, w11, w12, m10, m11, m11b,
+    t18, t19, o9, w13, j14, m12, m13, w14)
 }

@@ -226,7 +226,12 @@ object Dedup {
       .union(pairs.select(col(bCol).as("__src"), col(aCol).as("__dst")))
       .distinct()
       .localCheckpoint(true) // pair generation (LSH etc.) runs ONCE, not per round
-    var labels = nodes.select(col(idCol), col(idCol).as("__label"))
+    // Propagate ONLY over vertices that touch an edge. Dup-pair graphs
+    // are sparse — most of the corpus is singleton clusters — so the
+    // iterated frames shrink from |corpus| to ~2|pairs| rows; singletons
+    // rejoin at the end as their own cluster via coalesce.
+    var labels = edges.select(col("__src").as(idCol)).distinct()
+      .select(col(idCol), col(idCol).as("__label"))
       .localCheckpoint(true)
     var changed = 1L
     var iters = 0
@@ -254,7 +259,10 @@ object Dedup {
         "(graph diameter exceeds the bound — raise maxIters or switch " +
         "to star contraction)")
     edges.unpersist()
-    labels.withColumnRenamed("__label", "cluster_id")
+    nodes.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__label"), col(idCol)).as("cluster_id"))
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Each token hashes to

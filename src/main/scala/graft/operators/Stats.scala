@@ -73,6 +73,15 @@ object Stats {
     1.0 - dist.cumulativeProbability(fStat)
   }
 
+  /** p-value for a chi-square statistic — driver-side scalar twin of the
+    * in-plan `ChiSquareCdf` expression (spec cross-check).
+    */
+  def chi2PValue(x: Double, dof: Double): Double = {
+    val dist =
+      new org.apache.commons.math3.distribution.ChiSquaredDistribution(dof)
+    1.0 - dist.cumulativeProbability(x)
+  }
+
   /** Correlation matrix in long form: Pearson r between the `valueCol`
     * series of every pair of `seriesCol` values, aligned on `keyCol`
     * (M2: cross-collection daily-price correlation). The self-join is on

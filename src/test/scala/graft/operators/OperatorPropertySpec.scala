@@ -170,6 +170,19 @@ class OperatorPropertySpec extends SparkSpecBase {
     }
   }
 
+  // ---- chi-square p-value expression ---------------------------------
+
+  test("m11b: in-plan ChiSquareCdf p-value equals the commons-math3 " +
+      "driver-side computation and lies in [0, 1]") {
+    val row = graft.QueriesF.m11b.fn(spark, "/root/testdata/sf0.001").head()
+    val p = row.getAs[Double]("p_value")
+    val expected = Stats.chi2PValue(row.getAs[Double]("chi2"),
+      row.getAs[Long]("dof").toDouble)
+    assert(p >= 0.0 && p <= 1.0)
+    assert(math.abs(p - expected) < 1e-12,
+      s"expression p=$p vs driver-side p=$expected")
+  }
+
   // ---- incremental aggregation ---------------------------------------
 
   test("IncrementalAgg: merging per-batch states equals the one-shot " +

@@ -540,6 +540,147 @@ object QueriesF {
       WINDOW w AS (PARTITION BY event_type ORDER BY event_date
         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)"""))
 
+  // D10 — date-spine gap filling: a dense per-key daily series rebuilt
+  // from a sparse fact table (source deterministically gapped by
+  // dropping every third day). The spine is one explode of each key's
+  // [min, max] date range — rows generated ∝ output size, not a
+  // cross join against a global calendar — then a left join fills
+  // missing days with zero. The standard shape for "every day must
+  // exist" ETL contracts (reporting, forward-fill inputs, ML features).
+  val d10 = Q("d10_date_spine",
+    (s, d) => {
+      val gappy = ev(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .where(dayofmonth(col("day")) % 3 =!= 0)
+      val daily = gappy.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")) + lit(1e-9), 6).as("sum_value"))
+      val spine = gappy.groupBy(col("event_type"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+    },
+    Some("""WITH gappy AS (SELECT event_type, CAST(ts AS DATE) AS day, value
+        FROM events WHERE dayofmonth(CAST(ts AS DATE)) % 3 <> 0),
+      daily AS (SELECT event_type, day, count(*) AS n,
+        round(sum(value) + 1e-9, 6) AS sum_value FROM gappy GROUP BY 1, 2),
+      spine AS (SELECT event_type, CAST(unnest(generate_series(lo, hi,
+          INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT event_type, min(day) AS lo, max(day) AS hi
+          FROM gappy GROUP BY 1))
+      SELECT s.event_type, s.day, coalesce(d.n, 0) AS n_events,
+        coalesce(d.sum_value, 0.0) AS sum_value
+      FROM spine s LEFT JOIN daily d USING (event_type, day)"""))
+
+  // M14 — Welch's two-sample t-test (unequal variances) between the
+  // click and purchase value distributions: statistic and
+  // Welch–Satterthwaite dof in closed form from ONE conditional
+  // aggregate pass over the fact table — no per-group scans.
+  val m14 = Q("m14_welch_t",
+    (s, d) => {
+      val isA = col("event_type") === "click"
+      val isB = col("event_type") === "purchase"
+      val agg = ev(s, d).where(col("value").isNotNull && (isA || isB))
+        .agg(
+          avg(when(isA, col("value"))).as("m_a"),
+          var_samp(when(isA, col("value"))).as("v_a"),
+          count(when(isA, col("value"))).cast("double").as("n_a"),
+          avg(when(isB, col("value"))).as("m_b"),
+          var_samp(when(isB, col("value"))).as("v_b"),
+          count(when(isB, col("value"))).cast("double").as("n_b"))
+      val sa = col("v_a") / col("n_a")
+      val sb = col("v_b") / col("n_b")
+      agg.select(
+        round((col("m_a") - col("m_b")) / sqrt(sa + sb) + lit(1e-9), 6)
+          .as("t_stat"),
+        round(pow(sa + sb, 2)
+          / (pow(sa, 2) / (col("n_a") - 1) + pow(sb, 2) / (col("n_b") - 1))
+          + lit(1e-9), 6).as("dof"),
+        round(col("m_a") - col("m_b") + lit(1e-9), 6).as("mean_diff"))
+    },
+    Some("""WITH g AS (SELECT
+        avg(value) FILTER (WHERE event_type = 'click') AS m_a,
+        var_samp(value) FILTER (WHERE event_type = 'click') AS v_a,
+        CAST(count(value) FILTER (WHERE event_type = 'click') AS DOUBLE)
+          AS n_a,
+        avg(value) FILTER (WHERE event_type = 'purchase') AS m_b,
+        var_samp(value) FILTER (WHERE event_type = 'purchase') AS v_b,
+        CAST(count(value) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+          AS n_b
+        FROM events WHERE value IS NOT NULL
+          AND event_type IN ('click', 'purchase'))
+      SELECT round((m_a - m_b) / sqrt(v_a/n_a + v_b/n_b) + 1e-9, 6)
+          AS t_stat,
+        round(pow(v_a/n_a + v_b/n_b, 2)
+          / (pow(v_a/n_a, 2) / (n_a - 1) + pow(v_b/n_b, 2) / (n_b - 1))
+          + 1e-9, 6) AS dof,
+        round(m_a - m_b + 1e-9, 6) AS mean_diff
+      FROM g"""))
+
+  // T20 — dedup SURVIVORSHIP policy: which copy to keep is a decision,
+  // not an accident — here the longest document wins (doc_id breaks
+  // ties), per transitive duplicate cluster. Composes the t17 connected
+  // components with a ranked window; one row per cluster.
+  val t20 = Q("t20_dedup_survivorship",
+    (s, d) => {
+      val dd = Tables.documents(s, d)
+      val pairs = Dedup.minHashLshPairs(dd, "text", "doc_id",
+        shingleSize = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      val cc = Dedup.connectedComponents(dd.select("doc_id"), "doc_id",
+        pairs, "id_a", "id_b")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      cc.join(dd.select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(min(when(col("rn") === 1, col("doc_id"))).as("keep_doc_id"),
+          count(lit(1)).as("cluster_size"),
+          sum(col("n_chars")).as("total_chars"))
+    },
+    Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+        FROM toks, unnest(generate_series(1, len(tk) - 2)) AS g(i)
+        WHERE len(tk) >= 3),
+      hx AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT) % 2147483647
+          AS h FROM sh),
+      sig AS (SELECT doc_id, i AS hash_idx,
+        min((h * ((2654435761 * (i+1)) % 2147483647)
+          + ((40503 * (i+1)) % 2147483647)) % 2147483647) AS min_hash
+        FROM hx, unnest(generate_series(0, 31)) AS g(i) GROUP BY 1, 2),
+      band AS (SELECT doc_id, hash_idx // 4 AS band,
+        list(min_hash ORDER BY hash_idx) AS bsig FROM sig GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+          AND a.doc_id < b.doc_id),
+      pairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+          CAST(sum(CASE WHEN sa.min_hash = sb.min_hash THEN 1 ELSE 0 END)
+            AS DOUBLE) / 32 AS ej
+          FROM cand
+          JOIN sig sa ON sa.doc_id = id_a
+          JOIN sig sb ON sb.doc_id = id_b AND sa.hash_idx = sb.hash_idx
+          GROUP BY 1, 2) WHERE ej >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, m) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.id, e.dst FROM reach r JOIN edges e ON r.m = e.src),
+      cc AS (SELECT id AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1),
+      ranked AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars, row_number()
+        OVER (PARTITION BY cc.cluster_id
+          ORDER BY d.n_chars DESC, cc.doc_id) AS rn
+        FROM cc JOIN documents d USING (doc_id))
+      SELECT cluster_id,
+        min(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+        count(*) AS cluster_size, sum(n_chars) AS total_chars
+      FROM ranked GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(a26, a27, a28, a29, a30, w11, w12, m10, m11, m11b,
-    t18, t19, o9, w13, j14, m12, m13, w14)
+    t18, t19, o9, w13, j14, m12, m13, w14, d10, m14, t20)
 }

@@ -681,6 +681,45 @@ object QueriesF {
         count(*) AS cluster_size, sum(n_chars) AS total_chars
       FROM ranked GROUP BY 1"""))
 
+  // M15 — robust outlier detection via median absolute deviation:
+  // |x − median| > 3·1.4826·MAD, the resistant alternative to m5's
+  // mean/stddev z-score (one corrupted decade of values moves a mean,
+  // not a median). Exact medians are order statistics, so the two
+  // nesting levels (median, then median of deviations) are inherently
+  // two aggregate passes — each a narrow (key, value) scan with the
+  // tiny per-key medians broadcast back; the single-pass trade-off at
+  // 100 TB is approx_percentile (a1b's pattern).
+  val m15 = Q("m15_mad_outliers",
+    (s, d) => {
+      val e = ev(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val med = e.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val mad = e.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("med")).as("med"),
+          percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+      e.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          round(first(col("med")) + lit(1e-9), 6).as("med"),
+          round(first(col("mad")) + lit(1e-9), 6).as("mad"),
+          sum(when(abs(col("value") - col("med"))
+            > lit(3 * 1.4826) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    },
+    Some("""WITH e AS (SELECT event_type, value FROM events
+        WHERE value IS NOT NULL),
+      med AS (SELECT event_type, median(value) AS med FROM e GROUP BY 1),
+      mad AS (SELECT e.event_type, any_value(m.med) AS med,
+        median(abs(e.value - m.med)) AS mad
+        FROM e JOIN med m USING (event_type) GROUP BY 1)
+      SELECT e.event_type, round(any_value(m.med) + 1e-9, 6) AS med,
+        round(any_value(m.mad) + 1e-9, 6) AS mad,
+        sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+          THEN 1 ELSE 0 END) AS n_outliers
+      FROM e JOIN mad m USING (event_type) GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(a26, a27, a28, a29, a30, w11, w12, m10, m11, m11b,
-    t18, t19, o9, w13, j14, m12, m13, w14, d10, m14, t20)
+    t18, t19, o9, w13, j14, m12, m13, w14, d10, m14, t20, m15)
 }

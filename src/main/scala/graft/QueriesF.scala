@@ -720,6 +720,405 @@ object QueriesF {
           THEN 1 ELSE 0 END) AS n_outliers
       FROM e JOIN mad m USING (event_type) GROUP BY 1"""))
 
+  // G1 — PageRank over the customer→supplier interaction graph (edges =
+  // distinct (o_custkey, supplier) pairs through orders⋈lineitem; supplier
+  // node ids mapped to −(suppkey+1) so the two key spaces can't collide —
+  // both key families start at 0, so plain negation would alias 0). Exercises the
+  // full power-method formulation: every supplier is dangling (bipartite
+  // directed graph), so the dangling-mass redistribution term carries
+  // ~half the rank each round — a degenerate-looking but maximally
+  // algorithm-exercising topology. 3 iterations here so the unrolled
+  // oracle stays readable (the operator defaults to 5); each iteration is
+  // ONE shuffle + a broadcast 1-row dangling aggregate, ranks
+  // localCheckpoint'd per round — see operators/Graph.scaladoc for the
+  // 100 TB partitioning argument.
+  val g1 = Q("g1_pagerank",
+    (s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (-(col("l_suppkey") + 1)).as("dst"))
+      val nodes = Tables.customer(s, d).select(col("c_custkey").as("id"))
+        .union(Tables.supplier(s, d).select((-(col("s_suppkey") + 1)).as("id")))
+      Graph.pageRank(nodes, "id", edges, "src", "dst", iters = 3)
+        .select(col("id"),
+          round(col("pagerank") + lit(1e-9), 6).as("pagerank"))
+    },
+    Some("""WITH nodes AS (SELECT c_custkey AS id FROM customer
+        UNION ALL SELECT -(s_suppkey + 1) FROM supplier),
+      edges AS (SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes, nn),
+      d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+        LEFT JOIN outdeg o ON r0.id = o.src WHERE o.src IS NULL),
+      c1 AS (SELECT e.dst AS id, sum(r0.r / o.od) AS c FROM edges e
+        JOIN r0 ON r0.id = e.src JOIN outdeg o ON o.src = e.src GROUP BY 1),
+      r1 AS (SELECT nodes.id,
+          0.15 / nn.n + 0.85 * (coalesce(c1.c, 0) + d1.dm / nn.n) AS r
+        FROM nodes LEFT JOIN c1 ON nodes.id = c1.id, nn, d1),
+      d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+        LEFT JOIN outdeg o ON r1.id = o.src WHERE o.src IS NULL),
+      c2 AS (SELECT e.dst AS id, sum(r1.r / o.od) AS c FROM edges e
+        JOIN r1 ON r1.id = e.src JOIN outdeg o ON o.src = e.src GROUP BY 1),
+      r2 AS (SELECT nodes.id,
+          0.15 / nn.n + 0.85 * (coalesce(c2.c, 0) + d2.dm / nn.n) AS r
+        FROM nodes LEFT JOIN c2 ON nodes.id = c2.id, nn, d2),
+      d3 AS (SELECT coalesce(sum(r), 0) AS dm FROM r2
+        LEFT JOIN outdeg o ON r2.id = o.src WHERE o.src IS NULL),
+      c3 AS (SELECT e.dst AS id, sum(r2.r / o.od) AS c FROM edges e
+        JOIN r2 ON r2.id = e.src JOIN outdeg o ON o.src = e.src GROUP BY 1),
+      r3 AS (SELECT nodes.id,
+          0.15 / nn.n + 0.85 * (coalesce(c3.c, 0) + d3.dm / nn.n) AS r
+        FROM nodes LEFT JOIN c3 ON nodes.id = c3.id, nn, d3)
+      SELECT id, round(r + 1e-9, 6) AS pagerank FROM r3"""))
+
+  // M16 — first-order Markov transition matrix over per-user event-type
+  // sequences: P(next=dst | cur=src) with counts. ONE user-partitioned
+  // shuffle computes every adjacent pair via lead(); the transition
+  // matrix is ≤ |event_types|² ≈ 25 cells, so the row-normalizing window
+  // rides a trivially small frame. The sequence-model analogue of a27's
+  // fixed funnel: order-sensitive, but over ALL transitions.
+  val m16 = Q("m16_markov_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, d).where(col("ts").isNotNull)
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .where(col("dst").isNotNull)
+        .select(col("event_type").as("src"), col("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(
+          col("n") / sum(col("n")).over(Window.partitionBy(col("src")))
+            + lit(1e-9), 6))
+    },
+    Some("""WITH seq AS (SELECT event_type AS src,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS dst
+        FROM events WHERE ts IS NOT NULL),
+      t AS (SELECT src, dst, count(*) AS n FROM seq
+        WHERE dst IS NOT NULL GROUP BY 1, 2)
+      SELECT src, dst, n,
+        round(n / sum(n) OVER (PARTITION BY src) + 1e-9, 6) AS p FROM t"""))
+
+  // T21 — importance-weighted corpus sampling (Efraimidis–Spirakis A-ES,
+  // see operators/Sampling.weightedSample): u^(1/w) scoring with a
+  // md5-seeded deterministic uniform, w = document length, global top-100.
+  // TakeOrdered physical plan (partial per-partition heaps) — no global
+  // sort shuffle, O(k) task memory at any corpus size; the seeded draw
+  // makes the "random" sample engine- and retry-reproducible, which is
+  // what lets the same SQL run in DuckDB as the oracle.
+  val t21 = Q("t21_weighted_sample",
+    (s, d) => Sampling.weightedSample(
+        Tables.documents(s, d)
+          .select(col("doc_id"), length(col("text")).cast("double").as("w")),
+        "doc_id", "w", k = 100)
+      .select(col("doc_id"), col("w").cast("long").as("w"),
+        round(col("sample_key") + lit(1e-9), 6).as("skey")),
+    Some("""WITH k AS (SELECT doc_id, CAST(len(text) AS DOUBLE) AS w,
+        (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+          AS BIGINT) + 0.5) / 72057594037927936.0 AS u
+      FROM documents)
+      SELECT doc_id, CAST(w AS BIGINT) AS w,
+        round(pow(u, 1.0 / w) + 1e-9, 6) AS skey
+      FROM k ORDER BY pow(u, 1.0 / w) DESC, doc_id LIMIT 100"""))
+
+  // M17 — population stability index: distribution drift of `value`
+  // between the first and second half of the month, per event type, over
+  // m10's fixed bins. PSI = Σ (p−q)·ln(p/q) with add-one smoothing so
+  // empty bins stay finite. ONE conditional-aggregate scan produces both
+  // periods' bin counts (no self-join, no second pass); the per-type
+  // normalizing totals ride a window over the ≤ types×bins cell frame.
+  // Add-one smoothing is over the OBSERVED bins of each type (a bin
+  // empty in one period stays finite; a bin empty in both is absent from
+  // the frame and contributes 0 drift on both engines). The drift
+  // monitor you run per ingest batch at 100 TB — it costs one
+  // map-side-combinable groupBy.
+  val m17 = Q("m17_psi_drift",
+    (s, d) => {
+      val split = lit("2024-01-16").cast("timestamp")
+      val cells = ev(s, d).where(col("value").isNotNull)
+        .withColumn("bin",
+          least(greatest(floor(col("value") / lit(histStep)), lit(0L)),
+            lit((histBins - 1).toLong)))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("ts") < split, 1L).otherwise(0L)).as("na"),
+          sum(when(col("ts") >= split, 1L).otherwise(0L)).as("nb"))
+      val w = Window.partitionBy(col("event_type"))
+      cells
+        .withColumn("p", (col("na") + 1.0)
+          / (sum(col("na")).over(w) + count(lit(1)).over(w)))
+        .withColumn("q", (col("nb") + 1.0)
+          / (sum(col("nb")).over(w) + count(lit(1)).over(w)))
+        .groupBy(col("event_type"))
+        .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q")))
+          + lit(1e-9), 6).as("psi"))
+    },
+    Some("""WITH cells AS (SELECT event_type,
+        CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin,
+        sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS na,
+        sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS nb
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      pq AS (SELECT event_type,
+        (na + 1.0) / (sum(na) OVER (PARTITION BY event_type)
+          + count(*) OVER (PARTITION BY event_type)) AS p,
+        (nb + 1.0) / (sum(nb) OVER (PARTITION BY event_type)
+          + count(*) OVER (PARTITION BY event_type)) AS q
+        FROM cells)
+      SELECT event_type, round(sum((p - q) * ln(p / q)) + 1e-9, 6) AS psi
+      FROM pq GROUP BY 1"""))
+
+  // A31 — multi-touch attribution: every purchase's value credited to the
+  // channel (props.k mod 8) of the user's FIRST click and of the LAST
+  // click preceding it. One user-partitioned window pass computes both
+  // carried channels via first/last(..., ignoreNulls) over an unbounded-
+  // preceding frame — no self-join, no per-model scan; the two models
+  // then unpivot into (model, channel) rows through one explode, so the
+  // final aggregate is a single shuffle over purchase rows only.
+  // Purchases with no prior click credit channel −1.
+  val a31 = Q("a31_attribution",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val clickCh = when(col("event_type") === "click",
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+          .cast("long") % 8)
+      ev(s, d).where(col("ts").isNotNull)
+        .withColumn("first_ch", first(clickCh, ignoreNulls = true).over(w))
+        .withColumn("last_ch", last(clickCh, ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("value"), explode(array(
+          struct(lit("first_touch").as("model"),
+            coalesce(col("first_ch"), lit(-1L)).as("channel")),
+          struct(lit("last_touch").as("model"),
+            coalesce(col("last_ch"), lit(-1L)).as("channel")))).as("mc"))
+        .groupBy(col("mc.model").as("model"), col("mc.channel").as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")) + lit(1e-9), 4).as("attributed_value"))
+    },
+    Some("""WITH seq AS (SELECT event_type, value,
+        first_value(CASE WHEN event_type = 'click'
+            THEN CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 8 END
+            IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_ch,
+        last_value(CASE WHEN event_type = 'click'
+            THEN CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 8 END
+            IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ch
+        FROM events WHERE ts IS NOT NULL),
+      p AS (SELECT * FROM seq
+        WHERE event_type = 'purchase' AND value IS NOT NULL),
+      stacked AS (
+        SELECT 'first_touch' AS model, coalesce(first_ch, -1) AS channel,
+          value FROM p
+        UNION ALL
+        SELECT 'last_touch', coalesce(last_ch, -1), value FROM p)
+      SELECT model, channel, count(*) AS n_purchases,
+        round(sum(value) + 1e-9, 4) AS attributed_value
+      FROM stacked GROUP BY 1, 2"""))
+
+  // G2 — bipartite projection of the customer↔supplier graph: supplier
+  // pairs weighted by shared-customer count (the co-occurrence graph that
+  // feeds item-item similarity / co-purchase analysis). Distinct edges
+  // first, then a self-equi-join on the customer key with s1 < s2 — the
+  // fan-out per join key is the customer's distinct-supplier degree, so
+  // the pair space is Σ deg², NOT |edges|²; at 100 TB you cap hub
+  // degrees (drop or sample customers above a degree bound) before
+  // projecting — the same guard as t7's df≤100 shingle prune.
+  val g2 = Q("g2_cooccurrence_projection",
+    (s, d) => {
+      val e = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val a = e.select(col("c"), col("sp").as("s1"))
+      val b = e.select(col("c"), col("sp").as("s2"))
+      a.join(b, Seq("c")).where(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("shared_customers"))
+    },
+    Some("""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      SELECT a.sp AS s1, b.sp AS s2, count(*) AS shared_customers
+      FROM e a JOIN e b ON a.c = b.c AND a.sp < b.sp
+      GROUP BY 1, 2"""))
+
+  // O10 — slowly-changing-dimension type-2 history build: each user's
+  // "tier" attribute (props.k mod 4) becomes versioned rows with
+  // [valid_from, valid_to) and an is_current flag. ONE user-partitioned
+  // window sort serves both steps: lag() marks change points, rows
+  // between changes collapse away in the filter, lead() closes each
+  // segment. No self-join, no MERGE loop — the whole dimension history
+  // is a single shuffle, which is what makes nightly SCD2 rebuilds
+  // feasible on a 100 TB event log (and the incremental form is just
+  // the same plan over new days unioned with each key's open segment).
+  val o10 = Q("o10_scd2_history",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val seg = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"))
+      ev(s, d).where(col("ts").isNotNull)
+        .withColumn("tier",
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+            .cast("long") % 4)
+        .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+        .where(col("prev_tier").isNull || col("prev_tier") =!= col("tier"))
+        .select(col("user_id"), col("tier"), col("ts").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(seg))
+        .withColumn("is_current", col("valid_to").isNull)
+    },
+    Some("""WITH t AS (SELECT user_id, ts, event_id,
+        CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 4 AS tier
+        FROM events WHERE ts IS NOT NULL),
+      marked AS (SELECT user_id, tier, ts,
+        lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_tier
+        FROM t),
+      seg AS (SELECT user_id, tier, ts AS valid_from FROM marked
+        WHERE prev_tier IS NULL OR prev_tier <> tier)
+      SELECT user_id, tier, valid_from,
+        lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+          AS valid_to,
+        lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+          IS NULL AS is_current
+      FROM seg"""))
+
+  // W15 — seasonality-adjusted anomaly detection: each (event_type, day)
+  // total scored against the mean/stddev of the SAME WEEKDAY for that
+  // type — the deseasonalized z-score that keeps Monday-vs-Sunday level
+  // shifts from reading as anomalies. The weekday baseline is an
+  // aggregate window over the already-daily frame (≤ types×days rows),
+  // so the fact table is scanned once; at 100 TB the baseline would be
+  // an incremental per-(type,weekday) state (a29's mergeable pattern).
+  // Days with |z| > 2 are flagged.
+  val w15 = Q("w15_seasonal_anomaly",
+    (s, d) => {
+      val daily = ev(s, d).where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
+        .agg(sum(col("value")).as("v"))
+        .withColumn("wd", dayofweek(col("event_date")))
+      val w = Window.partitionBy(col("event_type"), col("wd"))
+      daily
+        .withColumn("mu", avg(col("v")).over(w))
+        .withColumn("sd", stddev_samp(col("v")).over(w))
+        .select(col("event_type"), col("event_date"),
+          round(col("v") + lit(1e-9), 6).as("v"),
+          round(((col("v") - col("mu")) / col("sd")) + lit(1e-9), 6).as("z"),
+          (abs((col("v") - col("mu")) / col("sd")) > 2).as("is_anomaly"))
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS event_date,
+        sum(value) AS v FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      wd AS (SELECT *, dayofweek(event_date) + 1 AS wd FROM daily),
+      scored AS (SELECT event_type, event_date, v,
+        avg(v) OVER (PARTITION BY event_type, wd) AS mu,
+        stddev_samp(v) OVER (PARTITION BY event_type, wd) AS sd
+        FROM wd)
+      SELECT event_type, event_date, round(v + 1e-9, 6) AS v,
+        round((v - mu) / sd + 1e-9, 6) AS z,
+        abs((v - mu) / sd) > 2 AS is_anomaly
+      FROM scored"""))
+
+  // M18 — Benford's-law conformance of the value column: observed
+  // first-significant-digit shares vs the log10(1+1/d) expectation, the
+  // classic synthetic/fraudulent-data screen. The leading digit is taken
+  // from the decimal string of floor(value·10⁶) — NOT via
+  // floor(log10(v)) exponent math, whose power-of-ten boundary rounding
+  // (log10(100) ⇒ 1.999…) is engine-dependent; string heads are exact on
+  // both engines. One map-side-combinable groupBy; the share-normalizing
+  // window rides the ≤9-row digit frame.
+  val m18 = Q("m18_benford",
+    (s, d) => {
+      val digits = ev(s, d)
+        .where(col("value").isNotNull && col("value") >= 0.001)
+        .select(substring(floor(col("value") * 1e6).cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      digits
+        .withColumn("share",
+          round(col("n") / sum(col("n")).over(Window.partitionBy())
+            + lit(1e-9), 6))
+        .withColumn("expected",
+          round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+            + lit(1e-9), 6))
+    },
+    Some("""WITH digits AS (SELECT
+        CAST(substr(CAST(CAST(floor(value * 1e6) AS BIGINT) AS VARCHAR),
+          1, 1) AS INT) AS digit,
+        count(*) AS n
+        FROM events WHERE value IS NOT NULL AND value >= 0.001 GROUP BY 1)
+      SELECT digit, n,
+        round(n / sum(n) OVER () + 1e-9, 6) AS share,
+        round(ln(1.0 + 1.0 / digit) / ln(10.0) + 1e-9, 6) AS expected
+      FROM digits"""))
+
+  // M19 — Gini concentration coefficient of value per event type, exact
+  // via the sorted-rank formula G = Σ(2i−n−1)·xᵢ / (n·Σxᵢ): ONE
+  // partitioned sort assigns ranks, then a plain aggregate — no O(n²)
+  // pairwise |xᵢ−xⱼ| sum. Tie order between equal values doesn't change
+  // the statistic (swapping equal xᵢ across ranks is a no-op in the
+  // sum), so the event_id tie-break is for determinism only.
+  val m19 = Q("m19_gini",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      ev(s, d).where(col("value").isNotNull && col("value") >= 0)
+        .withColumn("i", row_number().over(w).cast("double"))
+        .withColumn("nn", count(lit(1))
+          .over(Window.partitionBy(col("event_type"))).cast("double"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_values"),
+          round(sum((lit(2.0) * col("i") - col("nn") - 1) * col("value"))
+            / (count(lit(1)) * sum(col("value"))) + lit(1e-9), 6)
+            .as("gini"))
+    },
+    Some("""WITH ranked AS (SELECT event_type, value,
+        CAST(row_number() OVER (PARTITION BY event_type
+          ORDER BY value, event_id) AS DOUBLE) AS i,
+        count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL AND value >= 0)
+      SELECT event_type, count(*) AS n_values,
+        round(sum((2.0 * i - n - 1) * value) / (count(*) * sum(value))
+          + 1e-9, 6) AS gini
+      FROM ranked GROUP BY 1"""))
+
+  // T22 — unigram-LM surprise scoring: every document scored by the mean
+  // negative log-probability of its tokens under the corpus's own
+  // unigram model — the cheap statistical stand-in for perplexity-based
+  // quality filtering (high surprise = rare-token soup, low = boilerplate).
+  // Two aggregates: vocabulary counts (map-side combinable), then a
+  // vocab⋈tokens broadcast join back — the corpus is scanned twice but
+  // the second scan carries only (doc_id, token). The total-token
+  // normalizer is a window over the vocab frame (|vocab| rows, not the
+  // corpus).
+  val t22 = Q("t22_unigram_surprise",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          col("n") / sum(col("n")).over(Window.partitionBy()))
+      toks.join(broadcast(vocab.select(col("tok"), col("p"))), "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log(col("p"))) + lit(1e-9), 6).as("surprise"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents) WHERE tok <> ''),
+      vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+      tot AS (SELECT sum(n) AS t FROM vocab)
+      SELECT doc_id, count(*) AS n_tokens,
+        round(avg(-ln(vocab.n / tot.t)) + 1e-9, 6) AS surprise
+      FROM toks JOIN vocab USING (tok) CROSS JOIN tot GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(a26, a27, a28, a29, a30, w11, w12, m10, m11, m11b,
-    t18, t19, o9, w13, j14, m12, m13, w14, d10, m14, t20, m15)
+    t18, t19, o9, w13, j14, m12, m13, w14, d10, m14, t20, m15, g1, m16,
+    t21, m17, a31, g2, o10, w15, m18, m19, t22)
 }

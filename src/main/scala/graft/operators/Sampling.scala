@@ -60,4 +60,24 @@ object Sampling {
     withShard(df, keyCol, numShards)
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(keyCol))
+
+  /** Efraimidis–Spirakis weighted sampling without replacement (A-ES):
+    * each row draws a deterministic uniform u ∈ (0,1) from md5(key) and
+    * scores u^(1/w); the k largest scores ARE a weight-proportional
+    * sample. `orderBy.limit(k)` compiles to TakeOrdered — per-partition
+    * partial top-k heaps merged once — NOT a global sort shuffle, so
+    * memory is O(k) per task at any corpus size. The md5-seeded draw
+    * makes the sample identical across engines, runs, and task retries —
+    * the reproducibility a 100 TB sampling job needs to be resumable.
+    * Weights must be strictly positive.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame =
+    df.withColumn("__u",
+        (Dedup.md5Hash56(col(keyCol).cast("string")).cast("double") + 0.5)
+          / lit(math.pow(2.0, 56)))
+      .withColumn("sample_key", pow(col("__u"), lit(1.0) / col(weightCol)))
+      .orderBy(col("sample_key").desc, col(keyCol))
+      .limit(k)
+      .drop("__u")
 }

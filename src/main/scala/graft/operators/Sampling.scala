@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling and dataset splitting.
@@ -80,4 +81,22 @@ object Sampling {
       .orderBy(col("sample_key").desc, col(keyCol))
       .limit(k)
       .drop("__u")
+
+  /** Per-group cap — domain balancing for a training corpus: keep at most
+    * `cap` rows per group, chosen by a deterministic md5-of-key order so
+    * the survivor set is reproducible across runs, engines, and task
+    * retries (NOT "first cap rows seen", which depends on scan order).
+    * One shuffle on the group key. A mega-domain (web crawl dominating
+    * the mix) makes that partition hot; because the order key is a
+    * uniform hash, the scale remedy is a map-side pre-filter: estimate
+    * each big domain's cap-th md5 quantile from a sample, filter
+    * `md5 <= threshold·(1+ε)` before the shuffle, then run this exact
+    * operator on the survivors — same result, bounded partition size.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= cap)
+  }
 }

@@ -205,6 +205,39 @@ object TextAnalysis {
     * names) block on q-gram signatures instead — same join shape, tighter
     * candidate set.
     */
+  /** Overlapping token-window chunking — the context-window prep step of
+    * an LLM training pipeline: each document becomes chunks of up to
+    * `chunkLen` tokens starting every `stride` tokens, so consecutive
+    * chunks overlap by `chunkLen - stride` tokens and the document tail is
+    * always covered. Start offsets are `0, stride, 2·stride, …` up to the
+    * last offset that contributes tokens the previous chunk didn't already
+    * cover (`n - chunkLen + stride - 1`), so no chunk is a strict suffix
+    * of its predecessor. Pure `sequence`/`explode`/`slice` column algebra:
+    * narrow per-row expansion, no shuffle, no UDF — chunking 100 TB is
+    * scan-speed map work, and output rows inherit the input's
+    * partitioning. Blank documents produce no chunks.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkLen >= stride,
+      s"need 0 < stride <= chunkLen, got stride=$stride chunkLen=$chunkLen")
+    // Squeeze runs of whitespace to single spaces BEFORE trimming: trim
+    // only strips ' ' (not \n\t), so a whitespace-only doc would otherwise
+    // survive the blank filter and chunk into empty tokens.
+    val cleaned = trim(regexp_replace(col(textCol), "\\s+", " "))
+    val toks = split(cleaned, " ")
+    df.where(length(cleaned) > 0)
+      .withColumn("__toks", toks)
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__start", explode(sequence(lit(0),
+        greatest(col("__n") - chunkLen + stride - 1, lit(0)), lit(stride))))
+      .select(col(idCol),
+        (col("__start") / stride).cast("int").as("chunk_idx"),
+        least(col("__n") - col("__start"), lit(chunkLen)).as("chunk_tokens"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkLen)), " ")
+          .as("chunk_text"))
+  }
+
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))

@@ -96,5 +96,100 @@ object QueriesG {
       SELECT w1, w2, cnt, round(cnt / tot + 1e-9, 6) AS cond_p
       FROM r WHERE rn = 1 AND tot >= 20"""))
 
-  val all: Seq[Q] = Seq(t23, t24, t25)
+  // T26 — Unicode canonicalization: NFC via the custom codegen'd
+  // UnicodeNormalize expression (Spark has no built-in; DuckDB ships
+  // nfc_normalize), strip-accents composed as NFD + regex-drop \p{M}.
+  // The fixture corpus is ASCII, so a decomposed suffix ('cafe'+U+0301,
+  // 'du'+U+0308+'ne') is planted onto each row to force real composition
+  // work — composed_delta == 2 proves NFC actually merged both marks.
+  // Without this canonicalization step, exact-dedup digests (t3) and
+  // MinHash shingles (t5) treat 'é' and 'e'+◌́ as different documents.
+  val t26 = Q("t26_unicode_normalize",
+    (s, d) => {
+      import graft.expressions.UnicodeNormalize
+      val planted = concat(substring(col("text"), 1, 40),
+        lit(" cafe\u0301 du\u0308ne")) // decomposed: e+U+0301, u+U+0308
+      docs(s, d).select(col("doc_id"),
+        UnicodeNormalize.nfc(planted).as("nfc_text"),
+        regexp_replace(UnicodeNormalize.nfd(planted), "\\p{M}", "")
+          .as("ascii_text"),
+        (length(planted) - length(UnicodeNormalize.nfc(planted)))
+          .as("composed_delta"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        substr(text, 1, 40) || ' cafe' || chr(769) || ' du' || chr(776) || 'ne' AS planted
+        FROM documents)
+      SELECT doc_id, nfc_normalize(planted) AS nfc_text,
+        strip_accents(planted) AS ascii_text,
+        length(planted) - length(nfc_normalize(planted)) AS composed_delta
+      FROM p"""))
+
+  // J15 — Bloom-filter semi-join reduction: the urgent-orders dimension
+  // builds a Bloom filter once (one deliberate pass over the SMALL side —
+  // the same two-phase shape Spark's own InjectRuntimeFilter produces);
+  // the lineitem fact side drops non-members BEFORE the join shuffle via
+  // the codegen'd might-contain probe, then an exact semi join removes
+  // the false positives. Oracle = the plain semi join: the pre-filter
+  // provably changes cost, not semantics. At 100 TB this is the
+  // difference between shuffling the full fact table and shuffling the
+  // matching fraction + ε.
+  val j15 = Q("j15_bloom_semi_join",
+    (s, d) => {
+      import graft.expressions.BloomMightContain
+      val dim = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bloom = dim.stat.bloomFilter("o_orderkey", 100000, 0.01)
+      Tables.lineitem(s, d)
+        .where(BloomMightContain(col("l_orderkey"), bloom))
+        .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            + lit(1e-9), 2).as("rev"))
+    },
+    Some("""SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+        round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS rev
+      FROM lineitem WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')"""))
+
+  // G3 — exact triangle census on the supplier co-occurrence backbone:
+  // the 500 strongest co-occurrence edges (total-ordered by weight then
+  // endpoints, so the backbone is deterministic at any scale factor),
+  // counted via degree-oriented wedge joins (operator scaladoc derives
+  // the O(√m) out-degree bound). The oracle counts triangles with the
+  // naive three-way self-join — different algorithm, same census, which
+  // is exactly what makes this a strong correctness check of the
+  // orientation logic.
+  val g3 = Q("g3_triangle_count",
+    (s, d) => {
+      val e0 = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val pairs = e0.select(col("c"), col("sp").as("s1"))
+        .join(e0.select(col("c"), col("sp").as("s2")), Seq("c"))
+        .where(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("sc"))
+      val backbone = pairs
+        .orderBy(col("sc").desc, col("s1"), col("s2")).limit(500)
+        .select(col("s1"), col("s2"))
+      Graph.triangleStats(backbone)
+    },
+    Some("""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      p AS (SELECT a.sp AS s1, b.sp AS s2, count(*) AS sc
+        FROM e0 a JOIN e0 b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2),
+      e AS (SELECT s1, s2 FROM p ORDER BY sc DESC, s1, s2 LIMIT 500),
+      tri AS (SELECT count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.s1 = e1.s1 AND e2.s2 > e1.s2
+                  JOIN e e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2),
+      deg AS (SELECT v, count(*) AS d FROM
+        (SELECT s1 AS v FROM e UNION ALL SELECT s2 AS v FROM e) GROUP BY 1),
+      w AS (SELECT sum(d * (d - 1) / 2) AS n_wedges FROM deg)
+      SELECT n_triangles, CAST(n_wedges AS BIGINT) AS n_wedges,
+        round(3.0 * n_triangles / n_wedges + 1e-9, 6) AS clustering_coeff
+      FROM tri, w"""))
+
+  val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3)
 }

@@ -34,6 +34,58 @@ object Graph {
     * At 100 TB: edges partition by src once and every round reuses that
     *   partitioning; ranks are |V| rows (thin), the only per-round state.
     */
+  /** Exact triangle count + wedge count + global clustering coefficient
+    * over an undirected edge list (`s1 < s2`, no duplicates), via DEGREE
+    * ORIENTATION — the standard trick that makes distributed triangle
+    * counting feasible: orient every edge from its lower-(degree, id)
+    * endpoint to its higher one, then count directed wedges u→v, u→w
+    * (v before w in the same total order) closed by v→w. Orientation
+    * bounds every node's out-degree by O(√m) regardless of how skewed
+    * the raw degree distribution is — the hub that would explode a naive
+    * wedge self-join (deg² pairs on a celebrity node) contributes almost
+    * no out-wedges because nearly all its edges point INTO it. The wedge
+    * join is an equi-join on u and the closing check an equi-join on
+    * (v, w): both hash-partitionable, total work O(m^1.5) worst case.
+    * Degrees are |V| rows (thin) and broadcast back onto edges.
+    */
+  def triangleStats(edges: DataFrame, s1: String = "s1",
+      s2: String = "s2"): DataFrame = {
+    val e = edges.select(col(s1), col(s2))
+    val deg = e.select(col(s1).as("v"))
+      .unionAll(e.select(col(s2).as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // Orient: u = lower (d, id) endpoint, w_ = higher. Ties break on id,
+    // making the order total, so each undirected edge orients one way.
+    val withDeg = e
+      .join(broadcast(deg.withColumnRenamed("v", s1)
+        .withColumnRenamed("d", "d1")), s1)
+      .join(broadcast(deg.withColumnRenamed("v", s2)
+        .withColumnRenamed("d", "d2")), s2)
+    val oriented = withDeg.select(
+      when(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col(s1) < col(s2)), col(s1))
+        .otherwise(col(s2)).as("u"),
+      when(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col(s1) < col(s2)),
+        struct(col("d2").as("d"), col(s2).as("id")))
+        .otherwise(struct(col("d1").as("d"), col(s1).as("id"))).as("hi"))
+      .select(col("u"), col("hi.id").as("v"), col("hi").as("vrank"))
+    // Directed wedges out of u, ordered by the (deg, id) rank so each
+    // unordered out-pair is enumerated once; close with the oriented edge.
+    val w1 = oriented.select(col("u"), col("v").as("a"), col("vrank").as("ar"))
+    val w2 = oriented.select(col("u"), col("v").as("b"), col("vrank").as("br"))
+    val wedges = w1.join(w2, "u").where(col("ar") < col("br"))
+    val closing = oriented.select(col("u").as("a"), col("v").as("b"))
+    val tri = wedges.join(closing, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedgeCount = deg.agg((sum(col("d") * (col("d") - 1)) / 2)
+      .cast("long").as("n_wedges"))
+    tri.crossJoin(wedgeCount)
+      .select(col("n_triangles"), col("n_wedges"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges") + lit(1e-9), 6)
+          .as("clustering_coeff"))
+  }
+
   def pageRank(
       nodes: DataFrame, idCol: String,
       edges0: DataFrame, srcCol: String, dstCol: String,

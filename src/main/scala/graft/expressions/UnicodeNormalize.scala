@@ -69,4 +69,17 @@ object UnicodeNormalize {
     ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(c), "NFC"))
   def nfd(c: Column): Column =
     ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(c), "NFD"))
+
+  /** SQL constructor: `unicode_normalize(str[, 'NFC'|'NFD'|'NFKC'|'NFKD'])`.
+    * The form must be a string literal — it selects the codegen'd constant,
+    * so it cannot vary per row.
+    */
+  def fromSql(children: Seq[Expression]): Expression = children match {
+    case Seq(c) => UnicodeNormalize(c, "NFC")
+    case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(f, StringType))
+        if f != null =>
+      UnicodeNormalize(c, f.toString.toUpperCase)
+    case _ => throw new IllegalArgumentException(
+      "unicode_normalize(str[, form-literal])")
+  }
 }

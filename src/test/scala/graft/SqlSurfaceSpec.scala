@@ -34,5 +34,14 @@ class SqlSurfaceSpec extends SparkSpecBase {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY 1""")
     assert(joined.count() === 5)
+
+    // unicode_normalize: default NFC; explicit form literal; composition
+    // provable from the codepoint count.
+    val norm = spark.sql(
+      "SELECT unicode_normalize('café') AS c, " +
+        "length(unicode_normalize('café')) AS n, " +
+        "length(unicode_normalize('café', 'NFD')) AS d").head()
+    assert(norm.getString(0) == "café")
+    assert(norm.getInt(1) == 4 && norm.getInt(2) == 5)
   }
 }

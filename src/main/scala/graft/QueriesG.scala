@@ -191,5 +191,60 @@ object QueriesG {
         round(3.0 * n_triangles / n_wedges + 1e-9, 6) AS clustering_coeff
       FROM tri, w"""))
 
-  val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3)
+  // A29B — incremental VARIANCE: three disjoint thirds of the fact table
+  // are aggregated separately (as on successive ingest runs) into
+  // (cnt, sum, sumsq, min, max) states and merged key-wise; variance and
+  // stddev are derived only at read time. Oracle = one-shot closed form
+  // over the whole table, so a pass proves the second moment is truly
+  // algebraic under the 3-way merge (a29 proved it for first moments).
+  val a29b = Q("a29b_incremental_variance",
+    (s, d) => {
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+      val parts = (0 until 3).map(i =>
+        IncrementalAgg.state(e.where(pmod(col("event_id"), lit(3)) === i),
+          Seq("event_type"), "value"))
+      IncrementalAgg.finish(IncrementalAgg.merge(parts, Seq("event_type")))
+        .select(col("event_type"), col("cnt"),
+          round(col("variance") + lit(1e-9), 2).as("variance"),
+          round(col("stddev") + lit(1e-9), 4).as("stddev"))
+    },
+    Some("""SELECT event_type, count(value) AS cnt,
+        round((sum(value * value) - sum(value) * sum(value) / count(value))
+          / (count(value) - 1) + 1e-9, 2) AS variance,
+        round(sqrt((sum(value * value) - sum(value) * sum(value) / count(value))
+          / (count(value) - 1)) + 1e-9, 4) AS stddev
+      FROM events WHERE value IS NOT NULL GROUP BY 1"""))
+
+  // M20 — mergeable histogram quantile sketch: daily facts land in a
+  // weekly equi-width histogram state (ONE shuffle on (week, bin); state
+  // = weeks × ≤50 rows), and p50/p90/p99 are interpolated from the bins.
+  // The quantile analogue of a30's HLL rollup — but deterministic, so it
+  // carries a full SQL oracle instead of an error-bound spec. Accuracy
+  // is a fixed ±width/2; tighten by narrowing [lo, hi) or adding bins —
+  // state stays tiny either way. At 100 TB the sketch build is map-side
+  // combinable and the estimate never touches the facts again.
+  val m20 = Q("m20_histogram_quantile_sketch",
+    (s, d) => {
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+      val state = Stats.histogramState(e,
+        date_trunc("week", col("ts")).cast("date"), col("value"),
+        lo = 0.0, hi = 500.0, bins = 50)
+      Stats.histogramQuantiles(state, 0.0, 500.0, 50, Seq(0.5, 0.9, 0.99))
+    },
+    Some("""WITH h AS (
+        SELECT date_trunc('week', CAST(ts AS DATE)) AS period,
+          least(greatest(CAST(floor(value / 10.0) AS INT), 0), 49) AS bin,
+          count(*) AS cnt
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      c AS (SELECT period, bin, cnt,
+          sum(cnt) OVER (PARTITION BY period ORDER BY bin) AS cum,
+          sum(cnt) OVER (PARTITION BY period) AS total
+        FROM h),
+      e AS (SELECT period, bin, cnt, cum, total,
+        unnest([0.5, 0.9, 0.99]) AS p FROM c)
+      SELECT period, p,
+        round(10.0 * (bin + (p * total - (cum - cnt)) / cnt) + 1e-9, 6) AS q_est
+      FROM e WHERE cum >= p * total AND (cum - cnt) < p * total"""))
+
+  val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20)
 }

@@ -24,11 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
-  /** Build partial-aggregate state from a batch of rows. */
+  /** Build partial-aggregate state from a batch of rows. `sumsq` makes
+    * second moments mergeable by plain addition — (cnt, sum, sumsq) is
+    * the algebraic decomposition of variance. Numerically this is the
+    * textbook closed form, exact for data whose mean/σ ratio is modest
+    * (here ~10); for ill-conditioned data (mean/σ ≳ 10⁷ eats half the
+    * mantissa in the cancellation) switch the state to per-partition
+    * Welford/Chan (cnt, mean, M2) — same merge shape, stabler arithmetic.
+    */
   def state(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(count(col(valueCol)).as("cnt"),
         sum(col(valueCol)).as("sum"),
+        sum(col(valueCol) * col(valueCol)).as("sumsq"),
         min(col(valueCol)).as("min"),
         max(col(valueCol)).as("max"))
 
@@ -38,10 +46,18 @@ object IncrementalAgg {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
         sum(col("sum")).as("sum"),
+        sum(col("sumsq")).as("sumsq"),
         min(col("min")).as("min"),
         max(col("max")).as("max"))
 
-  /** Read-time finalization: derive the non-algebraic measures. */
+  /** Read-time finalization: derive the non-algebraic measures (never
+    * stored — merging a stored avg or variance would be wrong).
+    */
   def finish(state: DataFrame): DataFrame =
     state.withColumn("avg", col("sum") / col("cnt"))
+      .withColumn("variance",
+        when(col("cnt") > 1,
+          (col("sumsq") - col("sum") * col("sum") / col("cnt"))
+            / (col("cnt") - 1)))
+      .withColumn("stddev", sqrt(col("variance")))
 }

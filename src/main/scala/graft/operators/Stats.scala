@@ -88,6 +88,49 @@ object Stats {
     * the already-aggregated per-key series (one row per (series, key)),
     * so both sides are small; pairs are deduplicated by series name order.
     */
+  /** Mergeable equi-width histogram sketch: the quantile analogue of the
+    * HLL pattern (a30) — per-period bin counts are ALGEBRAIC state
+    * (merge = summing bins), so day sketches roll up to week/month/all-
+    * time without revisiting the facts, and two clusters' sketches merge
+    * with a union. Values clamp into [lo, hi) across `bins` equal bins;
+    * accuracy is ±width/2 per quantile, a FIXED, explainable bound —
+    * unlike GK/t-digest sketches the state is deterministic, so results
+    * are bit-identical across engines, runs, and merge orders (which is
+    * why this variant gets a full SQL oracle — a30's HLL can't).
+    * One shuffle on (period, bin); state = periods × bins rows.
+    */
+  def histogramState(df: DataFrame, periodCol: Column, valueCol: Column,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((valueCol - lo) / width).cast("int"), lit(0)), lit(bins - 1))
+    df.groupBy(periodCol.as("period"), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Estimate quantiles from (merged) histogram state by linear
+    * interpolation within the target bin. Windows ride the tiny state
+    * frame (periods × bins), never the facts.
+    */
+  def histogramQuantiles(state: DataFrame, lo: Double, hi: Double,
+      bins: Int, ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = (hi - lo) / bins
+    val w = Window.partitionBy(col("period")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("period"))
+    val cum = state
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+    cum.withColumn("p", explode(array(ps.map(lit(_)): _*)))
+      .withColumn("target", col("p") * col("total"))
+      .where(col("cum") >= col("target") &&
+        (col("cum") - col("cnt")) < col("target"))
+      .select(col("period"), col("p"),
+        round(lit(lo) + lit(width) * (col("bin") +
+          (col("target") - (col("cum") - col("cnt"))) / col("cnt"))
+          + lit(1e-9), 6).as("q_est"))
+  }
+
   def corrMatrix(df: DataFrame, seriesCol: String, keyCol: String,
       valueCol: String): DataFrame = {
     val a = df.select(col(seriesCol).as("series_a"), col(keyCol),

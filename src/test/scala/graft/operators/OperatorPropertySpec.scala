@@ -218,6 +218,43 @@ class OperatorPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("IncrementalAgg: merged-state variance equals var_samp; " +
+      "histogram sketch merge equals the directly built sketch") {
+    val rnd = new Random(31)
+    val rows = (1 to 600).map { _ =>
+      (rnd.nextInt(4).toString, rnd.nextDouble() * 100)
+    }.toDF("k", "v")
+    // Variance through a 3-way split/merge vs Spark's var_samp.
+    val parts = rows.withColumn("b", pmod(xxhash64(col("v")), lit(3)))
+    val merged = IncrementalAgg.finish(IncrementalAgg.merge(
+      (0 until 3).map(i => IncrementalAgg.state(
+        parts.where(col("b") === i).drop("b"), Seq("k"), "v")), Seq("k")))
+      .select("k", "variance").as[(String, Double)].collect().toMap
+    val direct = rows.groupBy("k").agg(var_samp(col("v")).as("v"))
+      .as[(String, Double)].collect().toMap
+    assert(merged.keySet === direct.keySet)
+    merged.foreach { case (k, v) =>
+      assert(math.abs(v - direct(k)) <= 1e-8 * math.max(1.0, direct(k)),
+        s"variance mismatch k=$k: $v vs ${direct(k)}")
+    }
+    // Histogram sketch: building per-batch states and summing bins must
+    // equal the sketch built from all rows at once (algebraic merge).
+    val weekAll = Stats.histogramState(rows, col("k"), col("v"), 0, 100, 20)
+    val batchStates = (0 until 3).map(i => Stats.histogramState(
+      parts.where(col("b") === i).drop("b"), col("k"), col("v"), 0, 100, 20))
+    val mergedHist = batchStates.reduce(_.unionByName(_))
+      .groupBy("period", "bin").agg(sum("cnt").as("cnt"))
+    val a = weekAll.orderBy("period", "bin")
+      .as[(String, Int, Long)].collect().toSeq
+    val b = mergedHist.orderBy("period", "bin")
+      .as[(String, Int, Long)].collect().toSeq
+    assert(a === b)
+    // And the interpolated median of uniform[0,100) data is near 50.
+    val q = Stats.histogramQuantiles(weekAll, 0, 100, 20, Seq(0.5))
+      .select("q_est").as[Double].collect()
+    q.foreach(m => assert(m > 35 && m < 65, s"median $m implausible"))
+  }
+
   // ---- connected components ------------------------------------------
 
   test("connectedComponents matches a sequential union-find on random " +

@@ -246,5 +246,80 @@ object QueriesG {
         round(10.0 * (bin + (p * total - (cum - cnt)) / cnt) + 1e-9, 6) AS q_est
       FROM e WHERE cum >= p * total AND (cum - cnt) < p * total"""))
 
-  val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20)
+  // MM3 — in-plan raster decode + resize: the first 64 payload BYTES are
+  // an 8×8 grayscale raster, 2×2 average-pooled to 4×4, with per-image
+  // mean and contrast — the resize/feature-extract step of an image
+  // pipeline as PURE column algebra over the binary column (byte i read
+  // via hex + dynamic substr + base-16 conv, all codegen'd; no UDF, no
+  // driver round-trip). A real codec replaces only the byte→pixel read;
+  // the pooling/window shape — explode 16 pool cells, windows over the
+  // 16-row per-asset frame — is exactly what it would keep at 100 TB.
+  val mm3 = Q("mm3_raster_pool",
+    (s, d) => {
+      val assets = Multimodal.toAssets(
+        docs(s, d).where(length(col("text")) >= 64), "doc_id", "text", "image")
+      val h = hex(col("payload"))
+      def pix(byteIdx: org.apache.spark.sql.Column) =
+        conv(h.substr(byteIdx * 2 + 1, lit(2)), 16, 10).cast("int")
+      val withPool = assets
+        .withColumn("pool_idx", explode(sequence(lit(0), lit(15))))
+        .withColumn("__b", (col("pool_idx") / 4).cast("int") * 16 +
+          pmod(col("pool_idx"), lit(4)) * 2)
+        .withColumn("pooled",
+          (pix(col("__b")) + pix(col("__b") + 1) +
+            pix(col("__b") + 8) + pix(col("__b") + 9)) / 4.0)
+      val w = Window.partitionBy(col("asset_id"))
+      withPool.select(col("asset_id"), col("pool_idx"),
+        round(col("pooled") + lit(1e-9), 2).as("pooled"),
+        round(avg(col("pooled")).over(w) + lit(1e-9), 2).as("img_mean"),
+        round(max(col("pooled")).over(w) - min(col("pooled")).over(w)
+          + lit(1e-9), 2).as("img_contrast"))
+    },
+    Some("""WITH a AS (SELECT doc_id AS asset_id, hex(encode(text)) AS h
+        FROM documents WHERE length(text) >= 64),
+      i AS (SELECT asset_id, h, unnest(generate_series(0, 15)) AS pool_idx FROM a),
+      p AS (SELECT asset_id, pool_idx,
+        (CAST('0x' || substr(h, ((pool_idx // 4) * 16 + (pool_idx % 4) * 2) * 2 + 1, 2) AS INT)
+       + CAST('0x' || substr(h, ((pool_idx // 4) * 16 + (pool_idx % 4) * 2 + 1) * 2 + 1, 2) AS INT)
+       + CAST('0x' || substr(h, ((pool_idx // 4) * 16 + (pool_idx % 4) * 2 + 8) * 2 + 1, 2) AS INT)
+       + CAST('0x' || substr(h, ((pool_idx // 4) * 16 + (pool_idx % 4) * 2 + 9) * 2 + 1, 2) AS INT)
+        ) / 4.0 AS pooled
+       FROM i)
+      SELECT asset_id, pool_idx, round(pooled + 1e-9, 2) AS pooled,
+        round(avg(pooled) OVER (PARTITION BY asset_id) + 1e-9, 2) AS img_mean,
+        round(max(pooled) OVER (PARTITION BY asset_id)
+          - min(pooled) OVER (PARTITION BY asset_id) + 1e-9, 2) AS img_contrast
+      FROM p"""))
+
+  // MM4 — frame sampling over a binary "video": payload split into
+  // 32-byte frames, every 3rd frame kept, each sampled frame carrying
+  // its content signature and offset. The explode is bounded by
+  // byte_len/96 rows per asset, and the frame signature is md5 over the
+  // hex image of exactly those 32 bytes (DuckDB's md5 is VARCHAR-only,
+  // so both engines sign the hex slice — same bytes, dedup-equivalent).
+  // This is the frame extraction a video pipeline runs before per-frame
+  // decode: no UDF, no payload copy ahead of the slice.
+  val mm4 = Q("mm4_frame_sample",
+    (s, d) => {
+      val assets = Multimodal.toAssets(
+        docs(s, d).where(length(col("text")) >= 64), "doc_id", "text", "video")
+      assets
+        .withColumn("frame_idx", explode(sequence(lit(0),
+          (col("byte_len") / 32).cast("int") - 1, lit(3))))
+        .select(col("asset_id"), col("frame_idx"),
+          (col("frame_idx") * 32).as("frame_offset"),
+          md5(hex(col("payload")).substr(col("frame_idx") * 64 + 1, lit(64)))
+            .as("frame_md5"))
+    },
+    Some("""WITH a AS (SELECT doc_id AS asset_id, hex(encode(text)) AS h,
+        octet_length(encode(text)) AS byte_len
+        FROM documents WHERE length(text) >= 64),
+      f AS (SELECT asset_id, h,
+        unnest(generate_series(0, CAST(byte_len // 32 AS INT) - 1, 3)) AS frame_idx
+        FROM a)
+      SELECT asset_id, frame_idx, frame_idx * 32 AS frame_offset,
+        md5(substr(h, frame_idx * 64 + 1, 64)) AS frame_md5
+      FROM f"""))
+
+  val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20, mm3, mm4)
 }

@@ -321,5 +321,80 @@ object QueriesG {
         md5(substr(h, frame_idx * 64 + 1, 64)) AS frame_md5
       FROM f"""))
 
-  val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20, mm3, mm4)
+  // ANN3 — reciprocal-rank fusion over two retrieval signals: cosine
+  // top-20 and euclidean top-20 per query, fused as Σ 1/(60+rank) over
+  // the union (a missing rank contributes 0), top-10 kept. RRF is the
+  // standard hybrid-search combiner (dense + sparse / multiple ANN
+  // probes) because it needs no score calibration — only ranks, which
+  // are deterministic here via total-order tie-breaks, so the whole
+  // fusion carries a full SQL oracle. Both signals share ONE pair
+  // computation (the distance algebra reuses the same codegen'd dot
+  // products); ranks ride two windows over the same pair frame; the
+  // fusion join is keyed on (query, neighbor) — hash-shuffleable, and
+  // at scale each signal's top-k comes from its ANN index (ann1/ann2)
+  // instead of the exact pair frame, same fusion downstream.
+  val ann3 = Q("ann3_rrf_fusion",
+    (s, d) => {
+      import graft.expressions.DotProduct.dot
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val pairs = broadcast(q).join(emb, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("qv"), col("v")) /
+            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))))
+            .as("cosine"),
+          sqrt(dot(col("qv"), col("qv")) + dot(col("v"), col("v"))
+            - lit(2) * dot(col("qv"), col("v"))).as("dist"))
+      val wCos = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val wL2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist").asc, col("neighbor_id"))
+      val ranked = pairs
+        .withColumn("rank_cos", row_number().over(wCos))
+        .withColumn("rank_l2", row_number().over(wL2))
+      val ra = ranked.where(col("rank_cos") <= 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank_cos"))
+      val rb = ranked.where(col("rank_l2") <= 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank_l2"))
+      val fused = ra.join(rb, Seq("query_id", "neighbor_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("rank_cos")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_l2")), lit(0.0)))
+      val wF = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("neighbor_id"))
+      fused.withColumn("fused_rank", row_number().over(wF))
+        .where(col("fused_rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("fused_rank"),
+          round(col("rrf") + lit(1e-9), 6).as("rrf_score"))
+    },
+    Some("""WITH pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine,
+          list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS dist
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id),
+      r AS (SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank_cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY dist ASC, neighbor_id) AS rank_l2
+        FROM pairs),
+      f AS (SELECT coalesce(ra.query_id, rb.query_id) AS query_id,
+          coalesce(ra.neighbor_id, rb.neighbor_id) AS neighbor_id,
+          coalesce(1.0 / (60 + ra.rank_cos), 0) +
+            coalesce(1.0 / (60 + rb.rank_l2), 0) AS rrf
+        FROM (SELECT * FROM r WHERE rank_cos <= 20) ra
+        FULL JOIN (SELECT * FROM r WHERE rank_l2 <= 20) rb
+          ON ra.query_id = rb.query_id AND ra.neighbor_id = rb.neighbor_id),
+      t AS (SELECT query_id, neighbor_id, rrf, row_number() OVER (
+          PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS fused_rank
+        FROM f)
+      SELECT query_id, neighbor_id, fused_rank,
+        round(rrf + 1e-9, 6) AS rrf_score
+      FROM t WHERE fused_rank <= 10"""))
+
+  val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20, mm3, mm4,
+    ann3)
 }

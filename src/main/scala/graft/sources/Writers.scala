@@ -87,6 +87,38 @@ object Writers {
   /** S8: versioned output dir (timestamped like the reference's
     * 2025-10-31_02-04-53 runs) + latest-version resolution.
     */
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetRowsPerFile`-row files. Streaming micro-batches, per-key
+    * dynamic partition overwrites, and speculative task retries all leave
+    * directories with thousands of KB-sized files; at 100 TB that file
+    * count — not the byte count — becomes the bottleneck (NameNode/
+    * listing pressure, one scan task per tiny file, per-file footer
+    * overhead). The rewrite is one job: count from parquet metadata
+    * (row-group footers, not a data scan), `repartition(n)` round-robin
+    * for even output sizes, write to a temp sibling, atomic-ish swap.
+    * Row-identical by construction; ordering is NOT preserved (parquet
+    * dirs are unordered sets — callers needing order sort on read, or
+    * use [[writeRangeClustered]] to compact and cluster in one pass).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetRowsPerFile: Long, compression: String = "zstd"): Unit = {
+    val df = spark.read.parquet(path)
+    val rows = df.count() // metadata-only: COUNT(*) over parquet footers
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    df.repartition(nFiles).write.mode("overwrite")
+      .option("compression", compression).parquet(tmp)
+    val target = Paths.get(path)
+    // Swap: remove originals, move compacted files in, drop the temp dir.
+    Files.list(target).forEach { p =>
+      if (!Files.isDirectory(p)) Files.delete(p)
+    }
+    Files.list(Paths.get(tmp)).forEach { p =>
+      Files.move(p, target.resolve(p.getFileName))
+    }
+    Files.delete(Paths.get(tmp))
+  }
+
   def versionedDir(base: String,
       now: LocalDateTime = LocalDateTime.now()): String = {
     val stamp = now.format(DateTimeFormatter.ofPattern("yyyy-MM-dd_HH-mm-ss"))

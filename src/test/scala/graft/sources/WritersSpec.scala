@@ -147,4 +147,19 @@ class WritersSpec extends SparkSpecBase {
     assert(back === Map("2024-01-01" -> 2.0, "2024-01-02" -> 40.0,
       "2024-01-03" -> 6.0, "2024-01-04" -> 8.0))
   }
+
+  test("compact: collapses a many-small-file dir, content identical") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    val df = (1 to 4000).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    // 64 tiny files, as a micro-batch sink would leave behind.
+    df.repartition(64).write.parquet(dir)
+    def parquetFiles = Files.list(Paths.get(dir)).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    assert(parquetFiles == 64)
+    Writers.compact(spark, dir, targetRowsPerFile = 2000)
+    assert(parquetFiles == 2)
+    val back = spark.read.parquet(dir).as[(Long, String)].collect()
+    assert(back.length == 4000)
+    assert(back.map(_._1).toSet == (1 to 4000).map(_.toLong).toSet)
+  }
 }

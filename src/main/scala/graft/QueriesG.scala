@@ -395,6 +395,91 @@ object QueriesG {
         round(rrf + 1e-9, 6) AS rrf_score
       FROM t WHERE fused_rank <= 10"""))
 
+  // T27 — URL curation battery: host extraction, path depth, tracking-
+  // param detection, domain blocklist, canonicalization (query-string
+  // strip) — the crawl-side filters that run before any text ever
+  // reaches quality scoring. URLs are planted deterministically from doc
+  // fields (the fixture has no URL column); every step is shared-regex
+  // column algebra, identical in both engines, scan-speed at any corpus
+  // size. The blocklist here is an IN-list; at real scale it becomes a
+  // broadcast join against a blocklist table (j5's shape) — same plan
+  // class.
+  val t27 = Q("t27_url_curation",
+    (s, d) => {
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/docs/"), col("doc_id"),
+        when(col("lang") === "en",
+          concat(lit("?utm_source=feed&ref="), col("source")))
+          .otherwise(lit("")))
+      val host = regexp_extract(url, "^https?://([^/]+)", 1)
+      val path = regexp_extract(url, "^https?://[^/]+(/[^?#]*)", 1)
+      docs(s, d).select(col("doc_id"),
+        host.as("host"),
+        (length(path) - length(regexp_replace(path, "/", "")))
+          .cast("long").as("path_depth"),
+        url.contains("utm_").as("has_tracking"),
+        host.isin("src0.example.com", "src13.example.com").as("blocked"),
+        regexp_replace(url, "\\?.*$", "").as("canonical"))
+    },
+    Some("""WITH u AS (SELECT doc_id, lang, source,
+        'https://' || source || '.example.com/docs/' || doc_id ||
+          CASE WHEN lang = 'en' THEN '?utm_source=feed&ref=' || source
+               ELSE '' END AS url
+        FROM documents)
+      SELECT doc_id,
+        regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+        length(regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1))
+          - length(replace(regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1),
+              '/', '')) AS path_depth,
+        url LIKE '%utm_%' AS has_tracking,
+        regexp_extract(url, '^https?://([^/]+)', 1)
+          IN ('src0.example.com', 'src13.example.com') AS blocked,
+        regexp_replace(url, '\?.*$', '') AS canonical
+      FROM u"""))
+
+  // O12 — Z-order (Morton) layout audit: interleave the low 8 bits of
+  // two dimensions into one z-value with pure integer algebra (aggregate
+  // over sequence — no UDF, no custom expression needed), then show the
+  // locality it buys: fixed-width z-ranges (zval DIV 4096 — a plain
+  // groupBy, deliberately NOT a global-sort ntile) have tight min/max
+  // boxes in BOTH dimensions at once, which is exactly the property that
+  // lets a multi-dimensionally-filtered scan skip row groups. The
+  // matching write path is `Writers.writeRangeClustered` on zval; this
+  // query is the layout's measurable certificate.
+  val o12 = Q("o12_zorder_layout",
+    (s, d) => {
+      val x = pmod(col("user_id"), lit(256L))
+      val y = pmod(floor(coalesce(col("value"), lit(0.0))).cast("long"),
+        lit(256L))
+      val zval = aggregate(sequence(lit(0), lit(7)), lit(0L),
+        (acc, i) => {
+          val p2i = pow(lit(2.0), i).cast("long")
+          val bitX = pmod((x / p2i).cast("long"), lit(2L))
+          val bitY = pmod((y / p2i).cast("long"), lit(2L))
+          acc + bitX * pow(lit(2.0), i * 2).cast("long") +
+            bitY * pow(lit(2.0), i * 2 + 1).cast("long")
+        })
+      Tables.events(s, d)
+        .select(col("event_id"), x.as("x"), y.as("y"), zval.as("zval"))
+        .groupBy((col("zval") / 4096).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+    },
+    Some("""WITH z AS (SELECT event_id,
+        user_id % 256 AS x,
+        CAST(floor(coalesce(value, 0)) AS BIGINT) % 256 AS y,
+        list_sum(list_transform(range(0, 8), i ->
+          ((user_id % 256 // CAST(2**i AS BIGINT)) % 2)
+            * CAST(2**(2*i) AS BIGINT)
+          + ((CAST(floor(coalesce(value, 0)) AS BIGINT) % 256
+              // CAST(2**i AS BIGINT)) % 2)
+            * CAST(2**(2*i+1) AS BIGINT))) AS zval
+        FROM events)
+      SELECT CAST(zval // 4096 AS INT) AS bucket, count(*) AS n,
+        min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+      FROM z GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20, mm3, mm4,
-    ann3)
+    ann3, t27, o12)
 }

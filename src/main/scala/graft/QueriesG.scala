@@ -162,20 +162,7 @@ object QueriesG {
   // is exactly what makes this a strong correctness check of the
   // orientation logic.
   val g3 = Q("g3_triangle_count",
-    (s, d) => {
-      val e0 = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct()
-      val pairs = e0.select(col("c"), col("sp").as("s1"))
-        .join(e0.select(col("c"), col("sp").as("s2")), Seq("c"))
-        .where(col("s1") < col("s2"))
-        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("sc"))
-      val backbone = pairs
-        .orderBy(col("sc").desc, col("s1"), col("s2")).limit(500)
-        .select(col("s1"), col("s2"))
-      Graph.triangleStats(backbone)
-    },
+    (s, d) => Graph.triangleStats(backbone(s, d)),
     Some("""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
       p AS (SELECT a.sp AS s1, b.sp AS s2, count(*) AS sc
@@ -480,6 +467,54 @@ object QueriesG {
         min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
       FROM z GROUP BY 1"""))
 
+  /** g3's deterministic top-500 co-occurrence backbone, shared by the
+    * triangle census and the k-core peel.
+    */
+  private def backbone(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+    e0.select(col("c"), col("sp").as("s1"))
+      .join(e0.select(col("c"), col("sp").as("s2")), Seq("c"))
+      .where(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("sc"))
+      .orderBy(col("sc").desc, col("s1"), col("s2")).limit(500)
+      .select(col("s1"), col("s2"))
+  }
+
+  // G4 — k-core decomposition, bounded peel: 3 rounds of "drop nodes
+  // with degree < 12" over the supplier backbone — the graph-pruning
+  // step that isolates the densely connected community (spam-farm and
+  // bot-ring detection run exactly this before heavier analysis). Fixed
+  // rounds keep it oracle-checkable; the operator scaladoc gives the
+  // run-to-fixpoint form. Oracle recomputes the peel as 3 chained CTE
+  // rounds — same semantics, no iteration construct needed.
+  val g4 = Q("g4_kcore_peel",
+    (s, d) => Graph.kCorePeel(backbone(s, d), k = 12, rounds = 3),
+    Some("""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      p AS (SELECT a.sp AS s1, b.sp AS s2, count(*) AS sc
+        FROM e0 a JOIN e0 b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2),
+      e AS (SELECT s1, s2 FROM p ORDER BY sc DESC, s1, s2 LIMIT 500),
+      d1 AS (SELECT v, count(*) AS d FROM
+        (SELECT s1 AS v FROM e UNION ALL SELECT s2 FROM e) GROUP BY 1),
+      e1 AS (SELECT * FROM e
+        WHERE s1 NOT IN (SELECT v FROM d1 WHERE d < 12)
+          AND s2 NOT IN (SELECT v FROM d1 WHERE d < 12)),
+      d2 AS (SELECT v, count(*) AS d FROM
+        (SELECT s1 AS v FROM e1 UNION ALL SELECT s2 FROM e1) GROUP BY 1),
+      e2 AS (SELECT * FROM e1
+        WHERE s1 NOT IN (SELECT v FROM d2 WHERE d < 12)
+          AND s2 NOT IN (SELECT v FROM d2 WHERE d < 12)),
+      d3 AS (SELECT v, count(*) AS d FROM
+        (SELECT s1 AS v FROM e2 UNION ALL SELECT s2 FROM e2) GROUP BY 1),
+      e3 AS (SELECT * FROM e2
+        WHERE s1 NOT IN (SELECT v FROM d3 WHERE d < 12)
+          AND s2 NOT IN (SELECT v FROM d3 WHERE d < 12))
+      SELECT v, count(*) AS deg FROM
+        (SELECT s1 AS v FROM e3 UNION ALL SELECT s2 FROM e3) GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20, mm3, mm4,
-    ann3, t27, o12)
+    ann3, t27, o12, g4)
 }

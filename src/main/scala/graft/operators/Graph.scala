@@ -86,6 +86,34 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** Bounded k-core peel: `rounds` iterations of "drop every node with
+    * degree < k, keep edges whose endpoints both survive". The true
+    * k-core is this peel run to fixpoint; a FIXED round count keeps the
+    * result deterministic and cross-engine checkable (the same
+    * bounded-rounds convention as the subgraph-CC rounds in t17's
+    * lineage) while preserving the per-round plan shape you'd run to
+    * convergence at scale: one degree aggregate (thin, |V| rows) + two
+    * hash anti-joins per round, edges re-`localCheckpoint`ed so plan
+    * depth stays O(rounds) not O(3^rounds). Convergence at scale is the
+    * same loop with a stop-when-empty driver check on the (tiny)
+    * dropped-node count.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+      s1: String = "s1", s2: String = "s2"): DataFrame = {
+    var e = edges.select(col(s1), col(s2)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col(s1).as("v"))
+        .unionAll(e.select(col(s2).as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val drop = deg.where(col("d") < k).select("v")
+      e = e.join(drop.withColumnRenamed("v", s1), Seq(s1), "left_anti")
+        .join(drop.withColumnRenamed("v", s2), Seq(s2), "left_anti")
+        .select(col(s1), col(s2)).localCheckpoint()
+    }
+    e.select(col(s1).as("v")).unionAll(e.select(col(s2).as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+  }
+
   def pageRank(
       nodes: DataFrame, idCol: String,
       edges0: DataFrame, srcCol: String, dstCol: String,

@@ -515,6 +515,46 @@ object QueriesG {
       SELECT v, count(*) AS deg FROM
         (SELECT s1 AS v FROM e3 UNION ALL SELECT s2 FROM e3) GROUP BY 1"""))
 
+  // T28 — cross-run incremental dedup: near-dup pairs touching the NEW
+  // batch (doc_id ≡ 0 mod 5 plays the nightly delta), found by probing
+  // the LSH band index from the delta side only — candidate space scales
+  // with the delta, not with O(N²) of the corpus. History signatures are
+  // immutable, so in production they're loaded state (a29's pattern);
+  // the oracle recomputes the full t5 pair set and keeps pairs with a
+  // delta member — same result by construction, different (and at scale
+  // unaffordable) route.
+  val t28 = Q("t28_incremental_dedup",
+    (s, d) => Dedup.minHashLshPairsIncremental(docs(s, d), "text", "doc_id",
+      isDelta = pmod(col("doc_id"), lit(5)) === 0,
+      shingleSize = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.5),
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+        FROM toks, unnest(generate_series(1, len(tk) - 2)) AS g(i)
+        WHERE len(tk) >= 3),
+      hx AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT) % 2147483647
+          AS h FROM sh),
+      sig AS (SELECT doc_id, i AS hash_idx,
+        min((h * ((2654435761 * (i+1)) % 2147483647)
+          + ((40503 * (i+1)) % 2147483647)) % 2147483647) AS min_hash
+        FROM hx, unnest(generate_series(0, 31)) AS g(i) GROUP BY 1, 2),
+      band AS (SELECT doc_id, hash_idx // 4 AS band,
+        list(min_hash ORDER BY hash_idx) AS bsig FROM sig GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+          AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+      est AS (SELECT id_a, id_b,
+        CAST(sum(CASE WHEN sa.min_hash = sb.min_hash THEN 1 ELSE 0 END)
+          AS DOUBLE) / 32 AS ej
+        FROM cand
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b AND sa.hash_idx = sb.hash_idx
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, round(ej + 1e-9, 6) AS est_jaccard
+      FROM est WHERE ej >= 0.5"""))
+
   val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20, mm3, mm4,
-    ann3, t27, o12, g4)
+    ann3, t27, o12, g4, t28)
 }

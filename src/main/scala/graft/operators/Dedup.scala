@@ -186,6 +186,56 @@ object Dedup {
         round(col("est_jaccard") + lit(1e-9), 6).as("est_jaccard"))
   }
 
+  /** Cross-run (incremental) MinHash-LSH: near-dup pairs where at least
+    * one side is NEW — the nightly-crawl shape, where re-pairing the
+    * historical corpus against itself every run would be O(N²_history)
+    * wasted work. Only delta-side bands probe the band index, so the
+    * candidate space is O(|delta| · collisions), independent of history
+    * size. Here both sides' signatures are computed in-plan for the
+    * oracle's sake; in production the history side's (id, sig, bands)
+    * frame is persisted state loaded from the previous run (exactly
+    * a29's mergeable-state pattern — signatures never change, so state
+    * merge is a plain append of the delta's signatures).
+    * Pairs are normalized to (least, greatest) so a delta-delta pair
+    * found from both sides emits once.
+    */
+  def minHashLshPairsIncremental(
+      df: DataFrame, textCol: String, idCol: String, isDelta: Column,
+      shingleSize: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingles(df, textCol, idCol, shingleSize)
+    val deltaIds = df.where(isDelta).select(col(idCol)).distinct()
+    val sig = minHashSignatureArray(sh, idCol, numHashes).cache()
+    val numBands = numHashes / rowsPerBand
+    val banded = sig.select(col(idCol),
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"),
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+            .cast("string").as("band_sig"))): _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"),
+        col("bb.band_sig").as("band_sig"))
+    val probe = banded.join(deltaIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("id_p"), col("band"), col("band_sig"))
+    val index = banded
+      .select(col(idCol).as("id_x"), col("band"), col("band_sig"))
+    val cand = probe.join(index, Seq("band", "band_sig"))
+      .where(col("id_p") =!= col("id_x"))
+      .select(least(col("id_p"), col("id_x")).as("id_a"),
+        greatest(col("id_p"), col("id_x")).as("id_b"))
+      .distinct()
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    cand
+      .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard", est)
+      .where(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("est_jaccard") + lit(1e-9), 6).as("est_jaccard"))
+  }
+
   /** Connected components over a duplicate-pair graph: the final step of
     * every near-dup pipeline (pairs are only evidence; the unit of
     * deduplication is the transitive *cluster*, from which one canonical

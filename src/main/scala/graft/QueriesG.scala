@@ -555,6 +555,83 @@ object QueriesG {
       SELECT id_a, id_b, round(ej + 1e-9, 6) AS est_jaccard
       FROM est WHERE ej >= 0.5"""))
 
+  private def langScoreSql(markers: Seq[String]): String =
+    s"""CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       w -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], w)))
+       AS DOUBLE) / len(string_split_regex(lower(trim(text)), '\\s+'))"""
+
+  // T29 — the composite quality GATE: the actual accept/reject decision a
+  // curation pipeline makes, composed from the already-verified row-local
+  // filters (t1 quality features, t13 repetition, t4 language ID) in ONE
+  // pass — every feature is a projection over the same scan, so the
+  // whole gate is a single codegen'd stage with no shuffle; rules fire in
+  // priority order and the first failure names the reject reason. This
+  // is the plan shape that matters at 100 TB: N filters over one read,
+  // not N reads.
+  val t29 = Q("t29_quality_gate",
+    (s, d) => {
+      val base = docs(s, d).where(length(trim(col("text"))) > 0)
+      val feats = TextAnalysis.withLanguageId(
+        TextAnalysis.withRepetitionStats(
+          TextAnalysis.withQualityFeatures(base, "text"), "text"), "text")
+      val reason = when(col("n_tokens") < 10, "too_short")
+        .when(col("punct_ratio") >= 0.2, "high_punct")
+        .when(col("dup_bigram_frac") > 0.3 || col("top_word_frac") > 0.2,
+          "repetitive")
+        .when(col("lang_pred") =!= col("lang"), "lang_mismatch")
+        .otherwise("ok")
+      feats.select(col("doc_id"), col("lang"), col("lang_pred"),
+        col("n_tokens"), reason.as("reject_reason"),
+        (reason === "ok").as("accept"))
+    },
+    Some {
+      val m = TextAnalysis.langMarkers
+      s"""WITH q AS (SELECT doc_id, lang, text,
+          len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+          CAST(length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'),
+              '[\\p{L}\\p{N}]', '', 'g')) AS DOUBLE)
+            / length(regexp_replace(text, '\\s+', '', 'g')) AS punct_ratio,
+          ${langScoreSql(m("de"))} AS s_de,
+          ${langScoreSql(m("en"))} AS s_en,
+          ${langScoreSql(m("es"))} AS s_es,
+          ${langScoreSql(m("fr"))} AS s_fr,
+          ${langScoreSql(m("zh"))} AS s_zh
+        FROM documents WHERE length(trim(text)) > 0),
+      rep AS (SELECT doc_id,
+          CASE WHEN len(words) > 1 THEN 1.0 -
+            CAST(len(list_distinct(list_transform(range(1, len(words)),
+              i -> words[i] || ' ' || words[i + 1]))) AS DOUBLE)
+              / (len(words) - 1)
+            ELSE 0.0 END AS dup_bigram_frac,
+          CAST(list_max(list_transform(list_distinct(words),
+            w2 -> len(list_filter(words, x -> x = w2)))) AS DOUBLE)
+            / len(words) AS top_word_frac
+        FROM (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\\s+') AS words
+          FROM documents WHERE length(trim(text)) > 0)),
+      lp AS (SELECT doc_id,
+          CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+              AND s_de >= s_zh THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS lang_pred
+        FROM q),
+      dec AS (SELECT q.doc_id, q.lang, lp.lang_pred, q.n_tokens,
+          CASE WHEN q.n_tokens < 10 THEN 'too_short'
+            WHEN q.punct_ratio >= 0.2 THEN 'high_punct'
+            WHEN rep.dup_bigram_frac > 0.3 OR rep.top_word_frac > 0.2
+              THEN 'repetitive'
+            WHEN lp.lang_pred <> q.lang THEN 'lang_mismatch'
+            ELSE 'ok' END AS reject_reason
+        FROM q JOIN rep ON rep.doc_id = q.doc_id
+          JOIN lp ON lp.doc_id = q.doc_id)
+      SELECT doc_id, lang, lang_pred, n_tokens, reject_reason,
+        (reject_reason = 'ok') AS accept
+      FROM dec"""
+    })
+
   val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20, mm3, mm4,
-    ann3, t27, o12, g4, t28)
+    ann3, t27, o12, g4, t28, t29)
 }

@@ -36,4 +36,28 @@ class GraphSpec extends SparkSpecBase {
     assert(pr(4L) > pr(1L) * 2)
     assert(math.abs(pr(1L) - pr(2L)) < 1e-15 && math.abs(pr(2L) - pr(3L)) < 1e-15)
   }
+
+  test("kCorePeel: K5 with a pendant chain peels to exactly the K5") {
+    // K5 on {1..5}: every degree 4. Chain 5-6-7: degrees 1-2. At k=3 the
+    // chain peels away (6,7 in round 1; nothing else ever drops) and the
+    // K5 survives with its internal degrees intact.
+    val k5 = for (a <- 1 to 5; b <- (a + 1) to 5) yield (a, b)
+    val edges = (k5 ++ Seq((5, 6), (6, 7))).toDF("s1", "s2")
+    val core = Graph.kCorePeel(edges, k = 3, rounds = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(core.keySet == Set(1, 2, 3, 4, 5))
+    assert((1 to 4).forall(v => core(v) == 4L))
+    assert(core(5) == 4L) // pendant edge gone, only K5 edges remain
+  }
+
+  test("kCorePeel: cascading peel needs multiple rounds") {
+    // Chain 1-2-3-4 + triangle {4,5,6}: at k=2, node 1 drops in round 1,
+    // node 2 in round 2, node 3 in round 3 — the triangle survives.
+    val edges = Seq((1, 2), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6))
+      .toDF("s1", "s2")
+    val core = Graph.kCorePeel(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(core.keySet == Set(4, 5, 6))
+    assert(core.values.forall(_ == 2L))
+  }
 }

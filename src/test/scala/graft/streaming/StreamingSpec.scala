@@ -102,4 +102,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === want)
     assert(want.nonEmpty)
   }
+
+  test("stream-static broadcast enrich equals the batch join") {
+    // Stream side: events; static side: a small dimension (user tier from
+    // id ranges) broadcast into every micro-batch — the standard
+    // stream-enrichment shape: no state, no watermark, dimension re-read
+    // per batch (so a dim update applies from the next batch on).
+    import spark.implicits._
+    val dim = (0L until 50L).map(u => (u, if (u % 3 == 0) "gold" else "std"))
+      .toDF("dim_user", "tier")
+    val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
+    val enriched = stream.join(broadcast(dim),
+        col("user_id") === col("dim_user"), "left")
+      .groupBy(coalesce(col("tier"), lit("unknown")).as("tier"))
+      .agg(count(lit(1)).as("n"))
+    val got = Streaming.runAvailableNow(spark, enriched, "st_spec_enrich")
+      .as[(String, Long)].collect().toMap
+    val want = graft.Tables.events(spark, sf("sf0.001"))
+      .join(broadcast(dim), col("user_id") === col("dim_user"), "left")
+      .groupBy(coalesce(col("tier"), lit("unknown")).as("tier"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got === want)
+    assert(got.keySet == Set("gold", "std") || got.contains("unknown"))
+  }
 }

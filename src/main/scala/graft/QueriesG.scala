@@ -632,6 +632,108 @@ object QueriesG {
       FROM dec"""
     })
 
+  // T30 — LEAKAGE-FREE train/val/test split: the split key is the
+  // near-dup CLUSTER id (t17's transitive closure), not the doc id, so
+  // two near-copies can never land on opposite sides of the split — the
+  // eval-contamination failure mode that per-doc hashing (t10) cannot
+  // prevent. Composition: LSH pairs → connected components → md5 split
+  // of the cluster label; every piece is the already-verified operator.
+  // Output keeps (doc_id, cluster_id, split) so the oracle checks the
+  // assignment row by row.
+  val t30 = Q("t30_leakage_free_split",
+    (s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.minHashLshPairs(dd, "text", "doc_id",
+        shingleSize = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      val cc = Dedup.connectedComponents(dd.select("doc_id"), "doc_id",
+        pairs, "id_a", "id_b")
+      Sampling.withSplit(cc, "cluster_id", valPct = 10, testPct = 10)
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+    },
+    Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+        FROM toks, unnest(generate_series(1, len(tk) - 2)) AS g(i)
+        WHERE len(tk) >= 3),
+      hx AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT) % 2147483647
+          AS h FROM sh),
+      sig AS (SELECT doc_id, i AS hash_idx,
+        min((h * ((2654435761 * (i+1)) % 2147483647)
+          + ((40503 * (i+1)) % 2147483647)) % 2147483647) AS min_hash
+        FROM hx, unnest(generate_series(0, 31)) AS g(i) GROUP BY 1, 2),
+      band AS (SELECT doc_id, hash_idx // 4 AS band,
+        list(min_hash ORDER BY hash_idx) AS bsig FROM sig GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+          AND a.doc_id < b.doc_id),
+      pairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+          CAST(sum(CASE WHEN sa.min_hash = sb.min_hash THEN 1 ELSE 0 END)
+            AS DOUBLE) / 32 AS ej
+          FROM cand
+          JOIN sig sa ON sa.doc_id = id_a
+          JOIN sig sb ON sb.doc_id = id_b AND sa.hash_idx = sb.hash_idx
+          GROUP BY 1, 2) WHERE ej >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, m) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.id, e.dst FROM reach r JOIN edges e ON r.m = e.src),
+      cc AS (SELECT id AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1)
+      SELECT doc_id, cluster_id,
+        CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 14))
+            AS BIGINT) % 100 < 10 THEN 'val'
+          WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 14))
+            AS BIGINT) % 100 < 20 THEN 'test'
+          ELSE 'train' END AS split
+      FROM cc"""))
+
+  // M22 — two-sample Kolmogorov–Smirnov statistic between the 'click'
+  // and 'purchase' value distributions: D = sup |F̂_a(v) − F̂_b(v)|,
+  // exact. The facts reduce FIRST to per-distinct-value counts (one
+  // shuffle, map-side combinable); the CDF sweep is a running sum over
+  // that distinct-value frame — the global window rides |values| rows,
+  // not |events| (the same pre-aggregate-then-window rule the daily/
+  // monthly series follow). At extreme value cardinality the sweep
+  // becomes a range-partitioned two-pass prefix sum — same algebra.
+  // Complements m17's binned PSI with a bin-free exact statistic.
+  val m22 = Q("m22_ks_test",
+    (s, d) => {
+      val e = Tables.events(s, d).where(col("value").isNotNull &&
+        col("event_type").isin("click", "purchase"))
+      val perValue = e.groupBy(col("value"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("a_cnt"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("b_cnt"))
+      val w = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      perValue
+        .withColumn("cum_a", sum(col("a_cnt")).over(w))
+        .withColumn("cum_b", sum(col("b_cnt")).over(w))
+        .withColumn("n_a", sum(col("a_cnt")).over(wAll))
+        .withColumn("n_b", sum(col("b_cnt")).over(wAll))
+        .agg(round(max(abs(col("cum_a") / col("n_a")
+          - col("cum_b") / col("n_b"))) + lit(1e-9), 6).as("ks_d"),
+          max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+    },
+    Some("""WITH g AS (SELECT value,
+        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a_cnt,
+        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b_cnt
+      FROM events WHERE value IS NOT NULL
+        AND event_type IN ('click', 'purchase') GROUP BY 1),
+      c AS (SELECT value,
+        sum(a_cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_a,
+        sum(b_cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_b,
+        sum(a_cnt) OVER () AS n_a, sum(b_cnt) OVER () AS n_b
+      FROM g)
+      SELECT round(max(abs(CAST(cum_a AS DOUBLE) / n_a
+          - CAST(cum_b AS DOUBLE) / n_b)) + 1e-9, 6) AS ks_d,
+        max(n_a) AS n_a, max(n_b) AS n_b
+      FROM c"""))
+
   val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20, mm3, mm4,
-    ann3, t27, o12, g4, t28, t29)
+    ann3, t27, o12, g4, t28, t29, t30, m22)
 }

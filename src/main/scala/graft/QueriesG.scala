@@ -734,6 +734,96 @@ object QueriesG {
         max(n_a) AS n_a, max(n_b) AS n_b
       FROM c"""))
 
+  // W17 — rolling regression slope: 7-day OLS trend per event type from
+  // window SUMS in closed form (n·Σtv − Σt·Σv)/(n·Σtt − (Σt)²) — five
+  // running sums over ONE window pass on the already-daily frame; no
+  // per-window refit, no iteration. The rolling analogue of m3's global
+  // closed-form OLS, and the trend detector a metrics pipeline runs over
+  // every series at once.
+  val w17 = Q("w17_rolling_slope",
+    (s, d) => {
+      val daily = Tables.events(s, d).where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(avg(col("value")).as("v"))
+        .withColumn("t",
+          datediff(col("day"), lit("2024-01-01").cast("date")).cast("double"))
+      val win = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      daily
+        .withColumn("n", count(lit(1)).over(win))
+        .withColumn("st", sum(col("t")).over(win))
+        .withColumn("sv", sum(col("v")).over(win))
+        .withColumn("stv", sum(col("t") * col("v")).over(win))
+        .withColumn("stt", sum(col("t") * col("t")).over(win))
+        .where(col("n") === 7)
+        .select(col("event_type"), col("day"),
+          round((col("n") * col("stv") - col("st") * col("sv"))
+            / (col("n") * col("stt") - col("st") * col("st"))
+            + lit(1e-9), 6).as("slope_7d"))
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      x AS (SELECT event_type, day, v,
+        CAST(date_diff('day', DATE '2024-01-01', day) AS DOUBLE) AS t
+      FROM daily),
+      w AS (SELECT event_type, day, count(*) OVER win AS n,
+        sum(t) OVER win AS st, sum(v) OVER win AS sv,
+        sum(t * v) OVER win AS stv, sum(t * t) OVER win AS stt
+      FROM x WINDOW win AS (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT event_type, day,
+        round((n * stv - st * sv) / (n * stt - st * st) + 1e-9, 6) AS slope_7d
+      FROM w WHERE n = 7"""))
+
+  // M24 — AUC-ROC of a score against a binary label (does `value`
+  // predict 'purchase' vs 'view'?) via the Mann–Whitney rank identity
+  // with midrank tie correction: AUC = (Σ midranks(pos) − n₊(n₊+1)/2)
+  // / (n₊·n₋). The facts reduce to per-distinct-score (count, positives)
+  // FIRST; midrank = cum_before + (ties+1)/2 comes from one running sum
+  // over the distinct-score frame (m22's pre-aggregate-then-sweep rule).
+  // This is THE eval metric for a quality-classifier in a curation
+  // pipeline, computed without ever materializing per-row ranks.
+  val m24 = Q("m24_auc_score",
+    (s, d) => {
+      val e = Tables.events(s, d).where(col("value").isNotNull &&
+        col("event_type").isin("purchase", "view"))
+      val perScore = e.groupBy(col("value"))
+        .agg(count(lit(1)).cast("double").as("c"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("double").as("p"))
+      val w = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy()
+      perScore
+        .withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0.0)))
+        .withColumn("np", sum(col("p")).over(wAll))
+        .withColumn("nn", sum(col("c") - col("p")).over(wAll))
+        .withColumn("rsum_part",
+          col("p") * (col("cum_before") + (col("c") + 1) / 2))
+        .agg(round((sum(col("rsum_part"))
+            - max(col("np")) * (max(col("np")) + 1) / 2)
+          / (max(col("np")) * max(col("nn"))) + lit(1e-9), 6).as("auc"),
+          max(col("np")).cast("long").as("n_pos"),
+          max(col("nn")).cast("long").as("n_neg"))
+    },
+    Some("""WITH g AS (SELECT value,
+        CAST(count(*) AS DOUBLE) AS c,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS DOUBLE) AS p
+      FROM events WHERE value IS NOT NULL
+        AND event_type IN ('purchase', 'view') GROUP BY 1),
+      s AS (SELECT value, c, p,
+        coalesce(sum(c) OVER (ORDER BY value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        sum(p) OVER () AS np, sum(c - p) OVER () AS nn
+      FROM g)
+      SELECT round((sum(p * (cum_before + (c + 1) / 2))
+          - max(np) * (max(np) + 1) / 2) / (max(np) * max(nn)) + 1e-9, 6)
+          AS auc,
+        CAST(max(np) AS BIGINT) AS n_pos, CAST(max(nn) AS BIGINT) AS n_neg
+      FROM s"""))
+
   val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20, mm3, mm4,
-    ann3, t27, o12, g4, t28, t29, t30, m22)
+    ann3, t27, o12, g4, t28, t29, t30, m22, w17, m24)
 }

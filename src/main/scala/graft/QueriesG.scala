@@ -824,6 +824,85 @@ object QueriesG {
         CAST(max(np) AS BIGINT) AS n_pos, CAST(max(nn) AS BIGINT) AS n_neg
       FROM s"""))
 
+  // M25 — additive seasonal decomposition (STL-lite): daily total =
+  // trend (centered 7-day MA, full windows only) + weekday seasonal
+  // (mean detrended value per weekday) + residual. One window pass over
+  // the already-daily frame + a ≤7-row broadcast join back; w15's
+  // anomaly detector consumes exactly this residual. Weekday numbering
+  // differs across engines (Spark 1-7, DuckDB 0-6) but is only ever an
+  // internal join key, so the decomposition is engine-identical.
+  val m25 = Q("m25_seasonal_decompose",
+    (s, d) => {
+      val daily = Tables.events(s, d).where(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      val win = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val t = daily.withColumn("trend",
+        when(count(lit(1)).over(win) === 7, avg(col("v")).over(win)))
+        .where(col("trend").isNotNull)
+      val seas = t.groupBy(dayofweek(col("day")).as("dow"))
+        .agg(avg(col("v") - col("trend")).as("seasonal"))
+      t.join(broadcast(seas), dayofweek(col("day")) === col("dow"))
+        .select(col("day"),
+          round(col("v") + lit(1e-9), 2).as("v"),
+          round(col("trend") + lit(1e-9), 2).as("trend"),
+          round(col("seasonal") + lit(1e-9), 2).as("seasonal"),
+          round(col("v") - col("trend") - col("seasonal") + lit(1e-9), 2)
+            .as("residual"))
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS v
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+      t AS (SELECT day, v,
+          CASE WHEN count(*) OVER win = 7 THEN avg(v) OVER win END AS trend
+        FROM daily WINDOW win AS (ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      s AS (SELECT dayofweek(day) AS dow, avg(v - trend) AS seasonal
+        FROM t WHERE trend IS NOT NULL GROUP BY 1)
+      SELECT t.day, round(t.v + 1e-9, 2) AS v,
+        round(t.trend + 1e-9, 2) AS trend,
+        round(s.seasonal + 1e-9, 2) AS seasonal,
+        round(t.v - t.trend - s.seasonal + 1e-9, 2) AS residual
+      FROM t JOIN s ON s.dow = dayofweek(t.day)
+      WHERE t.trend IS NOT NULL"""))
+
+  // T31 — dataset-level overlap diagnostics: one MinHash signature PER
+  // SOURCE (min over the source's shingles — the signature union is just
+  // `min`, so per-doc sketches merge up for free: the same mergeable-
+  // state property as a30's HLL and m20's histogram), then estimated
+  // vocabulary Jaccard for all 190 source pairs from a 20×32 frame.
+  // This is how a corpus audit answers "which crawls duplicate each
+  // other" without any document-level pairing.
+  val t31 = Q("t31_source_overlap",
+    (s, d) => {
+      val sh = Dedup.shingles(docs(s, d), "text", "source", 3)
+      val sig = Dedup.minHashSignatureArray(sh, "source", 32)
+      val l = sig.select(col("source").as("s_a"), col("sig").as("sig_a"))
+      val r = sig.select(col("source").as("s_b"), col("sig").as("sig_b"))
+      l.join(r, col("s_a") < col("s_b"))
+        .select(col("s_a"), col("s_b"),
+          round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / 32 + lit(1e-9), 6)
+            .as("est_jaccard"))
+    },
+    Some("""WITH toks AS (SELECT source,
+        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      sh AS (SELECT DISTINCT source, array_to_string(tk[i:i+2], ' ') AS shingle
+        FROM toks, unnest(generate_series(1, len(tk) - 2)) AS g(i)
+        WHERE len(tk) >= 3),
+      hx AS (SELECT source,
+        CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT) % 2147483647
+          AS h FROM sh),
+      sig AS (SELECT source, i AS hash_idx,
+        min((h * ((2654435761 * (i+1)) % 2147483647)
+          + ((40503 * (i+1)) % 2147483647)) % 2147483647) AS min_hash
+        FROM hx, unnest(generate_series(0, 31)) AS g(i) GROUP BY 1, 2)
+      SELECT a.source AS s_a, b.source AS s_b,
+        round(CAST(sum(CASE WHEN a.min_hash = b.min_hash THEN 1 ELSE 0 END)
+          AS DOUBLE) / 32 + 1e-9, 6) AS est_jaccard
+      FROM sig a JOIN sig b ON a.hash_idx = b.hash_idx AND a.source < b.source
+      GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20, mm3, mm4,
-    ann3, t27, o12, g4, t28, t29, t30, m22, w17, m24)
+    ann3, t27, o12, g4, t28, t29, t30, m22, w17, m24, m25, t31)
 }

@@ -903,6 +903,56 @@ object QueriesG {
       FROM sig a JOIN sig b ON a.hash_idx = b.hash_idx AND a.source < b.source
       GROUP BY 1, 2"""))
 
+  // A36 — sessionized conversion: st2's gap-sessionization (30-min) and
+  // a27's funnel question composed in ONE plan — does session length
+  // predict purchase? Session assignment is the same lag+cumsum window
+  // (one user-keyed shuffle); per-session reduction and the ≤3-row
+  // bucket aggregate ride it with no further wide exchange. The session
+  // frame never materializes events twice.
+  val a36 = Q("a36_session_conversion",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val flagged = Tables.events(s, d).where(col("ts").isNotNull)
+        .withColumn("new_session",
+          when(unix_millis(col("ts"))
+            - lag(unix_millis(col("ts")), 1).over(w) > 30 * 60 * 1000, 1L)
+            .otherwise(when(lag(col("ts"), 1).over(w).isNull, 1L)
+              .otherwise(0L)))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sessions = flagged.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+      sessions
+        .groupBy(when(col("n_events") === 1, "1")
+          .when(col("n_events") <= 4, "2-4").otherwise("5+")
+          .as("session_len"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("converted")).as("n_converted"),
+          round(sum(col("converted")).cast("double") / count(lit(1))
+            + lit(1e-9), 6).as("conversion_rate"))
+    },
+    Some("""WITH flagged AS (SELECT user_id, event_id, event_type, ts,
+        CASE WHEN lag(ts) OVER w IS NULL THEN 1
+          WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30 * 60 * 1000 THEN 1
+          ELSE 0 END AS new_session
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      indexed AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged),
+      sessions AS (SELECT user_id, session_id, count(*) AS n_events,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM indexed GROUP BY 1, 2)
+      SELECT CASE WHEN n_events = 1 THEN '1'
+          WHEN n_events <= 4 THEN '2-4' ELSE '5+' END AS session_len,
+        count(*) AS n_sessions, sum(converted) AS n_converted,
+        round(CAST(sum(converted) AS DOUBLE) / count(*) + 1e-9, 6)
+          AS conversion_rate
+      FROM sessions GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20, mm3, mm4,
-    ann3, t27, o12, g4, t28, t29, t30, m22, w17, m24, m25, t31)
+    ann3, t27, o12, g4, t28, t29, t30, m22, w17, m24, m25, t31, a36)
 }

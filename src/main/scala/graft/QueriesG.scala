@@ -953,6 +953,78 @@ object QueriesG {
           AS conversion_rate
       FROM sessions GROUP BY 1"""))
 
+  // T33 — sequence packing: t23's chunks concatenated in deterministic
+  // (doc_id, chunk_idx) order and cut every 512 tokens — the standard
+  // pretraining packing step — WITHIN md5 shards (t16's assignment), so
+  // packing is embarrassingly parallel per shard and no global ordered
+  // window ever forms: the running token cumsum partitions by shard.
+  // pack_id = (cum − tokens) DIV capacity makes a chunk straddling a cut
+  // belong to the pack where it starts, exactly like concat-then-cut.
+  // Output: per-pack fill statistics (the padding-waste audit).
+  val t33 = Q("t33_sequence_packing",
+    (s, d) => {
+      val chunks = TextAnalysis.chunkTokens(docs(s, d), "doc_id", "text",
+        chunkLen = 64, stride = 64) // disjoint chunks: pack once, no overlap
+        .withColumn("shard",
+          pmod(graft.operators.Dedup.md5Hash56(col("doc_id").cast("string")),
+            lit(8L)))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chunks
+        .withColumn("cum", sum(col("chunk_tokens")).over(w))
+        .withColumn("pack_id",
+          ((col("cum") - col("chunk_tokens")) / 512).cast("long"))
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).as("n_tokens"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+        WHERE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) > 0),
+      ch AS (SELECT doc_id, CAST(st // 64 AS INT) AS chunk_idx,
+          least(n - st, 64) AS chunk_tokens
+        FROM (SELECT doc_id, toks, n,
+            unnest(generate_series(0, greatest(n - 64 + 64 - 1, 0), 64)) AS st
+          FROM (SELECT doc_id, toks, len(toks) AS n FROM t))),
+      sh AS (SELECT *,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+            % 8 AS shard FROM ch),
+      c AS (SELECT shard, doc_id, chunk_idx, chunk_tokens,
+          sum(chunk_tokens) OVER (PARTITION BY shard
+            ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING) AS cum
+        FROM sh)
+      SELECT shard, (cum - chunk_tokens) // 512 AS pack_id,
+        count(*) AS n_chunks, sum(chunk_tokens) AS n_tokens
+      FROM c GROUP BY 1, 2"""))
+
+  // M26 — calibration curve (reliability diagram) for the m24 score:
+  // decile buckets of the score vs the empirical purchase rate, plus
+  // each bucket's mean score — whether "higher score ⇒ more likely
+  // purchase" actually holds bucket by bucket. Buckets are fixed-width
+  // on the score (a plain groupBy — no global ntile sort), the same
+  // fixed-bin choice as m20/o12.
+  val m26 = Q("m26_calibration_curve",
+    (s, d) => {
+      val e = Tables.events(s, d).where(col("value").isNotNull &&
+        col("event_type").isin("purchase", "view"))
+      e.groupBy(least(floor(col("value") / 50), lit(9L)).cast("int")
+          .as("score_bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")) + lit(1e-9), 4).as("mean_score"),
+          round(avg(when(col("event_type") === "purchase", 1.0)
+            .otherwise(0.0)) + lit(1e-9), 6).as("purchase_rate"))
+    },
+    Some("""SELECT CAST(least(floor(value / 50), 9) AS INT) AS score_bucket,
+        count(*) AS n, round(avg(value) + 1e-9, 4) AS mean_score,
+        round(avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+          + 1e-9, 6) AS purchase_rate
+      FROM events WHERE value IS NOT NULL
+        AND event_type IN ('purchase', 'view') GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20, mm3, mm4,
-    ann3, t27, o12, g4, t28, t29, t30, m22, w17, m24, m25, t31, a36)
+    ann3, t27, o12, g4, t28, t29, t30, m22, w17, m24, m25, t31, a36,
+    t33, m26)
 }

@@ -338,9 +338,12 @@ object QueriesG {
         .orderBy(col("cosine").desc, col("neighbor_id"))
       val wL2 = Window.partitionBy(col("query_id"))
         .orderBy(col("dist").asc, col("neighbor_id"))
+      // Both signal branches read this frame — cache so the pair
+      // computation (the expensive part) runs once, not per branch.
       val ranked = pairs
         .withColumn("rank_cos", row_number().over(wCos))
         .withColumn("rank_l2", row_number().over(wL2))
+        .cache()
       val ra = ranked.where(col("rank_cos") <= 20)
         .select(col("query_id"), col("neighbor_id"), col("rank_cos"))
       val rb = ranked.where(col("rank_l2") <= 20)
@@ -875,7 +878,9 @@ object QueriesG {
   val t31 = Q("t31_source_overlap",
     (s, d) => {
       val sh = Dedup.shingles(docs(s, d), "text", "source", 3)
-      val sig = Dedup.minHashSignatureArray(sh, "source", 32)
+      // 20 rows feeding BOTH sides of the self-join — cache, or the
+      // full shingle+signature subtree runs twice (g3's lesson).
+      val sig = Dedup.minHashSignatureArray(sh, "source", 32).cache()
       val l = sig.select(col("source").as("s_a"), col("sig").as("sig_a"))
       val r = sig.select(col("source").as("s_b"), col("sig").as("sig_b"))
       l.join(r, col("s_a") < col("s_b"))

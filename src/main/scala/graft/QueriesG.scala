@@ -840,9 +840,12 @@ object QueriesG {
         .groupBy(to_date(col("ts")).as("day"))
         .agg(sum(col("value")).as("v"))
       val win = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      // ~30-row frame consumed by BOTH the weekday aggregate and the
+      // join-back — cache, or the events scan + daily groupBy run twice.
       val t = daily.withColumn("trend",
         when(count(lit(1)).over(win) === 7, avg(col("v")).over(win)))
         .where(col("trend").isNotNull)
+        .cache()
       val seas = t.groupBy(dayofweek(col("day")).as("dow"))
         .agg(avg(col("v") - col("trend")).as("seasonal"))
       t.join(broadcast(seas), dayofweek(col("day")) === col("dow"))

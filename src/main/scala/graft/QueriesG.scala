@@ -1032,7 +1032,53 @@ object QueriesG {
       FROM events WHERE value IS NOT NULL
         AND event_type IN ('purchase', 'view') GROUP BY 1"""))
 
+  // A37 — CUBE multi-grain: all four grouping strata of (event_type,
+  // cohort) — cells, both one-dimension subtotals, grand total — from
+  // ONE shuffle via grouping-sets expansion (a26's ROLLUP sibling; CUBE
+  // adds the cross-marginals ROLLUP omits). grouping_id() disambiguates
+  // strata; the cohort key is rendered as a string so subtotal-row NULLs
+  // normalize identically across engines (a26's convention).
+  val a37 = Q("a37_cube_multigrain",
+    (s, d) => Tables.events(s, d).where(col("value").isNotNull)
+      .cube(col("event_type"),
+        pmod(col("user_id"), lit(4)).cast("int").cast("string").as("cohort"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")) + lit(1e-9), 2).as("sum_value"),
+        grouping_id().as("gid")),
+    Some("""SELECT event_type,
+        CAST(CAST(user_id % 4 AS INT) AS VARCHAR) AS cohort,
+        count(*) AS n, round(sum(value) + 1e-9, 2) AS sum_value,
+        GROUPING(event_type, CAST(CAST(user_id % 4 AS INT) AS VARCHAR)) AS gid
+      FROM events WHERE value IS NOT NULL
+      GROUP BY CUBE(event_type, CAST(CAST(user_id % 4 AS INT) AS VARCHAR))"""))
+
+  // D13 — ISO calendar battery: ISO week (both engines' weekofyear is
+  // ISO-8601), ISO year via the THURSDAY RULE — year(week_start + 3
+  // days) — rather than an engine-specific isoyear function (Spark has
+  // none), Monday week start, quarter, month end. The distinct-day frame
+  // is tiny; the point is the cross-engine-identical calendar algebra
+  // every period rollup in the catalog leans on.
+  val d13 = Q("d13_iso_calendar",
+    (s, d) => Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"),
+        date_trunc("week", col("ts")).cast("date").as("week_start"))
+      .distinct()
+      .select(col("day"),
+        year(date_add(col("week_start"), 3)).cast("long").as("iso_year"),
+        weekofyear(col("day")).cast("long").as("iso_week"),
+        quarter(col("day")).cast("long").as("quarter"),
+        col("week_start"),
+        last_day(col("day")).as("month_end")),
+    Some("""SELECT DISTINCT CAST(ts AS DATE) AS day,
+        CAST(year(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+          + INTERVAL 3 DAY) AS BIGINT) AS iso_year,
+        CAST(weekofyear(ts) AS BIGINT) AS iso_week,
+        CAST(quarter(ts) AS BIGINT) AS quarter,
+        CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week_start,
+        last_day(CAST(ts AS DATE)) AS month_end
+      FROM events"""))
+
   val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20, mm3, mm4,
     ann3, t27, o12, g4, t28, t29, t30, m22, w17, m24, m25, t31, a36,
-    t33, m26)
+    t33, m26, a37, d13)
 }

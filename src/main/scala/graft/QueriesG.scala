@@ -1078,7 +1078,94 @@ object QueriesG {
         last_day(CAST(ts AS DATE)) AS month_end
       FROM events"""))
 
+  // W21 — maximum drawdown per event type: w6's cumprod equity curve,
+  // per-type, with a running peak and the max peak-to-trough loss — the
+  // backtest risk metric (reference M10 domain) the equity curve exists
+  // to feed. Running max + cumulative product are windows over the
+  // already-daily per-type frame; the final reduction is a ≤5-row
+  // aggregate.
+  val w21 = Q("w21_max_drawdown",
+    (s, d) => {
+      val daily = Tables.events(s, d).where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
+        .agg(avg(col("value")).as("v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_date"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("r", (col("v") - lag(col("v"), 1).over(w))
+          / lag(col("v"), 1).over(w))
+        .where(col("r").isNotNull)
+        .withColumn("equity", exp(sum(log(lit(1) + col("r"))).over(cum)))
+        .withColumn("peak", max(col("equity")).over(cum))
+        .groupBy(col("event_type"))
+        .agg(round(max(lit(1) - col("equity") / col("peak")) + lit(1e-9), 6)
+          .as("max_drawdown"),
+          round(min(col("equity")) + lit(1e-9), 6).as("min_equity"),
+          round(max(col("equity")) + lit(1e-9), 6).as("max_equity"))
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS event_date,
+        avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      ret AS (SELECT event_type, event_date,
+        (v - lag(v) OVER w) / lag(v) OVER w AS r FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY event_date)),
+      eq AS (SELECT event_type, event_date,
+        exp(sum(ln(1 + r)) OVER (PARTITION BY event_type ORDER BY event_date
+          ROWS UNBOUNDED PRECEDING)) AS equity
+      FROM ret WHERE r IS NOT NULL),
+      dd AS (SELECT event_type, equity,
+        max(equity) OVER (PARTITION BY event_type ORDER BY event_date
+          ROWS UNBOUNDED PRECEDING) AS peak FROM eq)
+      SELECT event_type,
+        round(max(1 - equity / peak) + 1e-9, 6) AS max_drawdown,
+        round(min(equity) + 1e-9, 6) AS min_equity,
+        round(max(equity) + 1e-9, 6) AS max_equity
+      FROM dd GROUP BY 1"""))
+
+  // M27 — Spearman rank correlation (tie-corrected): Pearson of MIDRANKS,
+  // with midranks computed from per-distinct-value counts + one running
+  // sum (m24's rank-free construction, applied per variable) and joined
+  // back — no per-row rank() materialization. Measures monotone (not
+  // just linear, m1) association: here, whether more-active users have
+  // systematically higher average values.
+  val m27 = Q("m27_spearman_corr",
+    (s, d) => {
+      val u = Tables.events(s, d).where(col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("double").as("x"),
+          avg(col("value")).as("y"))
+        .cache() // feeds both rank frames and the join-back
+      def midranks(frame: DataFrame, vCol: String): DataFrame = {
+        val w = Window.orderBy(col(vCol))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        frame.groupBy(col(vCol)).agg(count(lit(1)).cast("double").as("c"))
+          .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0.0)))
+          .select(col(vCol), (col("cb") + (col("c") + 1) / 2)
+            .as(s"mr_$vCol"))
+      }
+      u.join(midranks(u, "x"), "x").join(midranks(u, "y"), "y")
+        .agg(round(corr(col("mr_x"), col("mr_y")) + lit(1e-9), 6)
+          .as("spearman"), count(lit(1)).as("n"))
+    },
+    Some("""WITH u AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS x,
+        avg(value) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+      rx AS (SELECT x, CAST(count(*) AS DOUBLE) AS c,
+        CAST(sum(count(*)) OVER (ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE) AS cb
+      FROM u GROUP BY x),
+      ry AS (SELECT y, CAST(count(*) AS DOUBLE) AS c,
+        CAST(sum(count(*)) OVER (ORDER BY y
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE) AS cb
+      FROM u GROUP BY y),
+      j AS (SELECT u.user_id,
+        coalesce(rx.cb, 0) + (rx.c + 1) / 2 AS mrx,
+        coalesce(ry.cb, 0) + (ry.c + 1) / 2 AS mry
+      FROM u JOIN rx ON rx.x = u.x JOIN ry ON ry.y = u.y)
+      SELECT round(corr(mrx, mry) + 1e-9, 6) AS spearman, count(*) AS n
+      FROM j"""))
+
   val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20, mm3, mm4,
     ann3, t27, o12, g4, t28, t29, t30, m22, w17, m24, m25, t31, a36,
-    t33, m26, a37, d13)
+    t33, m26, a37, d13, w21, m27)
 }

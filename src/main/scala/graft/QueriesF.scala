@@ -678,7 +678,8 @@ object QueriesF {
         FROM cc JOIN documents d USING (doc_id))
       SELECT cluster_id,
         min(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
-        count(*) AS cluster_size, sum(n_chars) AS total_chars
+        count(*) AS cluster_size,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM ranked GROUP BY 1"""))
 
   // M15 — robust outlier detection via median absolute deviation:
@@ -716,8 +717,8 @@ object QueriesF {
         FROM e JOIN med m USING (event_type) GROUP BY 1)
       SELECT e.event_type, round(any_value(m.med) + 1e-9, 6) AS med,
         round(any_value(m.mad) + 1e-9, 6) AS mad,
-        sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
-          THEN 1 ELSE 0 END) AS n_outliers
+        CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       FROM e JOIN mad m USING (event_type) GROUP BY 1"""))
 
   // G1 — PageRank over the customer→supplier interaction graph (edges =

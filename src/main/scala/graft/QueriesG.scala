@@ -734,7 +734,7 @@ object QueriesG {
       FROM g)
       SELECT round(max(abs(CAST(cum_a AS DOUBLE) / n_a
           - CAST(cum_b AS DOUBLE) / n_b)) + 1e-9, 6) AS ks_d,
-        max(n_a) AS n_a, max(n_b) AS n_b
+        CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b
       FROM c"""))
 
   // W17 — rolling regression slope: 7-day OLS trend per event type from
@@ -956,7 +956,8 @@ object QueriesG {
       FROM indexed GROUP BY 1, 2)
       SELECT CASE WHEN n_events = 1 THEN '1'
           WHEN n_events <= 4 THEN '2-4' ELSE '5+' END AS session_len,
-        count(*) AS n_sessions, sum(converted) AS n_converted,
+        count(*) AS n_sessions,
+        CAST(sum(converted) AS BIGINT) AS n_converted,
         round(CAST(sum(converted) AS DOUBLE) / count(*) + 1e-9, 6)
           AS conversion_rate
       FROM sessions GROUP BY 1"""))
@@ -1004,8 +1005,10 @@ object QueriesG {
           sum(chunk_tokens) OVER (PARTITION BY shard
             ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING) AS cum
         FROM sh)
-      SELECT shard, (cum - chunk_tokens) // 512 AS pack_id,
-        count(*) AS n_chunks, sum(chunk_tokens) AS n_tokens
+      SELECT shard,
+        CAST((cum - chunk_tokens) // 512 AS BIGINT) AS pack_id,
+        count(*) AS n_chunks,
+        CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens
       FROM c GROUP BY 1, 2"""))
 
   // M26 — calibration curve (reliability diagram) for the m24 score:

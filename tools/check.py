@@ -1,9 +1,14 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run graft.Verify output
 against DuckDB oracles and diff strictly (sorted columns, sorted rows,
-exact values). Usage: tools/check.py <sfDir> <verifyOutDir>
+exact values) AND canonically hash both sides the dtype-sensitive way the
+driver does. A value-equal pair like int64 5 vs float64 5.0 (DuckDB sum()
+returns HUGEINT -> pandas float64) hashes differently — r3's five
+"hash_match=false / values equal" reds were exactly this. Oracles must
+CAST(sum(...) AS BIGINT) wherever the Spark side emits a long.
+Usage: tools/check.py <sfDir> <verifyOutDir>
 """
-import json, sys, glob, math
+import json, sys, glob, math, hashlib
 import duckdb
 import pandas as pd
 
@@ -22,6 +27,21 @@ def norm(df):
             df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
+
+def canonical_hash(df):
+    """Stringified row hash over the normalized frame, modeling the driver's
+    gate (calibrated against CORRECTNESS_r03: int32-vs-int64 and
+    date-vs-datetime64 diffs PASS there, int64-vs-float64 FAILS).
+    pandas astype(str) renders ints without width ("5"), all-midnight
+    datetimes as bare dates ("2024-01-01"), but floats with a decimal
+    point ("5.0") — so a DuckDB HUGEINT sum() (-> float64) against a
+    Spark long hashes differently even when values compare equal."""
+    h = hashlib.sha256()
+    for c in df.columns:
+        for v in df[c].astype(str):
+            h.update(v.encode())
+            h.update(b"\x1f")
+    return h.hexdigest()
 
 n_pass = n_fail = 0
 for qdir in sorted(glob.glob(f"{out_dir}/*/")):
@@ -59,6 +79,12 @@ for qdir in sorted(glob.glob(f"{out_dir}/*/")):
             break
     if bad:
         print(f"FAIL {name}: {bad}"); n_fail += 1
+    elif canonical_hash(a) != canonical_hash(b):
+        dt = {c: (str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+              if str(a[c].dtype) != str(b[c].dtype)}
+        print(f"FAIL {name}: values equal but canonical hash differs "
+              f"(dtype diffs: {dt or 'none — check float rendering/-0.0'})")
+        n_fail += 1
     else:
         print(f"PASS {name} ({len(a)} rows)"); n_pass += 1
 

@@ -135,6 +135,9 @@ object QueriesF {
       val cells = ev(s, d)
         .groupBy(col("event_type"), dayofweek(col("ts")).as("wd"))
         .agg(count(lit(1)).cast("double").as("o"))
+      // bounded frame: |event_types| × 7 cells — an unpartitioned window
+      // over ≤ ~35 rows is safe at any corpus size (the facts reduced
+      // first; only the contingency table rides the window).
       val wAll = Window.partitionBy()
       val chi2raw = sum(pow(col("o") - col("e"), 2) / col("e"))
       cells
@@ -1040,6 +1043,7 @@ object QueriesF {
           .cast("int").as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
       digits
+        // bounded frame: exactly 9 digit rows — unpartitioned window safe.
         .withColumn("share",
           round(col("n") / sum(col("n")).over(Window.partitionBy())
             + lit(1e-9), 6))
@@ -1094,17 +1098,22 @@ object QueriesF {
   // Two aggregates: vocabulary counts (map-side combinable), then a
   // vocab⋈tokens broadcast join back — the corpus is scanned twice but
   // the second scan carries only (doc_id, token). The total-token
-  // normalizer is a window over the vocab frame (|vocab| rows, not the
-  // corpus).
+  // normalizer is a 1-row aggregate cross-joined back (broadcast): the
+  // vocab frame is |vocab| rows (~10⁸ on a web corpus), so an
+  // unpartitioned window over it would single-partition a genuinely
+  // large frame — the m22 rule, solved here by a scalar instead of a
+  // prefix because only the TOTAL is needed.
   val t22 = Q("t22_unigram_surprise",
     (s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(split(trim(col("text")), "\\s+")).as("tok"))
         .where(col("tok") =!= "")
-      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        .withColumn("p",
-          col("n") / sum(col("n")).over(Window.partitionBy()))
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .cache() // feeds the scalar total AND the join — one aggregation
+      val vocab = counts
+        .crossJoin(broadcast(counts.agg(sum(col("n")).as("__tot"))))
+        .withColumn("p", col("n") / col("__tot"))
       toks.join(broadcast(vocab.select(col("tok"), col("p"))), "tok")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),

@@ -421,7 +421,7 @@ object QueriesG {
         length(regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1))
           - length(replace(regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1),
               '/', '')) AS path_depth,
-        url LIKE '%utm_%' AS has_tracking,
+        contains(url, 'utm_') AS has_tracking,
         regexp_extract(url, '^https?://([^/]+)', 1)
           IN ('src0.example.com', 'src13.example.com') AS blocked,
         regexp_replace(url, '\?.*$', '') AS canonical
@@ -456,16 +456,16 @@ object QueriesG {
           min(col("x")).as("x_min"), max(col("x")).as("x_max"),
           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
     },
-    Some("""WITH z AS (SELECT event_id,
-        user_id % 256 AS x,
-        CAST(floor(coalesce(value, 0)) AS BIGINT) % 256 AS y,
+    Some("""WITH b AS (SELECT event_id,
+        ((user_id % 256) + 256) % 256 AS x,
+        ((CAST(floor(coalesce(value, 0)) AS BIGINT) % 256) + 256) % 256 AS y
+        FROM events),
+      z AS (SELECT event_id, x, y,
         list_sum(list_transform(range(0, 8), i ->
-          ((user_id % 256 // CAST(2**i AS BIGINT)) % 2)
-            * CAST(2**(2*i) AS BIGINT)
-          + ((CAST(floor(coalesce(value, 0)) AS BIGINT) % 256
-              // CAST(2**i AS BIGINT)) % 2)
+          ((x // CAST(2**i AS BIGINT)) % 2) * CAST(2**(2*i) AS BIGINT)
+          + ((y // CAST(2**i AS BIGINT)) % 2)
             * CAST(2**(2*i+1) AS BIGINT))) AS zval
-        FROM events)
+        FROM b)
       SELECT CAST(zval // 4096 AS INT) AS bucket, count(*) AS n,
         min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
       FROM z GROUP BY 1"""))
@@ -695,32 +695,66 @@ object QueriesG {
   // M22 — two-sample Kolmogorov–Smirnov statistic between the 'click'
   // and 'purchase' value distributions: D = sup |F̂_a(v) − F̂_b(v)|,
   // exact. The facts reduce FIRST to per-distinct-value counts (one
-  // shuffle, map-side combinable); the CDF sweep is a running sum over
-  // that distinct-value frame — the global window rides |values| rows,
-  // not |events| (the same pre-aggregate-then-window rule the daily/
-  // monthly series follow). At extreme value cardinality the sweep
-  // becomes a range-partitioned two-pass prefix sum — same algebra.
-  // Complements m17's binned PSI with a bin-free exact statistic.
+  // shuffle, map-side combinable). `value` is a continuous double, so
+  // the distinct-value frame is ≈ N rows — the CDF sweep therefore uses
+  // Stats.rangePrefixSum (range-partitioned two-pass running sum + the
+  // broadcast totals it emits), never an unpartitioned window over the
+  // N-row frame. m22b keeps the sequential-window twin on the same
+  // oracle as the algebra cross-check. Complements m17's binned PSI
+  // with a bin-free exact statistic.
+  private def ksPerValue(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).where(col("value").isNotNull &&
+      col("event_type").isin("click", "purchase"))
+    e.groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("a_cnt"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("b_cnt"))
+  }
+
+  private def ksFinal(cum: DataFrame): DataFrame =
+    cum.agg(round(max(abs(col("cum_a") / col("n_a")
+      - col("cum_b") / col("n_b"))) + lit(1e-9), 6).as("ks_d"),
+      max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+
   val m22 = Q("m22_ks_test",
     (s, d) => {
-      val e = Tables.events(s, d).where(col("value").isNotNull &&
-        col("event_type").isin("click", "purchase"))
-      val perValue = e.groupBy(col("value"))
-        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
-          .as("a_cnt"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .as("b_cnt"))
+      val cum = graft.operators.Stats.rangePrefixSum(ksPerValue(s, d),
+        Seq("value"), Seq("a_cnt" -> "cum_a", "b_cnt" -> "cum_b"))
+      ksFinal(cum
+        .withColumnRenamed("cum_a_total", "n_a")
+        .withColumnRenamed("cum_b_total", "n_b"))
+    },
+    Some("""WITH g AS (SELECT value,
+        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a_cnt,
+        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b_cnt
+      FROM events WHERE value IS NOT NULL
+        AND event_type IN ('click', 'purchase') GROUP BY 1),
+      c AS (SELECT value,
+        sum(a_cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_a,
+        sum(b_cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_b,
+        sum(a_cnt) OVER () AS n_a, sum(b_cnt) OVER () AS n_b
+      FROM g)
+      SELECT round(max(abs(CAST(cum_a AS DOUBLE) / n_a
+          - CAST(cum_b AS DOUBLE) / n_b)) + 1e-9, 6) AS ks_d,
+        CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b
+      FROM c"""))
+
+  // M22b — the sequential-window twin of m22: one global running sum
+  // over the distinct-value frame. Correct and the simpler plan when
+  // value cardinality is bounded (a discretized/binned score); kept on
+  // the SAME oracle as the algebra cross-check for the range-partitioned
+  // form. On a continuous key at scale, use m22's shape.
+  val m22b = Q("m22b_ks_test_window",
+    (s, d) => {
       val w = Window.orderBy(col("value"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy()
-      perValue
+      ksFinal(ksPerValue(s, d)
         .withColumn("cum_a", sum(col("a_cnt")).over(w))
         .withColumn("cum_b", sum(col("b_cnt")).over(w))
         .withColumn("n_a", sum(col("a_cnt")).over(wAll))
-        .withColumn("n_b", sum(col("b_cnt")).over(wAll))
-        .agg(round(max(abs(col("cum_a") / col("n_a")
-          - col("cum_b") / col("n_b"))) + lit(1e-9), 6).as("ks_d"),
-          max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+        .withColumn("n_b", sum(col("b_cnt")).over(wAll)))
     },
     Some("""WITH g AS (SELECT value,
         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a_cnt,
@@ -783,25 +817,27 @@ object QueriesG {
   // predict 'purchase' vs 'view'?) via the Mann–Whitney rank identity
   // with midrank tie correction: AUC = (Σ midranks(pos) − n₊(n₊+1)/2)
   // / (n₊·n₋). The facts reduce to per-distinct-score (count, positives)
-  // FIRST; midrank = cum_before + (ties+1)/2 comes from one running sum
-  // over the distinct-score frame (m22's pre-aggregate-then-sweep rule).
-  // This is THE eval metric for a quality-classifier in a curation
-  // pipeline, computed without ever materializing per-row ranks.
+  // FIRST; midrank = cum_before + (ties+1)/2 comes from ONE range-
+  // partitioned prefix sum over the distinct-score frame (m22's rule —
+  // the score is continuous, so that frame is ≈ N rows and never rides
+  // an unpartitioned window). Counts stay integral through the prefix,
+  // so the two-pass form is bit-identical to a sequential sweep. This is
+  // THE eval metric for a quality-classifier in a curation pipeline,
+  // computed without ever materializing per-row ranks.
   val m24 = Q("m24_auc_score",
     (s, d) => {
       val e = Tables.events(s, d).where(col("value").isNotNull &&
         col("event_type").isin("purchase", "view"))
       val perScore = e.groupBy(col("value"))
-        .agg(count(lit(1)).cast("double").as("c"),
+        .agg(count(lit(1)).as("c"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .cast("double").as("p"))
-      val w = Window.orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wAll = Window.partitionBy()
-      perScore
-        .withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0.0)))
-        .withColumn("np", sum(col("p")).over(wAll))
-        .withColumn("nn", sum(col("c") - col("p")).over(wAll))
+            .as("p"))
+      Stats.rangePrefixSum(perScore, Seq("value"),
+        Seq("c" -> "cum_c", "p" -> "cum_p"))
+        .withColumn("cum_before", (col("cum_c") - col("c")).cast("double"))
+        .withColumn("np", col("cum_p_total").cast("double"))
+        .withColumn("nn",
+          (col("cum_c_total") - col("cum_p_total")).cast("double"))
         .withColumn("rsum_part",
           col("p") * (col("cum_before") + (col("c") + 1) / 2))
         .agg(round((sum(col("rsum_part"))
@@ -839,6 +875,8 @@ object QueriesG {
       val daily = Tables.events(s, d).where(col("value").isNotNull)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(sum(col("value")).as("v"))
+      // bounded frame: one row per DAY (≤ a few thousand even at decades
+      // of history) — unpartitioned centered window safe at any fact size.
       val win = Window.orderBy(col("day")).rowsBetween(-3, 3)
       // ~30-row frame consumed by BOTH the weekday aggregate and the
       // join-back — cache, or the events scan + daily groupBy run twice.
@@ -1126,11 +1164,13 @@ object QueriesG {
       FROM dd GROUP BY 1"""))
 
   // M27 — Spearman rank correlation (tie-corrected): Pearson of MIDRANKS,
-  // with midranks computed from per-distinct-value counts + one running
-  // sum (m24's rank-free construction, applied per variable) and joined
-  // back — no per-row rank() materialization. Measures monotone (not
-  // just linear, m1) association: here, whether more-active users have
-  // systematically higher average values.
+  // with midranks computed from per-distinct-value counts + one range-
+  // partitioned prefix sum (m24's rank-free construction, applied per
+  // variable) and joined back — no per-row rank() materialization and no
+  // unpartitioned window: `y` is a continuous average, so its distinct
+  // frame is ≈ |users| rows. Measures monotone (not just linear, m1)
+  // association: here, whether more-active users have systematically
+  // higher average values.
   val m27 = Q("m27_spearman_corr",
     (s, d) => {
       val u = Tables.events(s, d).where(col("value").isNotNull)
@@ -1139,12 +1179,10 @@ object QueriesG {
           avg(col("value")).as("y"))
         .cache() // feeds both rank frames and the join-back
       def midranks(frame: DataFrame, vCol: String): DataFrame = {
-        val w = Window.orderBy(col(vCol))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        frame.groupBy(col(vCol)).agg(count(lit(1)).cast("double").as("c"))
-          .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0.0)))
-          .select(col(vCol), (col("cb") + (col("c") + 1) / 2)
-            .as(s"mr_$vCol"))
+        val g = frame.groupBy(col(vCol)).agg(count(lit(1)).as("c"))
+        Stats.rangePrefixSum(g, Seq(vCol), Seq("c" -> "cum"))
+          .select(col(vCol), ((col("cum") - col("c")).cast("double")
+            + (col("c") + 1) / 2).as(s"mr_$vCol"))
       }
       u.join(midranks(u, "x"), "x").join(midranks(u, "y"), "y")
         .agg(round(corr(col("mr_x"), col("mr_y")) + lit(1e-9), 6)
@@ -1169,6 +1207,6 @@ object QueriesG {
       FROM j"""))
 
   val all: Seq[Q] = Seq(t23, t24, t25, t26, j15, g3, a29b, m20, mm3, mm4,
-    ann3, t27, o12, g4, t28, t29, t30, m22, w17, m24, m25, t31, a36,
+    ann3, t27, o12, g4, t28, t29, t30, m22, m22b, w17, m24, m25, t31, a36,
     t33, m26, a37, d13, w21, m27)
 }

@@ -131,6 +131,68 @@ object Stats {
           + lit(1e-9), 6).as("q_est"))
   }
 
+  /** Scalable global running sum (X57 scale form): inclusive prefix sums
+    * over the frame ordered by `orderCols`, WITHOUT an unpartitioned
+    * window — the plan that survives a distinct-key count ≈ N (a
+    * continuous CDF sweep key, per-row ranks) where `Window.orderBy`
+    * alone would collapse to one partition.
+    *
+    * Two passes, same algebra as the sequential sweep:
+    *  1. `repartitionByRange(numParts, orderCols)` puts contiguous key
+    *     ranges in separate partitions; a pid-partitioned window computes
+    *     each partition's LOCAL prefix (parallel across `numParts`).
+    *  2. Per-partition totals (a `numParts`-row frame) turn into
+    *     cumulative offsets via a window over that BOUNDED frame
+    *     (≤ numParts rows — bounded by the partition count, never N) and
+    *     broadcast-join back; global prefix = local prefix + offset.
+    *
+    * For each `(src, dst)` in `sums` the result carries `dst` (inclusive
+    * prefix) and `${dst}_total` (the global sum, replacing the
+    * `sum(...) over ()` scan the sequential form needs). Exclusive
+    * prefixes are `dst - src`.
+    *
+    * The range-shuffled frame is persisted: range boundaries come from
+    * sampling, so the two consumers (local prefix, per-partition totals)
+    * must see ONE materialization or pids could disagree between
+    * recomputations. Callers should treat `orderCols` as a unique key
+    * (pre-aggregate to distinct values first — the m22/m24/m27 pattern)
+    * so ROWS and RANGE framing coincide; sum sources should be integral
+    * for bit-exact parity with a sequential sweep (longs add
+    * associatively, doubles don't).
+    */
+  def rangePrefixSum(df: DataFrame, orderCols: Seq[String],
+      sums: Seq[(String, String)], numParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val oc = orderCols.map(col)
+    val parted = df.repartitionByRange(numParts, oc: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val localW = Window.partitionBy(col("__pid")).orderBy(oc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sums.foldLeft(parted) { case (acc, (src, dst)) =>
+      acc.withColumn(dst, sum(col(src)).over(localW))
+    }
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val allW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val perPart = parted.groupBy(col("__pid")).agg(
+      sums.head match { case (src, dst) => sum(col(src)).as(s"__t_$dst") },
+      sums.tail.map { case (src, dst) => sum(col(src)).as(s"__t_$dst") }: _*)
+    val offsets = sums.foldLeft(perPart) { case (acc, (_, dst)) =>
+      acc
+        .withColumn(s"__o_$dst", coalesce(sum(col(s"__t_$dst")).over(offW),
+          lit(0)))
+        .withColumn(s"${dst}_total", sum(col(s"__t_$dst")).over(allW))
+    }.select(col("__pid") +: sums.flatMap { case (_, dst) =>
+      Seq(col(s"__o_$dst"), col(s"${dst}_total")) }: _*)
+    sums.foldLeft(local.join(broadcast(offsets), "__pid")) {
+      case (acc, (_, dst)) =>
+        acc.withColumn(dst, col(dst) + col(s"__o_$dst"))
+          .drop(s"__o_$dst")
+    }.drop("__pid")
+  }
+
   def corrMatrix(df: DataFrame, seriesCol: String, keyCol: String,
       valueCol: String): DataFrame = {
     val a = df.select(col(seriesCol).as("series_a"), col(keyCol),

@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * sorted-window evaluation. Each partition column keeps the sort local to
   * its hash partition; an unpartitioned window (global series) is fine when
   * the series is an already-aggregated daily/monthly frame (thousands of
-  * rows), never over the raw fact table.
+  * rows), never over the raw fact table. When the order key is continuous
+  * (distinct count ≈ N) so no pre-aggregation bounds the frame, use
+  * [[Stats.rangePrefixSum]] — the range-partitioned two-pass form of the
+  * same running sum.
   */
 object TimeSeries {
 

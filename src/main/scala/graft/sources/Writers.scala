@@ -99,24 +99,49 @@ object Writers {
     * Row-identical by construction; ordering is NOT preserved (parquet
     * dirs are unordered sets — callers needing order sort on read, or
     * use [[writeRangeClustered]] to compact and cluster in one pass).
+    *
+    * Flat directories ONLY: a hive-partitioned dir is refused up front —
+    * compacting it flat would leave the partition subdirectories in
+    * place next to the (unpartitioned) compacted files, and a subsequent
+    * read would return every row twice with a conflicting schema.
+    * Compact each partition directory individually instead.
+    *
+    * Runs on the Hadoop FileSystem of `path` (HDFS/object store/local
+    * alike, matching every other writer here), and the swap is crash-
+    * recoverable: originals are RENAMED aside into a `__compact_bak`
+    * sibling before the compacted files move in, so no point of failure
+    * leaves the directory with rows deleted — a crashed run leaves
+    * either the untouched originals or both dirs to reconcile, never a
+    * silent partial delete.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetRowsPerFile: Long, compression: String = "zstd"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(target)
+    val partitionDirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    require(partitionDirs.isEmpty,
+      s"compact: $path contains subdirectories " +
+        s"(${partitionDirs.take(3).mkString(", ")}) — it looks " +
+        "hive-partitioned; compact each partition dir individually")
     val df = spark.read.parquet(path)
     val rows = df.count() // metadata-only: COUNT(*) over parquet footers
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
-    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    val tmp = new Path(path.stripSuffix("/") + "__compact_tmp")
+    val bak = new Path(path.stripSuffix("/") + "__compact_bak")
     df.repartition(nFiles).write.mode("overwrite")
-      .option("compression", compression).parquet(tmp)
-    val target = Paths.get(path)
-    // Swap: remove originals, move compacted files in, drop the temp dir.
-    Files.list(target).forEach { p =>
-      if (!Files.isDirectory(p)) Files.delete(p)
+      .option("compression", compression).parquet(tmp.toString)
+    fs.mkdirs(bak)
+    entries.filterNot(_.isDirectory).foreach { f =>
+      fs.rename(f.getPath, new Path(bak, f.getPath.getName))
     }
-    Files.list(Paths.get(tmp)).forEach { p =>
-      Files.move(p, target.resolve(p.getFileName))
+    fs.listStatus(tmp).filterNot(_.isDirectory).foreach { f =>
+      fs.rename(f.getPath, new Path(target, f.getPath.getName))
     }
-    Files.delete(Paths.get(tmp))
+    fs.delete(tmp, true)
+    fs.delete(bak, true) // originals drop LAST — the only destructive step
   }
 
   def versionedDir(base: String,

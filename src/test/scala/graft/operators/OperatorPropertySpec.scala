@@ -14,6 +14,55 @@ class OperatorPropertySpec extends SparkSpecBase {
 
   import spark.implicits._
 
+  // ---- range-partitioned prefix sum ----------------------------------
+
+  test("rangePrefixSum ≡ sequential window sweep: inclusive prefixes, " +
+      "totals, negative values, duplicates across the key space") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new Random(11)
+    // keys deliberately collide and interleave; values include negatives
+    val rows = (1 to 2000).map { i =>
+      (rnd.nextInt(400).toDouble / 7.0, rnd.nextInt(21).toLong - 10,
+        rnd.nextInt(5).toLong)
+    }
+    // pre-aggregate to distinct keys (the documented contract)
+    val df = rows.toDF("k", "a", "b").groupBy("k")
+      .agg(sum("a").as("a"), sum("b").as("b"))
+
+    val got = Stats.rangePrefixSum(df, Seq("k"),
+        Seq("a" -> "cum_a", "b" -> "cum_b"), numParts = 8)
+      .select("k", "cum_a", "cum_b", "cum_a_total", "cum_b_total")
+      .as[(Double, Long, Long, Long, Long)].collect().sortBy(_._1)
+
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val want = df
+      .withColumn("cum_a", sum(col("a")).over(w))
+      .withColumn("cum_b", sum(col("b")).over(w))
+      .withColumn("cum_a_total", sum(col("a")).over(wAll))
+      .withColumn("cum_b_total", sum(col("b")).over(wAll))
+      .select("k", "cum_a", "cum_b", "cum_a_total", "cum_b_total")
+      .as[(Double, Long, Long, Long, Long)].collect().sortBy(_._1)
+
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, e) => assert(g === e) }
+  }
+
+  test("rangePrefixSum: single row, single partition, and " +
+      "fewer rows than partitions all degrade gracefully") {
+    val one = Seq((1.0, 5L)).toDF("k", "v")
+    val g1 = Stats.rangePrefixSum(one, Seq("k"), Seq("v" -> "cum"),
+      numParts = 16).select("cum", "cum_total").as[(Long, Long)].collect()
+    assert(g1.toSeq === Seq((5L, 5L)))
+
+    val three = Seq((3.0, 1L), (1.0, 2L), (2.0, 3L)).toDF("k", "v")
+    val g3 = Stats.rangePrefixSum(three, Seq("k"), Seq("v" -> "cum"),
+        numParts = 16)
+      .orderBy("k").select("cum").as[Long].collect()
+    assert(g3.toSeq === Seq(2L, 5L, 6L)) // ordered by k: 1.0, 2.0, 3.0
+  }
+
   // ---- sampling / splits / shards ------------------------------------
 
   test("sampling algebra: buckets in range, splits exhaustive and " +

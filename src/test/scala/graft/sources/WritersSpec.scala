@@ -162,4 +162,16 @@ class WritersSpec extends SparkSpecBase {
     assert(back.length == 4000)
     assert(back.map(_._1).toSet == (1 to 4000).map(_.toLong).toSet)
   }
+
+  test("compact: refuses a hive-partitioned directory outright") {
+    val dir = Files.createTempDirectory("compactpart").toString + "/t"
+    val df = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "s", "p")
+    df.write.partitionBy("p").parquet(dir)
+    val err = intercept[IllegalArgumentException] {
+      Writers.compact(spark, dir, targetRowsPerFile = 1000)
+    }
+    assert(err.getMessage.contains("hive-partitioned"))
+    // and the refusal left the data completely untouched
+    assert(spark.read.parquet(dir).count() == 2)
+  }
 }

@@ -60,10 +60,17 @@ object Bench {
     // accumulate dead state into whichever queries run late in the
     // alphabet (same finding as RunPipeline --repeat, where reruns
     // degraded 16 s → 41 s without an explicit GC).
+    // The GC now runs before EVERY rep, not just per query (round 5):
+    // operators materialize internal frames via localCheckpoint, whose
+    // blocks the ContextCleaner frees only after the frame is
+    // unreachable AND a GC has run — without a per-rep GC they pile up
+    // across a query's 4 reps and the rep times escalate monotonically
+    // (the BENCH_r04 t20/t30 artifact). GC happens outside the timed
+    // window.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc()
       runOnce(fn) // throwaway: JIT + codegen cache + shuffle warmup for this plan
-      val reps = (1 to 3).map(_ => runOnce(fn)).sorted
+      val reps = (1 to 3).map { _ => System.gc(); runOnce(fn) }.sorted
       (name, reps(1), reps)
     }
     val total = results.map(_._2).sum

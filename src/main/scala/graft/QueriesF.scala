@@ -1096,7 +1096,8 @@ object QueriesF {
   // unigram model — the cheap statistical stand-in for perplexity-based
   // quality filtering (high surprise = rare-token soup, low = boilerplate).
   // Two aggregates: vocabulary counts (map-side combinable), then a
-  // vocab⋈tokens broadcast join back — the corpus is scanned twice but
+  // vocab⋈tokens equi-join back (AQE broadcasts it when vocab is small)
+  // — the corpus is scanned twice but
   // the second scan carries only (doc_id, token). The total-token
   // normalizer is a 1-row aggregate cross-joined back (broadcast): the
   // vocab frame is |vocab| rows (~10⁸ on a web corpus), so an
@@ -1110,11 +1111,18 @@ object QueriesF {
           explode(split(trim(col("text")), "\\s+")).as("tok"))
         .where(col("tok") =!= "")
       val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        .cache() // feeds the scalar total AND the join — one aggregation
+        // feeds the scalar total AND the join — one aggregation,
+        // GC-released checkpoint instead of a pinned cache entry
+        .localCheckpoint(true)
       val vocab = counts
         .crossJoin(broadcast(counts.agg(sum(col("n")).as("__tot"))))
         .withColumn("p", col("n") / col("__tot"))
-      toks.join(broadcast(vocab.select(col("tok"), col("p"))), "tok")
+      // No broadcast hint on the vocab join: at web-corpus scale the
+      // vocab frame is the ~10^8-row side the comment above describes —
+      // a forced broadcast (driver collect + per-executor copy) would be
+      // the blow-up, not the window it replaced. AQE still picks a
+      // broadcast join at runtime whenever vocab is actually small.
+      toks.join(vocab.select(col("tok"), col("p")), "tok")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
           round(avg(-log(col("p"))) + lit(1e-9), 6).as("surprise"))

@@ -338,12 +338,13 @@ object QueriesG {
         .orderBy(col("cosine").desc, col("neighbor_id"))
       val wL2 = Window.partitionBy(col("query_id"))
         .orderBy(col("dist").asc, col("neighbor_id"))
-      // Both signal branches read this frame — cache so the pair
-      // computation (the expensive part) runs once, not per branch.
+      // Both signal branches read this frame — one eager materialization
+      // so the pair computation (the expensive part) runs once, not per
+      // branch; checkpoint blocks are GC-released after the query.
       val ranked = pairs
         .withColumn("rank_cos", row_number().over(wCos))
         .withColumn("rank_l2", row_number().over(wL2))
-        .cache()
+        .localCheckpoint(true)
       val ra = ranked.where(col("rank_cos") <= 20)
         .select(col("query_id"), col("neighbor_id"), col("rank_cos"))
       val rb = ranked.where(col("rank_l2") <= 20)
@@ -879,11 +880,12 @@ object QueriesG {
       // of history) — unpartitioned centered window safe at any fact size.
       val win = Window.orderBy(col("day")).rowsBetween(-3, 3)
       // ~30-row frame consumed by BOTH the weekday aggregate and the
-      // join-back — cache, or the events scan + daily groupBy run twice.
+      // join-back — materialize once, or the events scan + daily groupBy
+      // run twice (GC-released checkpoint, not a pinned cache entry).
       val t = daily.withColumn("trend",
         when(count(lit(1)).over(win) === 7, avg(col("v")).over(win)))
         .where(col("trend").isNotNull)
-        .cache()
+        .localCheckpoint(true)
       val seas = t.groupBy(dayofweek(col("day")).as("dow"))
         .agg(avg(col("v") - col("trend")).as("seasonal"))
       t.join(broadcast(seas), dayofweek(col("day")) === col("dow"))
@@ -918,10 +920,13 @@ object QueriesG {
   // other" without any document-level pairing.
   val t31 = Q("t31_source_overlap",
     (s, d) => {
-      val sh = Dedup.shingles(docs(s, d), "text", "source", 3)
-      // 20 rows feeding BOTH sides of the self-join — cache, or the
-      // full shingle+signature subtree runs twice (g3's lesson).
-      val sig = Dedup.minHashSignatureArray(sh, "source", 32).cache()
+      // 20 rows feeding BOTH sides of the self-join — materialize once,
+      // or the full shingle+signature subtree runs twice (g3's lesson).
+      // Hash-path signatures: min is duplicate-insensitive, so the
+      // per-source shingle set never needs the distinct()'s shuffle.
+      val sig = Dedup.minHashSignatureArrayFromHashes(
+        Dedup.shingleHashes(docs(s, d), "text", "source", 3), "source", 32)
+        .localCheckpoint(true)
       val l = sig.select(col("source").as("s_a"), col("sig").as("sig_a"))
       val r = sig.select(col("source").as("s_b"), col("sig").as("sig_b"))
       l.join(r, col("s_a") < col("s_b"))
@@ -1177,7 +1182,8 @@ object QueriesG {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).cast("double").as("x"),
           avg(col("value")).as("y"))
-        .cache() // feeds both rank frames and the join-back
+        // feeds both rank frames and the join-back — one materialization
+        .localCheckpoint(true)
       def midranks(frame: DataFrame, vCol: String): DataFrame = {
         val g = frame.groupBy(col(vCol)).agg(count(lit(1)).as("c"))
         Stats.rangePrefixSum(g, Seq(vCol), Seq("c" -> "cum"))

@@ -72,7 +72,11 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double, maxShingleFreq: Int = 1000): DataFrame = {
-    val sh = shingles(df, textCol, idCol, n).cache()
+    // Eager localCheckpoint, not cache(): two consumers (freq prune +
+    // pruned join) read one materialization, and the blocks are released
+    // by the ContextCleaner once the result is dropped — an internal
+    // cache() would pin a CacheManager entry until someone unpersists.
+    val sh = shingles(df, textCol, idCol, n).localCheckpoint(true)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df_freq"))
       .where(col("df_freq") <= maxShingleFreq)
     val pruned = sh.join(rare, "shingle").select(col(idCol), col("shingle"))
@@ -114,6 +118,35 @@ object Dedup {
   private def permuted(h31: Column, i: Int): Column =
     pmod(h31 * lit(minHashA(i)) + lit(minHashB(i)), lit(minHashP))
 
+  /** Shingle HASHES without set-dedup: (id, __h) with
+    * h = md5Hash56(shingle) mod p, duplicates retained. MinHash
+    * consumers only ever MIN-aggregate over permutations of h, and min
+    * is duplicate-insensitive — min over a multiset equals min over its
+    * set — so the `distinct()` that [[shingles]] pays (a full shuffle of
+    * 3-word shingle STRINGS, the single most expensive stage of the LSH
+    * pipeline) is pure waste on this path. Skipping it also keeps every
+    * document's shingles in the document's scan partition, so the
+    * signature groupBy partial-aggregates map-side and the only shuffle
+    * left carries one (id, numHashes longs) row per doc per partition.
+    * Use [[shingles]] where true SET semantics matter (Jaccard
+    * intersection counts, decontamination overlap).
+    */
+  def shingleHashes(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol), toks.as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(
+        col(idCol),
+        explode(
+          transform(
+            sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))
+        ).as("shingle"))
+      .select(col(idCol),
+        pmod(md5Hash56(col("shingle")), lit(minHashP)).as("__h"))
+  }
+
   /** MinHash signatures in long form (id, hash_idx, min_hash). */
   def minHashSignatures(
       sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
@@ -134,13 +167,22 @@ object Dedup {
     * same information).
     */
   def minHashSignatureArray(
-      sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val base = sh.withColumn("__h",
-      pmod(md5Hash56(col("shingle")), lit(minHashP)))
+      sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    minHashSignatureArrayFromHashes(
+      sh.select(col(idCol),
+        pmod(md5Hash56(col("shingle")), lit(minHashP)).as("__h")),
+      idCol, numHashes)
+
+  /** Signature builder over a (id, __h) hash frame — the
+    * [[shingleHashes]] fast path (no string-shingle shuffle anywhere in
+    * the plan; one partial-aggregated groupBy is the only exchange).
+    */
+  def minHashSignatureArrayFromHashes(
+      hs: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map { i =>
       min(permuted(col("__h"), i)).as(s"__m$i")
     }
-    base.groupBy(col(idCol))
+    hs.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol),
         array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
@@ -158,8 +200,12 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    val sh = shingles(df, textCol, idCol, shingleSize)
-    val sig = minHashSignatureArray(sh, idCol, numHashes).cache()
+    // Three consumers (banding + both verify joins) — one eager
+    // materialization, GC-released (see jaccardPairs note). Signatures
+    // come from the shingle-HASH path: no distinct(), no string shuffle.
+    val sig = minHashSignatureArrayFromHashes(
+      shingleHashes(df, textCol, idCol, shingleSize), idCol, numHashes)
+      .localCheckpoint(true)
     val numBands = numHashes / rowsPerBand
     val banded = sig.select(col(idCol),
       explode(array((0 until numBands).map(b =>
@@ -203,9 +249,10 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String, isDelta: Column,
       shingleSize: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    val sh = shingles(df, textCol, idCol, shingleSize)
     val deltaIds = df.where(isDelta).select(col(idCol)).distinct()
-    val sig = minHashSignatureArray(sh, idCol, numHashes).cache()
+    val sig = minHashSignatureArrayFromHashes(
+      shingleHashes(df, textCol, idCol, shingleSize), idCol, numHashes)
+      .localCheckpoint(true)
     val numBands = numHashes / rowsPerBand
     val banded = sig.select(col(idCol),
       explode(array((0 until numBands).map(b =>
@@ -271,44 +318,61 @@ object Dedup {
       nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
-    val edges = pairs
+    // Materialize the pair frame BEFORE mirroring it: the two union
+    // branches are distinct subtrees to Catalyst (no common-subexpression
+    // elimination across a union), so without this checkpoint the whole
+    // pair-generation pipeline (LSH banding + verify joins) executes
+    // twice in one plan — measured at ~2× the warm cost of t17/t20/t30.
+    val p0 = pairs
       .select(col(aCol).as("__src"), col(bCol).as("__dst"))
-      .union(pairs.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+      .localCheckpoint(true) // pair generation (LSH etc.) runs ONCE
+    val edges = p0
+      .union(p0.select(col("__dst").as("__src"), col("__src").as("__dst")))
       .distinct()
-      .localCheckpoint(true) // pair generation (LSH etc.) runs ONCE, not per round
+      .localCheckpoint(true) // ...and the mirrored edge set once, not per round
     // Propagate ONLY over vertices that touch an edge. Dup-pair graphs
     // are sparse — most of the corpus is singleton clusters — so the
     // iterated frames shrink from |corpus| to ~2|pairs| rows; singletons
     // rejoin at the end as their own cluster via coalesce.
-    var labels = edges.select(col("__src").as(idCol)).distinct()
-      .select(col(idCol), col(idCol).as("__label"))
+    //
+    // Round 1 is FOLDED INTO the initialization: against identity labels
+    // the neighbor-min join degenerates to a plain groupBy over the edge
+    // list (min neighbor id), so the first label assignment costs one
+    // aggregate instead of a join + aggregate round through the loop.
+    var labels = edges.groupBy(col("__src").as(idCol))
+      .agg(min(col("__dst")).as("__nbr_min"))
+      .select(col(idCol),
+        least(col(idCol), col("__nbr_min")).as("__label"))
       .localCheckpoint(true)
     var changed = 1L
-    var iters = 0
+    var iters = 1 // the init above IS propagation round 1
     while (changed > 0 && iters < maxIters) {
       val nbrMin = edges
         .join(labels.select(col(idCol).as("__dst"),
           col("__label").as("__nbr")), "__dst")
         .groupBy(col("__src").as(idCol))
         .agg(min("__nbr").as("__nbr_min"))
-      val prev = labels
+      // The convergence test rides the SAME job that materializes the
+      // round's labels: an Observation on the checkpoint action replaces
+      // the separate count() job — half the driver round-trips per round.
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iters")
       val next = labels.join(nbrMin, Seq(idCol), "left")
         .select(col(idCol),
           least(col("__label"), coalesce(col("__nbr_min"), col("__label")))
             .as("__label"),
           coalesce(col("__nbr_min") < col("__label"), lit(false))
             .as("__changed"))
+        .observe(obs, coalesce(sum(when(col("__changed"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_changed")) // empty frame → 0, not null
         .localCheckpoint(true)
-      changed = next.where(col("__changed")).count()
+      changed = obs.get("n_changed").asInstanceOf[Long]
       labels = next.drop("__changed")
-      prev.unpersist()
       iters += 1
     }
     assert(changed == 0L,
       s"connectedComponents did not converge in $maxIters rounds " +
         "(graph diameter exceeds the bound — raise maxIters or switch " +
         "to star contraction)")
-    edges.unpersist()
     nodes.select(col(idCol))
       .join(labels, Seq(idCol), "left")
       .select(col(idCol),

@@ -155,7 +155,10 @@ object Similarity {
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 4, numTables: Int = 8, dim: Int = 0): DataFrame = {
-    val base = unitVectors(df, idCol, vecCol).cache()
+    // Eager localCheckpoint: numTables bucketings + 2 verify joins all
+    // read one materialization; blocks are GC-released when the result
+    // is dropped (cache() would pin a CacheManager entry indefinitely).
+    val base = unitVectors(df, idCol, vecCol).localCheckpoint(true)
     val d = resolveDim(base, dim)
     val candidateIds = lshCandidates(base, d, numPlanes, numTables,
       "query_id", "neighbor_id", ordered = false)
@@ -198,7 +201,7 @@ object Similarity {
   def lshThresholdPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 2, numTables: Int = 16,
       dim: Int = 0): DataFrame = {
-    val base = unitVectors(df, idCol, vecCol).cache()
+    val base = unitVectors(df, idCol, vecCol).localCheckpoint(true)
     val d = resolveDim(base, dim)
     val candidateIds = lshCandidates(base, d, numPlanes, numTables,
       "id_a", "id_b", ordered = true)
@@ -313,7 +316,7 @@ object Similarity {
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int, numTables: Int, dim: Int = 0): DataFrame = {
-    val base = unitVectors(df, idCol, vecCol).cache()
+    val base = unitVectors(df, idCol, vecCol).localCheckpoint(true)
     val d = resolveDim(base, dim)
     lshCandidates(base, d, numPlanes, numTables, "id_a", "id_b",
       ordered = true)

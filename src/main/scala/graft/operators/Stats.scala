@@ -151,10 +151,16 @@ object Stats {
     * `sum(...) over ()` scan the sequential form needs). Exclusive
     * prefixes are `dst - src`.
     *
-    * The range-shuffled frame is persisted: range boundaries come from
-    * sampling, so the two consumers (local prefix, per-partition totals)
-    * must see ONE materialization or pids could disagree between
-    * recomputations. Callers should treat `orderCols` as a unique key
+    * The range-shuffled frame is materialized ONCE via an eager
+    * `localCheckpoint`: range boundaries come from sampling, so the two
+    * consumers (local prefix, per-partition totals) must see one
+    * materialization or pids could disagree between recomputations —
+    * and the checkpoint bakes the pid column into stored blocks, which
+    * a recompute-on-miss cache cannot guarantee. Unlike `persist()`,
+    * checkpoint blocks hold no CacheManager entry and are released by
+    * the ContextCleaner as soon as the frame is unreachable (next GC),
+    * so repeated calls in a long-lived session do not accumulate pinned
+    * copies of the frame. Callers should treat `orderCols` as a unique key
     * (pre-aggregate to distinct values first — the m22/m24/m27 pattern)
     * so ROWS and RANGE framing coincide; sum sources should be integral
     * for bit-exact parity with a sequential sweep (longs add
@@ -163,10 +169,17 @@ object Stats {
   def rangePrefixSum(df: DataFrame, orderCols: Seq[String],
       sums: Seq[(String, String)], numParts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(sums.nonEmpty, "rangePrefixSum: at least one (src, dst) sum")
+    val reserved = "__pid" +: sums.flatMap { case (_, dst) =>
+      Seq(s"__t_$dst", s"__o_$dst", s"${dst}_total") }
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"rangePrefixSum: input columns ${clash.mkString(", ")} collide " +
+        "with internal/emitted names (__pid, __t_*, __o_*, <dst>_total)")
     val oc = orderCols.map(col)
     val parted = df.repartitionByRange(numParts, oc: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .localCheckpoint(true)
     val localW = Window.partitionBy(col("__pid")).orderBy(oc: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sums.foldLeft(parted) { case (acc, (src, dst)) =>

@@ -131,14 +131,39 @@ object Writers {
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
     val tmp = new Path(path.stripSuffix("/") + "__compact_tmp")
     val bak = new Path(path.stripSuffix("/") + "__compact_bak")
+    // A leftover tmp/bak sibling means a previous compact crashed mid-swap
+    // and the directory needs manual reconciliation first — proceeding
+    // would make the renames below fail or, worse, silently merge two
+    // runs' files. (HDFS-style FileSystems signal rename failure by
+    // RETURNING FALSE, not throwing — every rename result is checked.)
+    require(!fs.exists(bak),
+      s"compact: leftover $bak from a previous run — reconcile it first")
+    require(!fs.exists(tmp),
+      s"compact: leftover $tmp from a previous run — remove it first")
     df.repartition(nFiles).write.mode("overwrite")
       .option("compression", compression).parquet(tmp.toString)
-    fs.mkdirs(bak)
+    val compacted = fs.listStatus(tmp).filterNot(_.isDirectory)
+      .map(_.getPath.getName)
+    require(fs.mkdirs(bak), s"compact: mkdirs failed: $bak")
     entries.filterNot(_.isDirectory).foreach { f =>
-      fs.rename(f.getPath, new Path(bak, f.getPath.getName))
+      val dst = new Path(bak, f.getPath.getName)
+      require(fs.rename(f.getPath, dst),
+        s"compact: rename failed: ${f.getPath} -> $dst (originals intact)")
     }
-    fs.listStatus(tmp).filterNot(_.isDirectory).foreach { f =>
-      fs.rename(f.getPath, new Path(target, f.getPath.getName))
+    compacted.foreach { name =>
+      val (src, dst) = (new Path(tmp, name), new Path(target, name))
+      require(fs.rename(src, dst),
+        s"compact: rename failed: $src -> $dst " +
+          s"(compacted rows in $tmp, originals in $bak — reconcile)")
+    }
+    // Destructive steps LAST, and only after verifying every compacted
+    // file actually landed in the target: a failed tmp→target move must
+    // never be followed by deleting both tmp and bak (that would be the
+    // silent data loss the docstring rules out).
+    compacted.foreach { name =>
+      require(fs.exists(new Path(target, name)),
+        s"compact: $name missing from $target after swap — " +
+          s"originals preserved in $bak")
     }
     fs.delete(tmp, true)
     fs.delete(bak, true) // originals drop LAST — the only destructive step

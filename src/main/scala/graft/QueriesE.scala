@@ -465,10 +465,7 @@ object QueriesE {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val dd = docs(s, d)
-      val pairs = Dedup.minHashLshPairs(dd, "text", "doc_id",
-        shingleSize = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
-      Dedup.connectedComponents(dd.select("doc_id"), "doc_id",
-          pairs, "id_a", "id_b")
+      Dedup.nearDupClusters(dd, "text", "doc_id")
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
         .withColumn("keep", col("doc_id") === col("cluster_id"))

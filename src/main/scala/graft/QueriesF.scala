@@ -631,10 +631,7 @@ object QueriesF {
   val t20 = Q("t20_dedup_survivorship",
     (s, d) => {
       val dd = Tables.documents(s, d)
-      val pairs = Dedup.minHashLshPairs(dd, "text", "doc_id",
-        shingleSize = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
-      val cc = Dedup.connectedComponents(dd.select("doc_id"), "doc_id",
-        pairs, "id_a", "id_b")
+      val cc = Dedup.nearDupClusters(dd, "text", "doc_id")
       val w = Window.partitionBy(col("cluster_id"))
         .orderBy(col("n_chars").desc, col("doc_id"))
       cc.join(dd.select(col("doc_id"), col("n_chars")), "doc_id")

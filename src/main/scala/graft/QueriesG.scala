@@ -646,11 +646,7 @@ object QueriesG {
   // assignment row by row.
   val t30 = Q("t30_leakage_free_split",
     (s, d) => {
-      val dd = docs(s, d)
-      val pairs = Dedup.minHashLshPairs(dd, "text", "doc_id",
-        shingleSize = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
-      val cc = Dedup.connectedComponents(dd.select("doc_id"), "doc_id",
-        pairs, "id_a", "id_b")
+      val cc = Dedup.nearDupClusters(docs(s, d), "text", "doc_id")
       Sampling.withSplit(cc, "cluster_id", valPct = 10, testPct = 10)
         .select(col("doc_id"), col("cluster_id"), col("split"))
     },

@@ -207,11 +207,14 @@ object Dedup {
       shingleHashes(df, textCol, idCol, shingleSize), idCol, numHashes)
       .localCheckpoint(true)
     val numBands = numHashes / rowsPerBand
+    // band_sig stays an ARRAY<LONG> join key (no cast to string): array
+    // equality is the same predicate, without formatting a string per
+    // (doc, band) row on both sides of the self-join.
     val banded = sig.select(col(idCol),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-            .cast("string").as("band_sig"))): _*)).as("bb"))
+            .as("band_sig"))): _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"),
         col("bb.band_sig").as("band_sig"))
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
@@ -258,7 +261,7 @@ object Dedup {
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-            .cast("string").as("band_sig"))): _*)).as("bb"))
+            .as("band_sig"))): _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"),
         col("bb.band_sig").as("band_sig"))
     val probe = banded.join(deltaIds, Seq(idCol), "left_semi")
@@ -377,6 +380,24 @@ object Dedup {
       .join(labels, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__label"), col(idCol)).as("cluster_id"))
+  }
+
+  /** The shared (docs → LSH pairs → transitive clusters) frame: MinHash-
+    * LSH candidate pairs verified at `threshold`, closed under
+    * transitivity, one row per document with its cluster id. This is THE
+    * unit every cluster-aware consumer builds on — duplicate-cluster
+    * audits (t17), survivorship policies (t20), leakage-free splits
+    * (t30) — factored here so the composition is defined once and a
+    * pipeline computing several of those outputs materializes this frame
+    * once and fans out, instead of re-running the LSH + CC chain per
+    * consumer.
+    */
+  def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLshPairs(df, textCol, idCol, shingleSize,
+      numHashes, rowsPerBand, threshold)
+    connectedComponents(df.select(col(idCol)), idCol, pairs, "id_a", "id_b")
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Each token hashes to

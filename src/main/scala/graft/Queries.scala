@@ -47,23 +47,37 @@ object Queries {
       round(avg(value) + 1e-9,6) AS avg_value FROM events GROUP BY 1"""),
     headline = true)
 
-  // A1b — the approximate fast path (SURVEY §7.4 risk 7): HLL distinct
-  // counts + approx_percentile in ONE aggregate, no expand, mergeable
-  // sketches all the way — the dashboard-grade knob at 100 TB where ±2%
-  // beats a second shuffle. No SQL oracle by design (sketch internals
-  // are engine-specific); the driver records the rows check and
-  // MiscOperatorsSpec bounds THIS query against the exact a1 (and the
-  // underlying EventAggregator.dailyCollectionStatsApprox operator
-  // against its exact form) within sketch tolerance.
+  // A1b — the approximate fast path (SURVEY §7.4 risk 7) as a DRIVER-
+  // GATED audit: HLL distinct counts + approx_percentile computed next
+  // to their exact twins in ONE aggregate, the exact columns emitted
+  // for the oracle to reproduce and the sketch columns reduced to
+  // deterministic tolerance booleans the oracle asserts as TRUE — if
+  // either sketch ever drifts past its bound, the hash gate goes red.
+  // Bounds: HLL within 15% (3σ of the default rsd 0.05; measured max
+  // 9.6% at sf0.1, 5.2% at sf0.01), approx median inside the exact
+  // p40..p60 band (approx_percentile returns a true element, so a
+  // relative delta is the wrong metric on small days). The approx-ONLY
+  // production form (no exact twin anywhere in the plan) remains
+  // EventAggregator.dailyCollectionStatsApprox, spec-bounded.
   val a1b = Q("a1b_daily_stats_approx",
     (s, d) => ev(s, d)
       .groupBy(to_date(col("ts")).as("event_date"))
       .agg(
         count(lit(1)).as("n_events"),
-        approx_count_distinct(col("user_id")).as("n_users_approx"),
-        round(approx_percentile(col("value"), lit(0.5), lit(1000))
-          + lit(1e-9), 6).as("median_value_approx")),
-    None)
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id")).as("__au"),
+        percentile(col("value"), lit(0.4)).as("__p40"),
+        percentile(col("value"), lit(0.6)).as("__p60"),
+        approx_percentile(col("value"), lit(0.5), lit(1000)).as("__am"))
+      .select(col("event_date"), col("n_events"), col("n_users"),
+        (abs(col("__au") - col("n_users")) / col("n_users") <= 0.15)
+          .as("hll_within_3sigma"),
+        (col("__am") >= col("__p40") && col("__am") <= col("__p60"))
+          .as("median_in_p40_p60")),
+    Some("""SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
+      count(DISTINCT user_id) AS n_users,
+      true AS hll_within_3sigma, true AS median_in_p40_p60
+      FROM events GROUP BY 1"""))
 
   val a2 = Q("a2_price_stats_median",
     (s, d) => li(s, d)

@@ -119,30 +119,73 @@ object QueriesD {
   // E3-LSH — the flagship composition with the KNN stage swapped from
   // brute force to the bucketed LSH provider: the 100× scale form of e3
   // (the neighbor provider is the only change; window join + OLS are
-  // identical plans). No SQL oracle by design — LSH recall < 1 makes
-  // the neighbor set approximation-dependent — so the driver records
-  // the rows check and OperatorsSpec bounds the regression output.
+  // identical plans). Driver-gated as an APPROXIMATION AUDIT: both
+  // neighbor providers run in one plan, the exact-side regression is
+  // emitted for the oracle (e3's SQL), and the LSH side reduces to
+  // deterministic agreement booleans the oracle asserts TRUE — sample
+  // within 5% of exact (measured 1.3% at sf0.01, 0.08% at sf0.1),
+  // |Δslope| ≤ 0.2 and |Δr2| ≤ 0.01 (the synthetic corpus has NO real
+  // elasticity — r2 ≈ 5e-4 — so slope is noise around zero and an
+  // absolute band, not a relative one, is the meaningful check that the
+  // approximation reaches the same statistical conclusion; measured
+  // Δslope 0.089 at sf0.01, 0.007 at sf0.1).
   val e3d = Q("e3d_peer_elasticity_lsh",
     (s, d) => {
       val purchases = ev(s, d).where(col("event_type") === "purchase")
-      val neighbors = Similarity.lshTopK(
-        Tables.embeddings(s, d), "vec_id", "embedding", 5,
-        dim = Tables.embeddingDim)
       val probes = purchases.join(
         Tables.embeddings(s, d).select(col("vec_id").as("user_id")),
         Seq("user_id"), "left_semi")
-      val peerStats = PeerEffects.neighborWindowAgg(
-        probes, neighbors, purchases, "user_id", "ts", "value", "event_id",
-        windowDays = 7)
-      val joined = peerStats.where(col("n_peers") > 0)
-        .join(purchases.select(col("event_id"), col("value")), Seq("event_id"))
-      Stats.olsByGroup(joined, Seq(), col("peer_avg"), col("value"))
+      def elasticity(neighbors: org.apache.spark.sql.DataFrame) = {
+        val peerStats = PeerEffects.neighborWindowAgg(
+          probes, neighbors, purchases, "user_id", "ts", "value",
+          "event_id", windowDays = 7)
+        val joined = peerStats.where(col("n_peers") > 0)
+          .join(purchases.select(col("event_id"), col("value")),
+            Seq("event_id"))
+        Stats.olsByGroup(joined, Seq(), col("peer_avg"), col("value"))
+      }
+      val exact = elasticity(Similarity.bruteForceTopKFor(
+        Tables.embeddings(s, d),
+        purchases.select(col("user_id").as("vec_id")).distinct(),
+        "vec_id", "embedding", 5))
+      val lsh = elasticity(Similarity.lshTopK(
+        Tables.embeddings(s, d), "vec_id", "embedding", 5,
+        dim = Tables.embeddingDim))
+      exact.crossJoin(lsh.select(col("n").as("__nl"),
+          col("slope").as("__sl"), col("r2").as("__rl")))
         .select(col("n"),
           round(col("slope") + lit(1e-9), 6).as("slope"),
           round(col("intercept") + lit(1e-9), 6).as("intercept"),
-          round(col("r2") + lit(1e-9), 6).as("r2"))
+          round(col("r2") + lit(1e-9), 6).as("r2"),
+          (abs(col("__nl") - col("n")) / col("n") <= 0.05)
+            .as("lsh_n_within_5pct"),
+          (abs(col("__sl") - col("slope")) <= 0.2)
+            .as("lsh_slope_within_tol"),
+          (abs(col("__rl") - col("r2")) <= 0.01).as("lsh_r2_within_tol"))
     },
-    None)
+    Some("""WITH pairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          AS c
+        FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+      nb AS (SELECT qid, nid FROM (SELECT qid, nid,
+        row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rn
+        FROM pairs) WHERE rn <= 5),
+      purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      peer AS (SELECT e.event_id, count(p.value) AS n_peers,
+        avg(p.value) AS peer_avg
+        FROM purchases e
+        JOIN nb ON nb.qid = e.user_id
+        LEFT JOIN purchases p ON p.user_id = nb.nid
+          AND p.ts >= e.ts - INTERVAL 7 DAY AND p.ts < e.ts
+        GROUP BY 1)
+      SELECT count(*) AS n,
+        round(regr_slope(e.value, peer.peer_avg) + 1e-9, 6) AS slope,
+        round(regr_intercept(e.value, peer.peer_avg) + 1e-9, 6) AS intercept,
+        round(regr_r2(e.value, peer.peer_avg) + 1e-9, 6) AS r2,
+        true AS lsh_n_within_5pct, true AS lsh_slope_within_tol,
+        true AS lsh_r2_within_tol
+      FROM peer JOIN purchases e ON e.event_id = peer.event_id
+      WHERE peer.n_peers > 0"""))
 
   // E3c — the reference's SECOND peer-effect target (timing:
   // analyze_peer_effects.py:239-344): days_to_next_sale per purchase,
@@ -414,13 +457,17 @@ object QueriesD {
 
   // ANN, IVF with LEARNED centroids: the layout you'd actually deploy —
   // the coarse quantizer comes from spherical KMeans (k ≈ √N) instead of
-  // hash-picked rows, so cells track the corpus's density and recall at
-  // the same nprobe beats the data-blind ann2/ann2b forms (measured in
-  // OperatorsSpec against the exact j12 baseline). No SQL oracle by
-  // design — spark.ml's KMeans init is engine-specific, the same reason
-  // m6 is oracle-less. The count() for k-sizing and the iterative fit
-  // are both inherently eager; this is a model-building query, not a
-  // one-pass scan.
+  // hash-picked rows, so cells track the corpus's density. Driver-gated
+  // as a recall audit (ann1's pattern): the IVF top-k is scored in-plan
+  // against the exact brute-force top-5 and the recall reduces to a
+  // deterministic boolean (seeded KMeans → fixed recall per corpus:
+  // measured 0.374 at sf0.001, 0.384 at sf0.01, 0.270 at sf0.1 with
+  // nprobe=2 of ~√N cells — floor pinned at 0.25; nprobe, not the
+  // quantizer, is the recall knob and 2 of ~70 cells is a recall-lean
+  // configuration). KMeans assignments themselves are engine-specific
+  // (m6's reason), which is why recall is asserted, not hashed. The
+  // count() for k-sizing and the iterative fit are inherently eager;
+  // this is a model-building query, not a one-pass scan.
   val ann2c = Q("ann2c_ivf_learned",
     (s, d) => {
       val base = Tables.embeddings(s, d)
@@ -428,9 +475,22 @@ object QueriesD {
         math.round(math.sqrt(base.count().toDouble)).toInt)
       val cents = graft.ml.Clustering.kmeansCentroids(
         base, "embedding", k, seed = 7L)
-      Similarity.ivfTopK(base, "vec_id", "embedding", 5, cents, nprobe = 2)
+      val ivf = Similarity.ivfTopK(base, "vec_id", "embedding", 5, cents,
+          nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Similarity.bruteForceTopK(base, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val hits = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("__hits"))
+      exact.agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"))
+        .crossJoin(hits)
+        .select(col("n_queries"), col("n_exact"),
+          (col("__hits").cast("double") / col("n_exact") >= 0.25)
+            .as("recall_ok"))
     },
-    None)
+    Some("""SELECT count(*) AS n_queries, 5 * count(*) AS n_exact,
+      true AS recall_ok FROM embeddings"""))
 
   val all: Seq[Q] = Seq(w3, d9b, e3, e3c, e3d, t4b, ann2, ann2b, ann2c)
 }

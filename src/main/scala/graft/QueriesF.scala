@@ -433,9 +433,13 @@ object QueriesF {
   // weekly distinct estimate WITHOUT re-touching the raw events (the
   // sketch is the state; re-aggregation is sketch-union — the same
   // pattern IncrementalAgg uses for algebraic measures, extended to
-  // distinct counts). No SQL oracle by design (datasketches binary
-  // internals); the exact weekly distinct rides along and the spec
-  // bounds the estimate against it.
+  // distinct counts). Driver-gated form: the exact weekly distinct is
+  // emitted for the oracle and the sketch estimate reduces to a
+  // deterministic 5%-tolerance boolean the oracle asserts TRUE
+  // (measured max rel err 0.8% at sf0.1, 0 at sf0.01 — the sketch is
+  // in sparse mode at these cardinalities). The estimate VALUE itself
+  // is engine-specific (datasketches internals), which is why it is
+  // asserted, not hashed.
   val a30 = Q("a30_hll_weekly_union",
     (s, d) => {
       val daily = ev(s, d)
@@ -450,8 +454,13 @@ object QueriesF {
         .groupBy(col("week"))
         .agg(countDistinct(col("user_id")).as("exact_users"))
       est.join(exact, "week")
+        .select(col("week"), col("exact_users"),
+          (abs(col("est_users") - col("exact_users")) / col("exact_users")
+            <= 0.05).as("hll_within_5pct"))
     },
-    None)
+    Some("""SELECT date_trunc('week', ts)::DATE AS week,
+      count(DISTINCT user_id) AS exact_users, true AS hll_within_5pct
+      FROM events GROUP BY 1"""))
 
   // M12 — grouped vector aggregation: the per-label mean embedding
   // (class prototype / cluster summary), long form. posexplode keeps the

@@ -59,27 +59,23 @@ class MiscOperatorsSpec extends SparkSpecBase {
     val d = sf("sf0.001")
     val exact = graft.SparkEntry.queries("a1_daily_event_stats")(spark, d)
       .select(col("event_date"), col("n_events"), col("n_users"))
-    val approx = graft.SparkEntry.queries("a1b_daily_stats_approx")(spark, d)
+    // a1b is now the driver-gated audit form: exact columns + in-plan
+    // tolerance booleans. The exact columns must agree with a1, and
+    // every boolean must hold.
+    val audit = graft.SparkEntry.queries("a1b_daily_stats_approx")(spark, d)
       .select(col("event_date"), col("n_events").as("n_events_a"),
-        col("n_users_approx"), col("median_value_approx"))
-    // approx_percentile returns a true element, percentile() interpolates
-    // — so bound the approx median by the exact p40..p60 band instead of
-    // a relative delta (on ~60 rows/day adjacent elements differ by a lot)
-    val exactBand = graft.Tables.events(spark, d)
-      .groupBy(to_date(col("ts")).as("event_date"))
-      .agg(expr("percentile(value, 0.4)").as("p40"),
-        expr("percentile(value, 0.6)").as("p60"))
-    val joined = exact.join(approx, Seq("event_date"))
-      .join(exactBand, Seq("event_date")).collect()
+        col("n_users").as("n_users_a"),
+        col("hll_within_3sigma"), col("median_in_p40_p60"))
+    val joined = exact.join(audit, Seq("event_date")).collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
       assert(r.getAs[Long]("n_events") === r.getAs[Long]("n_events_a"))
-      val u = r.getAs[Long]("n_users").toDouble
-      val ua = r.getAs[Long]("n_users_approx").toDouble
-      assert(math.abs(ua - u) / u <= 0.05, s"HLL drift $ua vs $u")
-      val ma = r.getAs[Double]("median_value_approx")
-      assert(ma >= r.getAs[Double]("p40") && ma <= r.getAs[Double]("p60"),
-        s"approx median $ma outside exact p40..p60 band")
+      assert(r.getAs[Long]("n_users") === r.getAs[Long]("n_users_a"))
+      assert(r.getAs[Boolean]("hll_within_3sigma"),
+        s"HLL drift past 3-sigma on ${r.getAs[java.sql.Date]("event_date")}")
+      assert(r.getAs[Boolean]("median_in_p40_p60"),
+        s"approx median outside exact p40..p60 band on " +
+          s"${r.getAs[java.sql.Date]("event_date")}")
     }
   }
 

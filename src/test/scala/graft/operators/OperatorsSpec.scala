@@ -112,7 +112,18 @@ class OperatorsSpec extends SparkSpecBase {
     }
     val single = recallOf("ann2_ivf_topk")
     val multi = recallOf("ann2b_ivf_multiprobe")
-    val learned = recallOf("ann2c_ivf_learned")
+    // ann2c's catalog form is now the recall-audit row; rebuild its
+    // underlying learned-quantizer top-k directly for the comparison
+    val learned = {
+      val base = spark.read.parquet(d + "/embeddings.parquet")
+      val k = math.max(4, math.round(math.sqrt(base.count().toDouble)).toInt)
+      val cents = graft.ml.Clustering.kmeansCentroids(
+        base, "embedding", k, seed = 7L)
+      val approx = Similarity.ivfTopK(base, "vec_id", "embedding", 5,
+          cents, nprobe = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
     info(f"IVF recall: single-probe $single%.3f, 2-probe $multi%.3f, " +
       f"learned-centroid 2-probe $learned%.3f")
     // measured on the fixed test embeddings: 0.21 single vs 0.33 2-probe
@@ -171,12 +182,16 @@ class OperatorsSpec extends SparkSpecBase {
       s"candidate space $candidates vs all-pairs $allPairs")
   }
 
-  test("e3d LSH elasticity: sane regression output from approximate KNN") {
+  test("e3d LSH elasticity audit: exact side sane, approximation " +
+      "agreement booleans hold") {
     val row = graft.SparkEntry.queries("e3d_peer_elasticity_lsh")(
       spark, sf("sf0.001")).head()
     assert(row.getAs[Long]("n") > 0)
     val r2 = row.getAs[Double]("r2")
     assert(r2 >= 0.0 && r2 <= 1.0, s"r2 $r2")
+    assert(row.getAs[Boolean]("lsh_n_within_5pct"))
+    assert(row.getAs[Boolean]("lsh_slope_within_tol"))
+    assert(row.getAs[Boolean]("lsh_r2_within_tol"))
   }
 
   test("anovaWithP: in-plan p-value matches the commons-math3 scalar") {

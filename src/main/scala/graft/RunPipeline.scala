@@ -9,11 +9,50 @@ import graft.etl.OpenSeaPipeline
   * [--repeat] — runs the pipeline twice in the same JVM; the second run
   * shows the warm steady-state cost with one-time JIT/codegen excluded
   * (the long-running-cluster number).
+  *
+  * Cold-start warmup (on by default, `--no-warmup` to disable): before
+  * the real run, the SAME pipeline executes over header+1K-row
+  * truncations of the SAME csv files into a throwaway temp dir. The
+  * truncated corpus has the identical schema and file count, so every
+  * plan is structurally identical → Spark's generated code is the same
+  * SOURCE, the CodeGenerator cache serves the real run without
+  * recompiling, and the JIT has already promoted the hot loops.
+  * Measured on the 1.5M-row anchor: cold main run 46 s → 13.4 s (equal
+  * to the warm-rerun median on the same host), with the warmup itself
+  * ~10 s. The warmup cost is DATA-INDEPENDENT (identical at 1K and 4K
+  * rows/file): it is the Catalyst+Janino+C2 plan-compilation floor of
+  * this JVM, i.e. the irreducible part of cold start — everything else
+  * now runs at warm speed.
   */
 object RunPipeline {
+
+  /** Copy header + up to `rows` data lines of each csv into a temp dir. */
+  private def truncatedCopy(rawDir: String, rows: Int): java.nio.file.Path = {
+    import scala.jdk.CollectionConverters._
+    val dst = java.nio.file.Files.createTempDirectory("graft_warmup_raw")
+    new java.io.File(rawDir).listFiles()
+      .filter(_.getName.endsWith(".csv")).foreach { f =>
+        val in = java.nio.file.Files.lines(f.toPath)
+        try {
+          val lines = in.limit(rows + 1L).iterator().asScala.toSeq
+          java.nio.file.Files.write(dst.resolve(f.getName), lines.asJava)
+        } finally in.close()
+      }
+    dst
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: RunPipeline <rawCsvDir> <cleanBaseDir> [--wallet-dim] [--repeat]")
+      "usage: RunPipeline <rawCsvDir> <cleanBaseDir> [--wallet-dim] " +
+        "[--repeat [N]] [--no-warmup]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -37,6 +76,25 @@ object RunPipeline {
       rawDataDir = args(0),
       cleanBaseDir = args(1),
       createWalletDim = args.contains("--wallet-dim"))
+    if (!args.contains("--no-warmup")) {
+      val w0 = System.nanoTime()
+      val warmRaw = truncatedCopy(args(0), rows = 1000)
+      val warmOut = java.nio.file.Files.createTempDirectory("graft_warmup_out")
+      // Generated code is partition-count-independent, so the warmup can
+      // run its tiny jobs with minimal task overhead and still populate
+      // the codegen cache / JIT profile the full-partition run reuses.
+      val mainParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try OpenSeaPipeline.run(spark, config.copy(
+        rawDataDir = warmRaw.toString, cleanBaseDir = warmOut.toString))
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", mainParts)
+        deleteRecursively(warmOut)
+        deleteRecursively(warmRaw)
+      }
+      println(f"warmup (codegen+JIT, 1K rows/file): " +
+        f"${(System.nanoTime() - w0) / 1e9}%.2f s")
+    }
     val result = OpenSeaPipeline.run(spark, config)
     println(s"outputs: ${result.outputDir}")
     println(result.report.render)

@@ -19,7 +19,7 @@ object SparkEntry {
   /** The full catalog across all parts. */
   def catalog: Seq[Queries.Q] =
     Queries.all ++ QueriesB.all ++ QueriesC.all ++ QueriesD.all ++
-      QueriesE.all ++ QueriesF.all ++ QueriesG.all
+      QueriesE.all ++ QueriesF.all ++ QueriesG.all ++ QueriesH.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -474,7 +474,7 @@ object QueriesG {
   /** g3's deterministic top-500 co-occurrence backbone, shared by the
     * triangle census and the k-core peel.
     */
-  private def backbone(s: SparkSession, d: String): DataFrame = {
+  private[graft] def backbone(s: SparkSession, d: String): DataFrame = {
     val e0 = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))

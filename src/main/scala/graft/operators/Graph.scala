@@ -121,6 +121,42 @@ object Graph {
       .groupBy("v").agg(count(lit(1)).as("deg"))
   }
 
+  /** Bounded synchronous min-label propagation — the cheapest community
+    * primitive: every node starts labeled with its own id; each round it
+    * takes the min of its own label and its neighbors' labels. Run to
+    * fixpoint this computes connected components (see
+    * [[Dedup.connectedComponents]] for the large-diameter form); a FIXED
+    * round count keeps the result deterministic and cross-engine
+    * checkable while preserving the per-round plan you'd run to
+    * convergence: one equi-join of the (thin, |V|-row) label frame onto
+    * the symmetrized edges + one min-groupBy — a single shuffle per
+    * round, labels `localCheckpoint`ed so plan depth stays O(rounds).
+    * Returns the community histogram (label, member count) after
+    * `rounds` rounds.
+    */
+  def labelPropagate(edges: DataFrame, rounds: Int,
+      s1: String = "s1", s2: String = "s2"): DataFrame = {
+    val e = edges.select(col(s1).as("a"), col(s2).as("b"))
+      .unionAll(edges.select(col(s2).as("a"), col(s1).as("b")))
+      .localCheckpoint(true)
+    var lbl = e.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("l"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbMin = e
+        .join(lbl.withColumnRenamed("v", "b").withColumnRenamed("l", "nl"),
+          "b")
+        .groupBy(col("a").as("v")).agg(min(col("nl")).as("nl"))
+      val next = lbl.join(nbMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .localCheckpoint(true)
+      lbl.unpersist()
+      lbl = next
+    }
+    lbl.groupBy(col("l").as("community")).agg(count(lit(1)).as("n_members"))
+  }
+
   def pageRank(
       nodes: DataFrame, idCol: String,
       edges0: DataFrame, srcCol: String, dstCol: String,

@@ -82,6 +82,38 @@ object Sampling {
       .limit(k)
       .drop("__u")
 
+  /** Temperature-scaled mixture sampling — the multilingual/multi-source
+    * data-mixing rule LLM corpora are built with: group g's share of the
+    * mixture is proportional to n_g^alpha (alpha < 1 flattens the
+    * distribution, upsampling rare groups relative to their raw share;
+    * alpha = 1 is natural sampling). Each group's keep-rate is
+    *
+    *   rate_g = min(1, targetFrac · N · (n_g^alpha / Σ n^alpha) / n_g)
+    *
+    * and rows are kept by the same md5-bucket rule as [[hashSample]] —
+    * deterministic per key, engine-portable, coordination-free. Plan:
+    * one map-side-combinable groupBy for the group counts (a ≤|groups|
+    * frame), rates broadcast back onto the corpus, one codegen'd filter.
+    * Nothing scales with N except the single scan. The kept frame
+    * carries `mix_rate` so downstream audits can report achieved vs
+    * target shares without recomputing the rate.
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String, keyCol: String,
+      alpha: Double, targetFrac: Double): DataFrame = {
+    val micro = 1000000L
+    val ng = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"))
+    val tot = ng.agg(sum(pow(col("__ng"), lit(alpha))).as("__z"),
+      sum(col("__ng")).cast("double").as("__n"))
+    val rates = ng.crossJoin(broadcast(tot))
+      .select(col(groupCol),
+        least(lit(1.0), lit(targetFrac) * col("__n")
+          * pow(col("__ng"), lit(alpha)) / col("__z") / col("__ng"))
+          .as("mix_rate"))
+    df.join(broadcast(rates), groupCol)
+      .where(pmod(Dedup.md5Hash56(col(keyCol).cast("string")), lit(micro))
+        < floor(col("mix_rate") * micro))
+  }
+
   /** Per-group cap — domain balancing for a training corpus: keep at most
     * `cap` rows per group, chosen by a deterministic md5-of-key order so
     * the survivor set is reproducible across runs, engines, and task

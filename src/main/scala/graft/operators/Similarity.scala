@@ -76,6 +76,38 @@ object Similarity {
         round(col("cosine") + lit(1e-9), 6).as("cosine"))
   }
 
+  /** Int8 scalar quantization of an embedding column — the memory-scale
+    * path a 100 TB ANN index actually ships: per-DIMENSION affine codes
+    * (code = round 0..255 of the dimension's min..max range) shrink a
+    * float32 vector 4× so an IVF cell's vectors fit in cache/RAM, at the
+    * cost of a measurable recall loss (ann4 measures exactly that).
+    * The per-dimension min/max is ONE bounded aggregate (|dims| rows,
+    * broadcast back); codes are pure column algebra (floor(x·255+0.5) —
+    * not round(), whose half-up-vs-banker's semantics differ across
+    * engines); the dequantized vector is rebuilt ordered-by-dimension so
+    * downstream dot products are position-correct. Returns
+    * (id, vec, qvec): the unit-normalized original and its dequantized
+    * int8 approximation.
+    */
+  def scalarQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // feeds the dim explode AND the final join — materialize once
+    val unit = unitVectors(df, idCol, vecCol).localCheckpoint(true)
+    val dims = unit.select(col("id"),
+      posexplode(col("vec")).as(Seq("dim", "x")))
+    val stats = dims.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val qv = dims.join(broadcast(stats), "dim")
+      .withColumn("q", when(col("mx") > col("mn"),
+        floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255 + 0.5))
+        .otherwise(lit(0L)))
+      .withColumn("xq",
+        col("mn") + col("q") * (col("mx") - col("mn")) / 255)
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("xq")))),
+        e => e.getField("xq")).as("qvec"))
+    unit.join(qv, "id")
+  }
+
   /** Top-k neighbors from `corpus` for only the vectors whose ids appear
     * in `queryIds` — same results as filtering `bruteForceTopK` output,
     * but the crossJoin shrinks from N×N to Q×N. Use when the downstream

@@ -54,4 +54,44 @@ class CorpusPrepSpec extends SparkSpecBase {
     val small = Seq((100L, "tiny")).toDF("k", "g")
     assert(Sampling.capPerGroup(small, "g", "k", 7).count() == 1)
   }
+
+  test("temperatureMixture: alpha=1 is natural sampling — every group " +
+      "keeps ~targetFrac; alpha<1 flattens toward rare groups") {
+    // 1000 'big' keys vs 100 'rare' keys.
+    val df = ((1 to 1000).map(i => (s"k$i", "big")) ++
+      (1001 to 1100).map(i => (s"k$i", "rare"))).toDF("k", "g")
+    def rates(alpha: Double): Map[String, Double] =
+      Sampling.temperatureMixture(df, "g", "k", alpha, targetFrac = 0.5)
+        .groupBy("g").agg(max(col("mix_rate")).as("r"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val nat = rates(1.0)
+    assert(math.abs(nat("big") - 0.5) < 1e-12)
+    assert(math.abs(nat("rare") - 0.5) < 1e-12)
+    // At targetFrac=0.3 no group's rate hits the 1.0 cap, so the mixture
+    // conserves target mass exactly: Σ rate_g·n_g = targetFrac·N.
+    def rates3(alpha: Double): Map[String, Double] =
+      Sampling.temperatureMixture(df, "g", "k", alpha, targetFrac = 0.3)
+        .groupBy("g").agg(max(col("mix_rate")).as("r"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val flat = rates3(0.5)
+    // alpha=0.5 upsamples the rare group, downsamples the big one.
+    assert(flat("rare") > 0.3 && flat("big") < 0.3)
+    val mass = flat("big") * 1000 + flat("rare") * 100
+    assert(math.abs(mass - 0.3 * 1100) < 1e-9)
+  }
+
+  test("temperatureMixture: rate caps at 1 and keep decision is " +
+      "per-key deterministic (order-independent)") {
+    // Tiny rare group at a strong temperature: uncapped rate would
+    // exceed 1; every rare row must simply survive.
+    val df = ((1 to 2000).map(i => (s"k$i", "big")) ++
+      (1 to 4).map(i => (s"r$i", "rare"))).toDF("k", "g")
+    val kept = Sampling.temperatureMixture(df, "g", "k", 0.1, 0.9)
+    assert(kept.where(col("g") === "rare").count() == 4L)
+    val a = kept.select("k").collect().map(_.getString(0)).toSet
+    val b = Sampling.temperatureMixture(
+        df.orderBy(rand(7)).repartition(5), "g", "k", 0.1, 0.9)
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(a == b)
+  }
 }

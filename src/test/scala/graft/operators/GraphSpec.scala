@@ -60,4 +60,25 @@ class GraphSpec extends SparkSpecBase {
     assert(core.keySet == Set(4, 5, 6))
     assert(core.values.forall(_ == 2L))
   }
+
+  test("labelPropagate: path graph labels flow one hop per round") {
+    // Path 1-2-3-4-5: after 1 round labels are (1,1,2,3,4) → sizes
+    // {1:2, 2:1, 3:1, 4:1}; after 4 rounds min label 1 reaches node 5.
+    val edges = Seq((1, 2), (2, 3), (3, 4), (4, 5)).toDF("s1", "s2")
+    val r1 = Graph.labelPropagate(edges, rounds = 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 4 -> 1L))
+    val r4 = Graph.labelPropagate(edges, rounds = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(r4 == Map(1 -> 5L))
+  }
+
+  test("labelPropagate: run past the diameter = connected components") {
+    // Two components {1,2,3} (triangle) and {7,8}: every node ends on
+    // its component's min id, regardless of extra rounds.
+    val edges = Seq((1, 2), (2, 3), (1, 3), (7, 8)).toDF("s1", "s2")
+    val out = Graph.labelPropagate(edges, rounds = 5)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 3L, 7 -> 2L))
+  }
 }

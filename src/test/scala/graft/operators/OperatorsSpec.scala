@@ -70,6 +70,34 @@ class OperatorsSpec extends SparkSpecBase {
     assert(n3.getAs[Long]("neighbor_id") === 2L) // orthogonal beats opposite
   }
 
+  test("scalarQuantize: per-dimension error bounded by half a step; " +
+      "range endpoints and constant dims reconstruct exactly") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f, 5.0f)),
+      (1L, Seq(0.5f, 1.0f, 5.0f)),   // dim 2 constant across vectors
+      (2L, Seq(-1.0f, 0.25f, 5.0f))).toDF("vec_id", "embedding")
+    val rows = Similarity.scalarQuantize(df, "vec_id", "embedding")
+      .select("id", "vec", "qvec")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toVector, r.getSeq[Double](2).toVector)).toSeq
+    assert(rows.forall { case (_, v, q) => v.length == q.length })
+    // Per-dim range from the UNIT vectors; |x - xq| <= step/2 (+ulp).
+    val dims = rows.flatMap { case (_, v, _) => v.zipWithIndex }
+      .groupBy(_._2).view.mapValues(xs => (xs.map(_._1).min, xs.map(_._1).max))
+    rows.foreach { case (_, v, q) =>
+      v.indices.foreach { i =>
+        val (mn, mx) = dims(i)
+        val halfStep = (mx - mn) / 255 / 2
+        assert(math.abs(v(i) - q(i)) <= halfStep + 1e-12,
+          s"dim $i: |${v(i)} - ${q(i)}| > $halfStep")
+        // endpoints hit codes 0/255 → reconstruct to mn/mx exactly;
+        // constant dims (mx == mn) take the code-0 path → mn.
+        if (v(i) == mn || v(i) == mx)
+          assert(math.abs(q(i) - v(i)) < 1e-12)
+      }
+    }
+  }
+
   test("lshTopK recall vs brute force on real embeddings >= 60%") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 5)

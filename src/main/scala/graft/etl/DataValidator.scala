@@ -115,13 +115,22 @@ object DataValidator {
     Seq("seller", "buyer", "from_address", "to_address")
       .filter(df.columns.contains)
 
+  /** Raw columns the row-local audit reads — the pipeline prunes its
+    * shared audit projection to exactly these plus the dedup key.
+    */
+  def rowLocalAuditCols(df: DataFrame): Seq[String] =
+    (presentCriticalCols(df) ++ presentAddrCols(df) ++
+      Seq("price_each", "price_total", "quantity", "timestamp"))
+      .distinct.filter(df.columns.contains)
+
   /** The fused row-local audit (nulls, address formats, prices, timestamp
     * range, total count) as named aggregate expressions. All are plain
-    * conditional sums — no distinct, no percentile — so they are legal
-    * `Dataset.observe` metrics: the pipeline attaches them to the
-    * clean+write job and the audit rides the SAME CSV parse instead of
-    * paying its own scan (the single biggest cost at the 1.5M-row
-    * anchor, and at 100 TB the difference between one pass and two).
+    * conditional sums — no distinct, no percentile — so they fuse into a
+    * single pass: the pipeline runs them as one aggregate over its shared
+    * cached audit projection, so all three audits together cost ONE
+    * pruned parse of the raw CSV (at 100 TB the difference between one
+    * pass and four). They are also legal `Dataset.observe` metrics if a
+    * caller wants them attached to another job's scan instead.
     */
   def rowLocalAuditExprs(df: DataFrame): Seq[org.apache.spark.sql.Column] = {
     val each = trim(col("price_each").cast("string")).try_cast("double")

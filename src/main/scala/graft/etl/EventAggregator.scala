@@ -44,14 +44,16 @@ object EventAggregator {
       sum(when(priced, col("price_total_eth"))).as("volume_eth"),
       avg(when(priced, col("price_total_eth"))).as("avg_price_eth"),
       min(when(priced, col("price_total_eth"))).as("min_price_eth"),
-      max(when(priced, col("price_total_eth"))).as("max_price_eth"))
-    val main = events.groupBy(col("collection"), col("event_date"))
-      .agg(aggs.head, aggs.tail: _*)
-    val medians = events.where(priced)
-      .groupBy(col("collection"), col("event_date"))
-      .agg(percentile(col("price_total_eth"), lit(0.5))
+      max(when(priced, col("price_total_eth"))).as("max_price_eth"),
+      // exact median fused into the SAME aggregate: percentile ignores
+      // the nulls the when-filter produces, so this equals the old
+      // "second filtered scan + broadcast join back" plan (a group with
+      // no priced rows gets a null median either way) at half the scans
+      // and no join.
+      percentile(when(priced, col("price_total_eth")), lit(0.5))
         .as("median_price_eth"))
-    main.join(broadcast(medians), Seq("collection", "event_date"), "left")
+    events.groupBy(col("collection"), col("event_date"))
+      .agg(aggs.head, aggs.tail: _*)
       .na.fill(0.0, Seq("volume_eth"))
   }
 

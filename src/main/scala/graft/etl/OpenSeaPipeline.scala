@@ -61,95 +61,92 @@ object OpenSeaPipeline {
     val rawPaths = listCsvs(config.rawDataDir)
     val raw = Readers.readCsvUnionByName(spark, rawPaths)
 
-    // 3+5a. clean — one lazy plan, written straight to the versioned
-    // parquet output; the parquet file then serves as the materialized
-    // form for the aggregate fan-out (columnar, compressed, pruned reads
-    // — cheaper than an in-memory cache it would only use five times).
-    // The observation point sits on raw rows BEFORE any cleaning filter,
-    // so the audit sees exactly what DataValidator.report(raw) would.
-    val audit = org.apache.spark.sql.Observation("raw_audit")
-    val auditExprs = DataValidator.rowLocalAuditExprs(raw)
-    val rawObserved = raw.observe(audit, auditExprs.head, auditExprs.tail: _*)
     val outDir = Writers.versionedDir(config.cleanBaseDir)
 
-    // 2a. the two audits that need their own shuffle run concurrently
-    // with clean+write, over ONE shared cached projection of just the
-    // key + event_type columns: together they re-parse the CSV once, not
-    // twice (text tokenization dominates; at 100 TB each avoided pass is
-    // a full corpus read). When the audits were two full passes they
-    // measurably stretched the clean phase; a single pruned pass under
-    // FAIR pools overlaps cleanly. Sequential within one future: the
-    // first audit populates the cache, the second rides it for pennies.
-    val auditCols = (Schemas.dedupKey :+ "event_type").distinct
+    // 2. ALL validation — the row-local audit battery plus the two
+    // audits that need their own shuffle — runs concurrently with
+    // clean+write over ONE shared cached pruned projection (audit
+    // columns only): together the three audits re-parse the CSV once,
+    // not four times (text tokenization dominates; at 100 TB each
+    // avoided pass is a full corpus read). Sequential within one
+    // future: the first audit populates the cache, the rest ride it
+    // for pennies. The row-local battery is a plain aggregate here
+    // rather than an `observe` on the clean scan: an observation's
+    // accumulator only sees the partitions ITS job computed, and the
+    // fan-out below now races the write for the clean cache build, so
+    // no single job is guaranteed to scan every raw row.
+    val auditCols = (Schemas.dedupKey ++ Seq("event_type") ++
+      DataValidator.rowLocalAuditCols(raw)).distinct
       .filter(raw.columns.contains)
     val rawKeys = raw.select(auditCols.map(
       org.apache.spark.sql.functions.col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val auditsF = Future(inPool("audit") {
+      val auditExprs = DataValidator.rowLocalAuditExprs(rawKeys)
+      val rowLocal = phase("audit row-local")(
+        rawKeys.agg(auditExprs.head, auditExprs.tail: _*).head())
       val dup = phase("audit dup-keys")(
         DataValidator.duplicateKeyCount(rawKeys))
       val evt = phase("audit event-types")(
         DataValidator.invalidEventTypes(rawKeys))
       rawKeys.unpersist(blocking = false)
-      (dup, evt)
+      (rowLocal, dup, evt)
     })
 
-    phase("clean+write")(inPool("clean")(Writers.writeParquet(
-      EventCleaner.clean(rawObserved),
-      s"$outDir/minimal_events.parquet", config.compression)))
-    val auditMetrics = audit.get
-    // The aggregate fan-out below reads the fact table nine times (daily
-    // main+median, tokens, dim, summary main+quartiles, metrics ×3).
-    // Cache the pruned union of the columns those consumers actually
-    // touch — typed, dictionary-friendly, ~an order of magnitude smaller
-    // than the raw strings whose caching was measured a net loss — so
-    // parquet is decoded ONCE and the nine plans read columnar memory.
-    // Concurrent first readers don't duplicate work: BlockManager's
-    // per-partition getOrElseUpdate makes one job compute a block while
-    // the others wait on it.
-    val written = spark.read.parquet(s"$outDir/minimal_events.parquet")
+    // 3+5a. clean — one lazy plan, persisted so EVERY consumer (the
+    // parquet write and the aggregate fan-out below) shares one
+    // materialization: blocks are computed once under the
+    // BlockManager's per-partition getOrElseUpdate no matter which job
+    // touches them first, and the clean plan's dedup shuffle is shared
+    // across the racing jobs (same RDD lineage -> same shuffle).
+    // Persisting CLEAN (typed, 20 dictionary-friendly columns) is cheap,
+    // unlike the raw 17-string-column frame whose caching was measured a
+    // net loss. The fan-out projections prune columns inside the
+    // InMemoryRelation scan.
+    val cleanDf = EventCleaner.clean(raw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val writeF = Future(inPool("clean")(phase("clean+write")(
+      Writers.writeParquet(cleanDf,
+        s"$outDir/minimal_events.parquet", config.compression))))
     val factCols = Seq("collection", "event_date", "event_type", "buyer",
       "seller", "token_id", "price_total_eth", "price_each_eth",
       "contract_address", "to_address", "event_timestamp", "rarity_rank",
-      "rarity_score").filter(written.columns.contains)
-    val clean = written.select(factCols.map(
+      "rarity_score").filter(cleanDf.columns.contains)
+    val clean = cleanDf.select(factCols.map(
       org.apache.spark.sql.functions.col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // No explicit materialization pass: letting the fan-out's first
-    // touchers build the cache concurrently measured FASTER than a
-    // serial count() + warm-cache fan-out (BlockManager's per-partition
-    // getOrElseUpdate keeps duplicate work out either way, and the
-    // serial pass just adds its own wall-clock).
 
-    // 2b. the row-local audit (nulls, addresses, prices, timestamp
-    // range) was observed on the clean+write scan above, so it cost NO
-    // extra pass over the raw CSV.
-
-    // 4. the aggregates are mutually independent reads of the written
-    // fact table — submitted concurrently, same rationale as validation.
-    // Each output is coalesce(1)'d: the grains are aggregate-bound
-    // (collections × days, tokens), not data-bound — they stay small at
-    // any input scale — and one file per output replaces a 32-task final
-    // wave plus 32 per-task commits with one of each (the partial
-    // aggregation upstream still runs fully parallel; only the trivial
-    // final merge + write collapses).
+    // 4. the aggregates are mutually independent reads of the cached
+    // fact frame — submitted concurrently WITH the write (not after it):
+    // the write's scan and the aggregates' first touches race to build
+    // the shared cache, each block computed exactly once, so the
+    // aggregate wave overlaps clean+write instead of serializing behind
+    // it (measured ~2-3 s off the warm anchor wall-clock).
+    // Each output is repartition(1)'d — NOT coalesce(1): the grains are
+    // aggregate-bound (collections × days, tokens), so one file per
+    // output is right, but coalesce(1) REPLANS the final aggregation
+    // stage onto a single task (measured: the daily phase went 5.2 s,
+    // with the exact-median merge over every priced value running
+    // single-threaded, vs 0.4 s for the same aggregate fully parallel).
+    // repartition(1) adds one tiny shuffle of the already-aggregated
+    // grain rows and keeps every aggregation stage on all cores; only
+    // the trivial file write runs as one task.
     val aggWrites = Seq(
       "daily" -> (() => Writers.writeParquet(
-        EventAggregator.dailyCollectionStats(clean).coalesce(1),
+        EventAggregator.dailyCollectionStats(clean).repartition(1),
         s"$outDir/daily_collection_stats.parquet", config.compression)),
       "tokens" -> (() => Writers.writeParquet(
-        EventAggregator.tokenStats(clean).coalesce(1),
+        EventAggregator.tokenStats(clean).repartition(1),
         s"$outDir/token_stats.parquet", config.compression)),
       "collection_dim" -> (() => Writers.writeParquet(
-        EventAggregator.collectionDimension(clean).coalesce(1),
+        EventAggregator.collectionDimension(clean).repartition(1),
         s"$outDir/collection_dimension.parquet", config.compression)),
       "summary" -> (() => Writers.writeParquet(
-        EventAggregator.collectionSummary(clean).coalesce(1),
+        EventAggregator.collectionSummary(clean).repartition(1),
         s"$outDir/collection_summary.parquet", config.compression))) ++
       (if (config.createWalletDim)
         Seq("wallet_dim" -> (() => Writers.writeParquet(
           EventAggregator.walletDimension(clean,
-            config.minWalletTransactions).coalesce(1),
+            config.minWalletTransactions).repartition(1),
           s"$outDir/wallet_dimension.parquet", config.compression)))
       else Nil)
     val aggFutures = aggWrites.map { case (name, write) =>
@@ -159,12 +156,13 @@ object OpenSeaPipeline {
       DataValidator.qualityMetrics(clean))))
 
     // 6. join everything + run log
-    val (dupKeys, invalidTypes) = Await.result(auditsF, Duration.Inf)
+    val (rowLocal, dupKeys, invalidTypes) = Await.result(auditsF, Duration.Inf)
     val report = DataValidator.reportFrom(raw,
-      name => auditMetrics(name).asInstanceOf[Long], dupKeys, invalidTypes)
+      name => rowLocal.getAs[Long](name), dupKeys, invalidTypes)
+    Await.result(writeF, Duration.Inf)
     aggFutures.foreach(Await.result(_, Duration.Inf))
     val metrics = Await.result(metricsF, Duration.Inf)
-    clean.unpersist(blocking = false)
+    cleanDf.unpersist(blocking = false)
     Writers.writeMetricsJson(metrics, s"$outDir/metrics.json")
     val elapsed = (System.nanoTime() - t0) / 1e9
     java.nio.file.Files.writeString(

@@ -12,6 +12,21 @@ import graft.sources.{Readers, Writers}
   * Execution shape: steps 1-3 build ONE lazy lineage; the clean frame is
   * cached once and fanned out to the independent aggregate plans; the
   * only actions are the writes and the validation/metrics collects.
+  *
+  * Measured attribution at the 1.56M-row anchor, local[32], warm JVM
+  * (`graft.ProfWrite` / `graft.ProfAgg`): isolated, the clean cache
+  * build is ~2.5 s, the zstd parquet write ~0.7 s, and the whole
+  * aggregate wave ~1.6 s — yet the in-pipeline clean+write phase spans
+  * ~8 s because every phase shares the same 32 cores from t≈0.3 s (the
+  * audits alone are ~6 s of sequential work over their own projection).
+  * The pipeline is WORK-bound, not structure-bound: the two remaining
+  * text passes (audit projection + clean) are intentional — caching the
+  * 17-string-column raw frame to fuse them was measured a net loss
+  * (22 s cache build vs ~3 s per pruned pass) — and codec choice is
+  * immaterial warm (zstd ≈ snappy ≈ 0.7-0.9 s). On a real cluster the
+  * concurrent phases land on disjoint executors instead of
+  * time-slicing one host, so the wall-clock gap to the single-process
+  * reference closes with width, not further plan surgery.
   */
 object OpenSeaPipeline {
 

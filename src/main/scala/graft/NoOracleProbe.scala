@@ -29,8 +29,22 @@ object NoOracleProbe {
     val lsh = recallOf(Similarity.lshTopK(emb, "vec_id", "embedding", 5,
       numPlanes = 4, numTables = 8, dim = Tables.embeddingDim))
     println(f"[probe] ann1 lshTopK recall: $lsh%.4f")
-    val ivfLearned = recallOf(SparkEntry.queries("ann2c_ivf_learned")(spark, sfDir))
-    println(f"[probe] ann2c learned-IVF recall: $ivfLearned%.4f")
+    // rebuild the learned-IVF top-k directly (ann2c's catalog entry now
+    // returns the audit row, not the (query_id, neighbor_id) pairs) and
+    // sweep the recall-cost curve: nprobe × cell-count grid
+    val sqrtN = math.max(4, math.round(math.sqrt(emb.count().toDouble)).toInt)
+    for (kMult <- Seq(1, 2)) {
+      val kCells = kMult * sqrtN
+      val cents = graft.ml.Clustering.kmeansCentroids(
+        emb, "embedding", kCells, seed = 7L)
+      for (nprobe <- Seq(2, 4, 8)) {
+        val t0 = System.nanoTime()
+        val r = recallOf(Similarity.ivfTopK(
+          emb, "vec_id", "embedding", 5, cents, nprobe = nprobe))
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] ann2c learned-IVF recall (cells=$kCells%d nprobe=$nprobe%d): $r%.4f in $secs%.2f s")
+      }
+    }
 
     val e3 = SparkEntry.queries("e3_peer_effect_elasticity")(spark, sfDir).head()
     val e3d = SparkEntry.queries("e3d_peer_elasticity_lsh")(spark, sfDir).head()

@@ -34,6 +34,9 @@ object ProfilePhases {
       val sig = time("signatures")(
         Dedup.minHashSignatureArrayFromHashes(sh, "doc_id", 32)
           .localCheckpoint(true))
+      time("signatures_inline")(
+        Dedup.minHashSignatureArrayInline(dd, "text", "doc_id", 3, 32)
+          .localCheckpoint(true))
       val pairs = time("lsh_pairs(full)")(
         Dedup.minHashLshPairs(dd, "text", "doc_id", 3, 32, 4, 0.5)
           .localCheckpoint(true))

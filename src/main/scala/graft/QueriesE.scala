@@ -104,21 +104,9 @@ object QueriesE {
   // pairs above a similarity bar, not top-k) — the embedding-space dedup
   // a training pipeline runs before sampling.
   val t11 = Q("t11_embedding_neardup",
-    (s, d) => {
-      val base = Tables.embeddings(s, d)
-        .select(col("vec_id").cast("long").as("id"),
-          transform(col("embedding"), x => x.cast("double")).as("raw"))
-        .select(col("id"), transform(col("raw"),
-          x => x / Similarity.l2Norm(col("raw"))).as("vec"))
-      val l = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
-      val r = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
-      l.crossJoin(r).where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          Similarity.fastDot(col("vec_a"), col("vec_b")).as("cosine"))
-        .where(col("cosine") >= 0.45)
-        .select(col("id_a"), col("id_b"),
-          round(col("cosine") + lit(1e-9), 6).as("cosine"))
-    },
+    (s, d) => Similarity.exactThresholdPairs(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", 0.45),
     Some("""WITH unit AS (SELECT vec_id AS id,
         list_transform(embedding::DOUBLE[],
           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],

@@ -916,13 +916,18 @@ object QueriesG {
   // other" without any document-level pairing.
   val t31 = Q("t31_source_overlap",
     (s, d) => {
-      // 20 rows feeding BOTH sides of the self-join — materialize once,
-      // or the full shingle+signature subtree runs twice (g3's lesson).
-      // Hash-path signatures: min is duplicate-insensitive, so the
-      // per-source shingle set never needs the distinct()'s shuffle.
-      val sig = Dedup.minHashSignatureArrayFromHashes(
-        Dedup.shingleHashes(docs(s, d), "text", "source", 3), "source", 32)
-        .localCheckpoint(true)
+      // Per-doc signatures come from the shuffle-free inline path; the
+      // source-level signature is the elementwise min over the source's
+      // docs (min-of-mins = min over the source's whole shingle set —
+      // the same mergeable-signature property the scaladoc banks on),
+      // leaving ONE 20-group aggregate as the only exchange. Both sides
+      // of the self-join read that aggregate's exchange once
+      // (ReuseExchange) — no materialization job needed.
+      val perDoc = Dedup.minHashSignatureArrayInline(
+        docs(s, d), "text", "source", 3, 32)
+      val sig = perDoc.groupBy(col("source"))
+        .agg(array((0 until 32).map(i =>
+          min(element_at(col("sig"), i + 1))): _*).as("sig"))
       val l = sig.select(col("source").as("s_a"), col("sig").as("sig_a"))
       val r = sig.select(col("source").as("s_b"), col("sig").as("sig_b"))
       l.join(r, col("s_a") < col("s_b"))

@@ -26,16 +26,23 @@ import graft.etl.OpenSeaPipeline
   */
 object RunPipeline {
 
-  /** Copy header + up to `rows` data lines of each csv into a temp dir. */
+  /** Copy header + up to `rows` data lines of each csv into a temp dir.
+    * Read/write as ISO-8859-1: every byte sequence is valid in it, so a
+    * stray non-UTF-8 byte in a raw CSV round-trips instead of throwing
+    * MalformedInputException and killing the run before the real
+    * pipeline (which reads CSVs permissively) even starts.
+    */
   private def truncatedCopy(rawDir: String, rows: Int): java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
     val dst = java.nio.file.Files.createTempDirectory("graft_warmup_raw")
     new java.io.File(rawDir).listFiles()
       .filter(_.getName.endsWith(".csv")).foreach { f =>
-        val in = java.nio.file.Files.lines(f.toPath)
+        val in = java.nio.file.Files.lines(f.toPath, latin1)
         try {
           val lines = in.limit(rows + 1L).iterator().asScala.toSeq
-          java.nio.file.Files.write(dst.resolve(f.getName), lines.asJava)
+          java.nio.file.Files.write(dst.resolve(f.getName), lines.asJava,
+            latin1)
         } finally in.close()
       }
     dst
@@ -76,7 +83,7 @@ object RunPipeline {
       rawDataDir = args(0),
       cleanBaseDir = args(1),
       createWalletDim = args.contains("--wallet-dim"))
-    if (!args.contains("--no-warmup")) {
+    if (!args.contains("--no-warmup")) try {
       val w0 = System.nanoTime()
       val warmRaw = truncatedCopy(args(0), rows = 1000)
       val warmOut = java.nio.file.Files.createTempDirectory("graft_warmup_out")
@@ -94,6 +101,10 @@ object RunPipeline {
       }
       println(f"warmup (codegen+JIT, 1K rows/file): " +
         f"${(System.nanoTime() - w0) / 1e9}%.2f s")
+    } catch {
+      // the warmup is an optimization — never let it kill the real run
+      case e: Throwable =>
+        println(s"warmup skipped (non-fatal): ${e.getMessage}")
     }
     val result = OpenSeaPipeline.run(spark, config)
     println(s"outputs: ${result.outputDir}")

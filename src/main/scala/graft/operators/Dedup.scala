@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
   * under parallel execution, so we pin the survivor with an explicit
   * tie-break ordering (SURVEY §7.4 risk 3). Scales as a single hash
   * shuffle on the key columns; no global sort.
+  *
+  * == Internal materialization and fault tolerance ==
+  * Operators here (and in [[Similarity]], [[Stats]]) materialize genuinely
+  * multi-consumer intermediates with eager `localCheckpoint(true)`, not
+  * `cache()`: checkpoint blocks are GC-released by the ContextCleaner once
+  * the frame is unreachable, while CacheManager entries pin memory until
+  * an explicit unpersist (the round-4 bench-escalation artifact). The
+  * TRADE: `localCheckpoint` truncates lineage, so losing an executor
+  * after materialization FAILS the job instead of recomputing the lost
+  * partitions — acceptable on a single-node deployment (executor loss =
+  * JVM loss = job loss anyway) and for interactive/bench workloads, but a
+  * long multi-hour cluster job that must survive preemption should prefer
+  * reliable `checkpoint()` onto the cluster checkpoint dir (same call
+  * sites, HDFS-backed, loss-tolerant) or recompute-friendly `cache()`
+  * with explicit unpersist. The sites are few and named in scaladoc where
+  * they occur; swapping the policy is a mechanical change.
   */
 object Dedup {
 
@@ -51,7 +67,9 @@ object Dedup {
     */
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
-    df.select(col(idCol), toks.as("toks"))
+    // Fan.out: tokenize+md5 is the CPU pole of every shingle consumer —
+    // spread a one-row-group input across the cores before paying it.
+    Fan.out(df.select(col(idCol), toks.as("toks")))
       .where(size(col("toks")) >= n)
       .select(
         col(idCol),
@@ -134,7 +152,10 @@ object Dedup {
   def shingleHashes(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
-    df.select(col(idCol), toks.as("toks"))
+    // Fan.out before the explode+md5 chain (see [[Fan.out]]): a whole
+    // document's shingles still land in one partition, so the signature
+    // groupBy keeps its map-side partial aggregation.
+    Fan.out(df.select(col(idCol), toks.as("toks")))
       .where(size(col("toks")) >= n)
       .select(
         col(idCol),
@@ -188,51 +209,97 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
+  /** Per-ROW MinHash signature computed entirely inside projections —
+    * no explode, no groupBy, NO SHUFFLE. The shingle hashes become an
+    * array column; each signature component is an `array_min` over its
+    * permutation of that array, all inside whole-stage codegen. This is
+    * the narrow fast path when the signature key IS the row key (one
+    * document per row): the aggregate form pays a hash-aggregate probe
+    * per (row × shingle) plus an exchange, which profiling shows is the
+    * single most expensive stage of the LSH pipeline — here the same
+    * arithmetic runs as a tight per-row loop.
+    *
+    * The two-step projection is deliberate: `__hs` (one md5 per
+    * shingle) is built in its own Project, and CollapseProject keeps it
+    * there because a non-trivial expression referenced `numHashes`
+    * times is not inlined — the md5s are computed once per row, not
+    * once per (row × permutation).
+    *
+    * Identical values to [[minHashSignatureArrayFromHashes]] over
+    * [[shingleHashes]] (min over a multiset = min over its set;
+    * property-tested): the SQL oracles are unchanged.
+    */
+  def minHashSignatureArrayInline(df: DataFrame, textCol: String,
+      idCol: String, n: Int, numHashes: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val hashes = transform(
+      sequence(lit(0), size(col("__toks")) - n),
+      i => pmod(md5Hash56(
+        concat_ws(" ", slice(col("__toks"), i + 1, lit(n)))), lit(minHashP)))
+    Fan.out(df.select(col(idCol), toks.as("__toks")))
+      .where(size(col("__toks")) >= n)
+      .select(col(idCol), hashes.as("__hs"))
+      .select(col(idCol),
+        array((0 until numHashes).map(i =>
+          array_min(transform(col("__hs"), h => permuted(h, i)))): _*)
+          .as("sig"))
+  }
+
   /** MinHash-LSH candidate pairs: band the signature (`numHashes` values
     * per doc into bands of `rowsPerBand`), bucket-join on
-    * (band, band-signature), emit distinct candidate pairs, then verify
-    * with the Jaccard estimate = fraction of matching signature
-    * components (computed with zip_with over the two signature arrays —
-    * no per-component join). Only docs sharing a full band collide, so
-    * the join is an equi-join on a compact key — the LSH scale path.
+    * (band, band-signature), verify with the Jaccard estimate = fraction
+    * of matching signature components. Only docs sharing a full band
+    * collide, so the join is an equi-join on a compact key — the LSH
+    * scale path.
+    *
+    * Single-pass shape (round 6): each banded row CARRIES its full
+    * signature through the bucket-join, and the estimate is computed
+    * directly on the join output (zip_with over the two carried arrays),
+    * so the whole operator is signature-project → one self-join → filter
+    * → distinct. Compared to the distinct-then-rejoin form this removes
+    * the signature materialization job and both verify joins — at
+    * cluster scale those verify joins are two extra shuffles of the
+    * entire signature table, strictly more bytes than the ~`numBands`×
+    * sig copies the banding shuffle now carries. A pair colliding in
+    * multiple bands recomputes the ~numHashes-element estimate once per
+    * collision — bounded by numBands — and the post-filter distinct
+    * dedupes it; the distinct's shuffle is (id_a, id_b, est): the
+    * verified survivors, the smallest frame in the pipeline.
     */
   def minHashLshPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    // Three consumers (banding + both verify joins) — one eager
-    // materialization, GC-released (see jaccardPairs note). Signatures
-    // come from the shingle-HASH path: no distinct(), no string shuffle.
-    val sig = minHashSignatureArrayFromHashes(
-      shingleHashes(df, textCol, idCol, shingleSize), idCol, numHashes)
-      .localCheckpoint(true)
+    // signatures from the shuffle-free inline path, consumed exactly
+    // once (the banding explode below) — no internal materialization
+    val sig = minHashSignatureArrayInline(
+      df, textCol, idCol, shingleSize, numHashes)
     val numBands = numHashes / rowsPerBand
     // band_sig stays an ARRAY<LONG> join key (no cast to string): array
     // equality is the same predicate, without formatting a string per
     // (doc, band) row on both sides of the self-join.
-    val banded = sig.select(col(idCol),
+    val banded = sig.select(col(idCol), col("sig"),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
             .as("band_sig"))): _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"),
+      .select(col(idCol), col("sig"), col("bb.band").as("band"),
         col("bb.band_sig").as("band_sig"))
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
-    val r = banded.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
-    val cand = l.join(r, Seq("band", "band_sig"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val l = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("band_sig"))
+    val r = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("band_sig"))
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / numHashes
-    cand
-      .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("est_jaccard", est)
-      .where(col("est_jaccard") >= threshold)
+    l.join(r, Seq("band", "band_sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("__est"))
+      .where(col("__est") >= threshold)
+      .distinct()
       .select(col("id_a"), col("id_b"),
-        round(col("est_jaccard") + lit(1e-9), 6).as("est_jaccard"))
+        round(col("__est") + lit(1e-9), 6).as("est_jaccard"))
   }
 
   /** Cross-run (incremental) MinHash-LSH: near-dup pairs where at least
@@ -253,8 +320,8 @@ object Dedup {
       shingleSize: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
     val deltaIds = df.where(isDelta).select(col(idCol)).distinct()
-    val sig = minHashSignatureArrayFromHashes(
-      shingleHashes(df, textCol, idCol, shingleSize), idCol, numHashes)
+    val sig = minHashSignatureArrayInline(
+      df, textCol, idCol, shingleSize, numHashes)
       .localCheckpoint(true)
     val numBands = numHashes / rowsPerBand
     val banded = sig.select(col(idCol),
@@ -300,12 +367,13 @@ object Dedup {
     * round N's plan does not replay rounds 1..N−1. Rounds needed = graph
     * diameter; near-dup clusters are shallow (a handful of hops), so this
     * converges in 2–4 rounds in practice. For adversarially long chain
-    * graphs at 100 TB one would switch to the large-star/small-star
-    * contraction (Kiveris et al., "Connected Components in MapReduce"),
-    * which converges in O(log² n) rounds — same join/agg building blocks,
-    * more complex bookkeeping; the propagation form is kept because dedup
-    * graphs are diameter-bounded, and `maxIters` guards the pathological
-    * case (an assert fires rather than silently emitting a non-fixpoint).
+    * graphs at 100 TB (crawl mirrors), exhausting `maxIters` hands the
+    * already-materialized edge frame to
+    * [[connectedComponentsStarContraction]] (O(log² n) rounds regardless
+    * of diameter) — so the propagation form stays the cheap common case
+    * and the pathological case degrades to the scale algorithm instead
+    * of a wrong answer. `starFallback = false` restores the loud assert
+    * for callers that want the diameter bound enforced.
     *
     * The per-round driver `count()` is the convergence test of an
     * iterative algorithm (same pattern as KMeans), not a hot-path
@@ -320,7 +388,7 @@ object Dedup {
   def connectedComponents(
       nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, starFallback: Boolean = true): DataFrame = {
     // Materialize the pair frame BEFORE mirroring it: the two union
     // branches are distinct subtrees to Catalyst (no common-subexpression
     // elimination across a union), so without this checkpoint the whole
@@ -372,12 +440,115 @@ object Dedup {
       labels = next.drop("__changed")
       iters += 1
     }
-    assert(changed == 0L,
-      s"connectedComponents did not converge in $maxIters rounds " +
-        "(graph diameter exceeds the bound — raise maxIters or switch " +
-        "to star contraction)")
+    if (changed != 0L) {
+      // The diameter exceeded the bound (adversarial chain graphs —
+      // crawl mirrors at corpus scale). Either hand the ALREADY
+      // MATERIALIZED edge frame to the O(log² n)-round star contraction,
+      // or fail loudly if the caller opted out of the fallback.
+      assert(starFallback,
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(graph diameter exceeds the bound — raise maxIters or switch " +
+          "to star contraction)")
+      return starContract(nodes, idCol, p0, "__src", "__dst",
+        starMaxIters = 50)
+    }
     nodes.select(col(idCol))
       .join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__label"), col(idCol)).as("cluster_id"))
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the adversarial-diameter escape hatch for
+    * [[connectedComponents]]. Label propagation needs diameter-many
+    * rounds; contraction converges in O(log² n) rounds regardless of
+    * diameter, because each round rewires whole neighborhoods at the
+    * neighborhood minimum instead of moving labels one hop:
+    *
+    *  - large-star: for every node u with m = min(Γ(u) ∪ {u}), every
+    *    strictly-larger neighbor v > u re-attaches as (v, m);
+    *  - small-star: edges oriented high→low; every node u with smaller
+    *    neighborhood N(u) and m = min(N(u)) re-attaches N(u) ∪ {u}
+    *    to m.
+    *
+    * Fixpoint = a forest of stars centered at each component's minimum
+    * id, read off as (node → center). Each half-round is one
+    * groupBy-min + one equi-join + distinct — the same shuffle building
+    * blocks as the propagation loop, with `localCheckpoint` truncating
+    * per-round lineage. The convergence probe is two anti-join
+    * existence checks (symmetric difference of consecutive edge sets),
+    * each a `limit(1)` off the just-checkpointed frame.
+    *
+    * Same contract as [[connectedComponents]]: returns (idCol,
+    * cluster_id = min reachable id), isolated vertices label themselves.
+    */
+  def connectedComponentsStarContraction(
+      nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame =
+    // no checkpoint here: the pair frame has exactly one consumer (the
+    // distinct+checkpoint at the top of the contraction loop)
+    starContract(nodes, idCol,
+      pairs.select(col(aCol).as("__src"), col(bCol).as("__dst")),
+      "__src", "__dst", maxIters)
+
+  private def starContract(
+      nodes: DataFrame, idCol: String,
+      p0: DataFrame, aCol: String, bCol: String,
+      starMaxIters: Int): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(
+        e.select(col("__v").as("__u"), col("__u").as("__v")))
+      val m = sym.groupBy(col("__u"))
+        .agg(min(col("__v")).as("__mn"))
+        .select(col("__u"), least(col("__u"), col("__mn")).as("__m"))
+      sym.join(m, "__u")
+        .where(col("__v") > col("__u"))
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+        .where(col("__u") =!= col("__v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("__u"), col("__v")).as("__u"),
+        least(col("__u"), col("__v")).as("__v"))
+      val m = oriented.groupBy(col("__u"))
+        .agg(min(col("__v")).as("__m"))
+      oriented.join(m, "__u")
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+        .union(m.select(col("__u"), col("__m").as("__v")))
+        .where(col("__u") =!= col("__v"))
+        .distinct()
+    }
+    var edges = p0
+      .select(col(aCol).as("__u"), col(bCol).as("__v"))
+      .where(col("__u") =!= col("__v"))
+      .distinct()
+      .localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < starMaxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // set equality via symmetric difference; limit(1) short-circuits
+      val grew = next.join(edges, Seq("__u", "__v"), "left_anti")
+        .limit(1).count()
+      val shrank = edges.join(next, Seq("__u", "__v"), "left_anti")
+        .limit(1).count()
+      converged = grew == 0L && shrank == 0L
+      edges = next
+      iters += 1
+    }
+    assert(converged,
+      s"star contraction did not converge in $starMaxIters rounds — " +
+        "not expected for any finite graph (O(log^2 n) bound); check " +
+        "edge generation for non-determinism")
+    // At fixpoint every non-center node appears exactly once as __u with
+    // __v = its component's minimum id; min() guards the final read.
+    val lab = edges.groupBy(col("__u").as(idCol))
+      .agg(min(col("__v")).as("__label"))
+    nodes.select(col(idCol))
+      .join(lab, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__label"), col(idCol)).as("cluster_id"))
   }

@@ -47,9 +47,17 @@ object Similarity {
     * inner loop then computes a single dot product per pair instead of
     * dot + two norms (3× the array scans).
     */
-  private def unitVectors(df: DataFrame, idCol: String, vecCol: String) = {
+  private def unitVectors(df: DataFrame, idCol: String, vecCol: String,
+      fanOut: Boolean = false) = {
     val v = transform(col(vecCol), x => x.cast("double"))
-    df.select(col(idCol).cast("long").as("id"), v.as("raw"))
+    // fanOut = true for the brute-force N×N consumers: the pair loop
+    // inherits the scan's partition count on the streamed side, so a
+    // one-row-group input would run the whole pair space single-threaded
+    // (see [[Fan.out]]). The LSH/IVF paths leave it off — their cost is
+    // many small shuffle stages, not per-row compute, and widening every
+    // stage to defaultParallelism just multiplies task overhead.
+    val pruned = df.select(col(idCol).cast("long").as("id"), v.as("raw"))
+    (if (fanOut) Fan.out(pruned) else pruned)
       .select(col("id"),
         transform(col("raw"), x => x / l2Norm(col("raw"))).as("vec"))
   }
@@ -61,7 +69,7 @@ object Similarity {
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val base = unitVectors(df, idCol, vecCol)
+    val base = unitVectors(df, idCol, vecCol, fanOut = true)
     val l = base.select(col("id").as("query_id"), col("vec").as("vec_a"))
     val r = base.select(col("id").as("neighbor_id"), col("vec").as("vec_b"))
     val pairs = l.crossJoin(r)
@@ -91,6 +99,7 @@ object Similarity {
     */
   def scalarQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     // feeds the dim explode AND the final join — materialize once
+    // (GC-released checkpoint, not a pinned cache entry)
     val unit = unitVectors(df, idCol, vecCol).localCheckpoint(true)
     val dims = unit.select(col("id"),
       posexplode(col("vec")).as(Seq("dim", "x")))
@@ -115,7 +124,7 @@ object Similarity {
     */
   def bruteForceTopKFor(df: DataFrame, queryIds: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val base = unitVectors(df, idCol, vecCol)
+    val base = unitVectors(df, idCol, vecCol, fanOut = true)
     val l = base.join(queryIds.select(col(idCol).cast("long").as("id")),
         Seq("id"), "left_semi")
       .select(col("id").as("query_id"), col("vec").as("vec_a"))
@@ -188,8 +197,10 @@ object Similarity {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 4, numTables: Int = 8, dim: Int = 0): DataFrame = {
     // Eager localCheckpoint: numTables bucketings + 2 verify joins all
-    // read one materialization; blocks are GC-released when the result
-    // is dropped (cache() would pin a CacheManager entry indefinitely).
+    // read one SMALL materialization (N unit vectors), and — measured at
+    // sf0.1 — recomputing base per bucketing table multiplies tiny
+    // shuffle stages, not useful work. Blocks are GC-released when the
+    // result is dropped (cache() would pin a CacheManager entry).
     val base = unitVectors(df, idCol, vecCol).localCheckpoint(true)
     val d = resolveDim(base, dim)
     val candidateIds = lshCandidates(base, d, numPlanes, numTables,
@@ -233,6 +244,8 @@ object Similarity {
   def lshThresholdPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 2, numTables: Int = 16,
       dim: Int = 0): DataFrame = {
+    // numTables bucketings + 2 verify joins over one small frame — same
+    // materialization rationale as lshTopK above
     val base = unitVectors(df, idCol, vecCol).localCheckpoint(true)
     val d = resolveDim(base, dim)
     val candidateIds = lshCandidates(base, d, numPlanes, numTables,
@@ -287,7 +300,7 @@ object Similarity {
     */
   def exactThresholdPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val base = unitVectors(df, idCol, vecCol)
+    val base = unitVectors(df, idCol, vecCol, fanOut = true)
     val l = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
     val r = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
     l.crossJoin(r).where(col("id_a") < col("id_b"))

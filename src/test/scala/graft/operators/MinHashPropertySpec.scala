@@ -143,23 +143,38 @@ class MinHashPropertySpec extends SparkSpecBase {
     viaStrings.foreach { case (id, s) =>
       assert(viaHashes(id) === s, s"signature divergence for doc $id")
     }
+    // shuffle-free inline path produces the identical signatures
+    val viaInline = Dedup.minHashSignatureArrayInline(
+        df, "text", "doc_id", 3, 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaInline.keySet === viaHashes.keySet)
+    viaHashes.foreach { case (id, s) =>
+      assert(viaInline(id) === s, s"inline signature divergence for doc $id")
+    }
   }
 
   // ---- connected components: maxIters exhaustion ---------------------
 
-  test("connectedComponents: a chain deeper than maxIters fails loudly, " +
-      "naming the star-contraction escape hatch; a converging run on the " +
-      "same graph labels the whole chain") {
+  test("connectedComponents: a chain deeper than maxIters fails loudly " +
+      "with starFallback=false, falls back to star contraction by " +
+      "default; a converging run on the same graph labels the chain") {
     // 25-hop path graph 0-1-2-...-25: min-label propagation moves the
     // label one hop per round, so depth 25 cannot converge in 10 rounds
     val nodes = (0L to 25L).map(Tuple1(_)).toDF("id")
     val pairs = (0L until 25L).map(i => (i, i + 1)).toDF("a", "b")
     val err = intercept[java.lang.AssertionError] {
-      Dedup.connectedComponents(nodes, "id", pairs, "a", "b", maxIters = 10)
-        .count()
+      Dedup.connectedComponents(nodes, "id", pairs, "a", "b",
+        maxIters = 10, starFallback = false).count()
     }
     assert(err.getMessage.contains("star contraction"),
       s"exhaustion message should name the escape hatch: ${err.getMessage}")
+    // default: same call degrades to star contraction and still labels
+    // the whole chain with its minimum id
+    val viaFallback = Dedup.connectedComponents(nodes, "id", pairs,
+        "a", "b", maxIters = 10)
+      .as[(Long, Long)].collect()
+    assert(viaFallback.length === 26)
+    assert(viaFallback.forall(_._2 === 0L))
     // the same graph converges when the bound covers the diameter, and
     // every node lands in cluster 0
     val ok = Dedup.connectedComponents(nodes, "id", pairs, "a", "b",
@@ -167,5 +182,36 @@ class MinHashPropertySpec extends SparkSpecBase {
       .as[(Long, Long)].collect()
     assert(ok.length === 26)
     assert(ok.forall(_._2 === 0L))
+  }
+
+  test("star contraction: a 64-hop chain the bounded loop refuses " +
+      "converges in O(log² n) rounds and agrees with propagation on a " +
+      "mixed adversarial graph") {
+    // 64-hop chain plus shuffled id order (labels must not depend on
+    // insertion order), an 8-clique, and isolated singletons
+    val chain = (100L until 164L).map(i => (i, i + 1))
+    val clique = for {
+      a <- 0L until 8L; b <- (a + 1) until 8L
+    } yield (a * 7 + 200, b * 7 + 200) // non-contiguous ids
+    val nodes = ((100L to 164L) ++ (0L until 8L).map(_ * 7 + 200) ++
+      Seq(999L, 1001L)).map(Tuple1(_)).toDF("id")
+    val pairs = (chain ++ clique).toDF("a", "b")
+    // the bounded loop refuses this diameter when the fallback is off
+    intercept[java.lang.AssertionError] {
+      Dedup.connectedComponents(nodes, "id", pairs, "a", "b",
+        maxIters = 10, starFallback = false).count()
+    }
+    val star = Dedup.connectedComponentsStarContraction(
+        nodes, "id", pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // chain collapses to min id 100, clique to 200, singletons to self
+    (100L to 164L).foreach(i => assert(star(i) === 100L))
+    (0L until 8L).foreach(a => assert(star(a * 7 + 200) === 200L))
+    assert(star(999L) === 999L && star(1001L) === 1001L)
+    // agreement with the propagation form on a diameter it can close
+    val prop = Dedup.connectedComponents(nodes, "id", pairs, "a", "b",
+        maxIters = 80, starFallback = false)
+      .as[(Long, Long)].collect().toMap
+    assert(star === prop)
   }
 }

@@ -75,12 +75,65 @@ object Bench {
     }
     val total = results.map(_._2).sum
 
+    // Audit-shaped queries (recall/approximation gates): time the
+    // PRODUCTION side alone with the same methodology. The catalog
+    // number above includes the exact brute-force ground truth that
+    // exists only to gate the approximate plan; this one is the cost a
+    // deployment pays.
+    val productResults = SparkEntry.productQueries.toSeq.sortBy(_._1)
+      .map { case (name, fn) =>
+        System.gc()
+        runOnce(fn)
+        val reps = (1 to 3).map { _ => System.gc(); runOnce(fn) }.sorted
+        (name, reps(1), reps)
+      }
+
+    // Isolated section: re-measure the heaviest queries in a FRESH JVM
+    // each (fork of BenchOne --json), so suite-order effects (JIT/GC/
+    // shuffle-file accumulation) can't color the round's top-line
+    // numbers. Child JVMs inherit this JVM's flags (add-opens, -Xmx,
+    // -D spark defaults) and env (SPARK_GRAFT_CPUS).
+    val isolatedN = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_N", "10").toInt
+    val isolated: Seq[(String, Double)] =
+      if (isolatedN <= 0) Seq.empty
+      else {
+        val jvmArgs = scala.jdk.CollectionConverters.ListHasAsScala(
+          java.lang.management.ManagementFactory.getRuntimeMXBean
+            .getInputArguments).asScala.toSeq
+        val javaBin = new java.io.File(
+          new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+        val cp = sys.props("java.class.path")
+        results.sortBy(-_._2).take(isolatedN).map(_._1).sorted.flatMap { name =>
+          val cmd = Seq(javaBin) ++ jvmArgs ++
+            Seq("-cp", cp, "graft.BenchOne", name, sfDir, "3", "--json")
+          try {
+            val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+            val proc = pb.start()
+            val out = scala.io.Source.fromInputStream(
+              proc.getInputStream).getLines().toList
+            proc.waitFor()
+            out.collectFirst {
+              case l if l.contains("[benchone-json]") =>
+                val body = l.substring(l.indexOf('{'))
+                val med = "\"median\":([0-9.eE+-]+)".r
+                  .findFirstMatchIn(body).map(_.group(1).toDouble)
+                med.map(name -> _)
+            }.flatten
+          } catch { case _: Throwable => None }
+        }
+      }
+
     // Complete artifact: full precision, all reps — immune to log-tail limits.
     val fullJson = {
       val qs = results.map { case (name, med, reps) =>
         s""""$name":{"median":$med,"reps":[${reps.mkString(",")}]}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"reps_per_query":3,"warmup_reps":1,"queries":$qs}"""
+      val ps = productResults.map { case (name, med, reps) =>
+        s""""$name":{"median":$med,"reps":[${reps.mkString(",")}]}"""
+      }.mkString("{", ",", "}")
+      val iso = isolated.map { case (n, m) => s""""$n":$m""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"reps_per_query":3,"warmup_reps":1,"queries":$qs,"product":$ps,"isolated":$iso}"""
     }
     try {
       val w = new java.io.PrintWriter(fullOut, "UTF-8")
@@ -93,7 +146,13 @@ object Bench {
     val qsCompact = results
       .map { case (name, med, _) => "\"" + name + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"queries":$qsCompact,"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","full":"$fullOut"}""")
+    val psCompact = productResults
+      .map { case (name, med, _) => "\"" + name + "\":" + f"$med%.3f" }
+      .mkString("{", ",", "}")
+    val isoCompact = isolated
+      .map { case (n, m) => "\"" + n + "\":" + f"$m%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"queries":$qsCompact,"product":$psCompact,"isolated":$isoCompact,"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","full":"$fullOut"}""")
     spark.stop()
   }
 }

@@ -327,7 +327,10 @@ object QueriesC {
             .as("recall_ok"))
     },
     Some("""SELECT count(*) AS n_queries, 5 * count(*) AS n_exact,
-      true AS recall_ok FROM embeddings"""))
+      true AS recall_ok FROM embeddings"""),
+    product = Some((s, d) => Similarity.lshTopK(Tables.embeddings(s, d),
+      "vec_id", "embedding", k = 5, numPlanes = 4, numTables = 8,
+      dim = Tables.embeddingDim)))
 
   // ---- multimodal asset plumbing ---------------------------------------
 

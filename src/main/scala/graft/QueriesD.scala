@@ -185,7 +185,22 @@ object QueriesD {
         true AS lsh_n_within_5pct, true AS lsh_slope_within_tol,
         true AS lsh_r2_within_tol
       FROM peer JOIN purchases e ON e.event_id = peer.event_id
-      WHERE peer.n_peers > 0"""))
+      WHERE peer.n_peers > 0"""),
+    product = Some((s, d) => {
+      // the LSH elasticity pipeline alone — what a 100× deployment runs
+      val purchases = ev(s, d).where(col("event_type") === "purchase")
+      val probes = purchases.join(
+        Tables.embeddings(s, d).select(col("vec_id").as("user_id")),
+        Seq("user_id"), "left_semi")
+      val peerStats = PeerEffects.neighborWindowAgg(
+        probes, Similarity.lshTopK(Tables.embeddings(s, d),
+          "vec_id", "embedding", 5, dim = Tables.embeddingDim),
+        purchases, "user_id", "ts", "value", "event_id", windowDays = 7)
+      val joined = peerStats.where(col("n_peers") > 0)
+        .join(purchases.select(col("event_id"), col("value")),
+          Seq("event_id"))
+      Stats.olsByGroup(joined, Seq(), col("peer_avg"), col("value"))
+    }))
 
   // E3c — the reference's SECOND peer-effect target (timing:
   // analyze_peer_effects.py:239-344): days_to_next_sale per purchase,
@@ -490,7 +505,17 @@ object QueriesD {
             .as("recall_ok"))
     },
     Some("""SELECT count(*) AS n_queries, 5 * count(*) AS n_exact,
-      true AS recall_ok FROM embeddings"""))
+      true AS recall_ok FROM embeddings"""),
+    product = Some((s, d) => {
+      // deployable IVF retrieval: KMeans fit (model build, a real product
+      // cost) + nprobe=2 probe — no brute-force twin anywhere
+      val base = Tables.embeddings(s, d)
+      val k = math.max(4,
+        math.round(math.sqrt(base.count().toDouble)).toInt)
+      val cents = graft.ml.Clustering.kmeansCentroids(
+        base, "embedding", k, seed = 7L)
+      Similarity.ivfTopK(base, "vec_id", "embedding", 5, cents, nprobe = 2)
+    }))
 
   val all: Seq[Q] = Seq(w3, d9b, e3, e3c, e3d, t4b, ann2, ann2b, ann2c)
 }

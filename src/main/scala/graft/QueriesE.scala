@@ -356,7 +356,26 @@ object QueriesE {
         round(regr_intercept(e.value, peer.peer_avg) + 1e-9, 6) AS intercept,
         round(regr_r2(e.value, peer.peer_avg) + 1e-9, 6) AS r2
       FROM peer JOIN purchases e ON e.event_id = peer.event_id
-      GROUP BY 1, 2"""))
+      GROUP BY 1, 2"""),
+    product = Some((s, d) => {
+      // the grid at scale rides the LSH neighbor provider (e3d's
+      // production swap) ranked once at max-K — brute-force KNN is the
+      // oracle-able ground truth, not the deployable plan
+      val purchases = ev(s, d).where(col("event_type") === "purchase")
+      val neighbors = Similarity.lshTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", 50, dim = Tables.embeddingDim)
+      val probes = purchases.join(
+        Tables.embeddings(s, d).select(col("vec_id").as("user_id")),
+        Seq("user_id"), "left_semi")
+      val peerStats = PeerEffects.neighborGridAgg(
+        probes, neighbors, purchases, "user_id", "ts", "value", "event_id",
+        ks = Seq(10, 20, 50), windowsDays = Seq(7, 30))
+      val joined = peerStats.where(col("n_peers") > 0)
+        .join(purchases.select(col("event_id"), col("value")),
+          Seq("event_id"))
+      Stats.olsByGroup(joined, Seq("k", "window_days"),
+        col("peer_avg"), col("value"))
+    }))
 
   // T14 — PII redaction over the documents table. The synthetic corpus
   // carries no real PII, so the query plants deterministic PII spans

@@ -30,4 +30,12 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     catalog.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** For audit-shaped queries (recall/approximation gates), the
+    * PRODUCTION side alone — no exact brute-force twin in the plan.
+    * Bench times these separately so audit cost isn't read as the
+    * operator's cost. See [[Queries.Q.product]].
+    */
+  def productQueries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.flatMap(q => q.product.map(p => q.name -> p)).toMap
 }

@@ -65,7 +65,8 @@ object Multimodal {
         md5(concat(col("payload_md5"), col("patch_idx").cast("string"))))
 
   case class AssetRow(asset_id: Long, payload: Array[Byte])
-  case class DecodedRow(asset_id: Long, width: Int, height: Int)
+  case class DecodedRow(asset_id: Long, width: Int, height: Int,
+      mean_luma: Double)
 
   /** Batched decode harness — the JVM shape a real vectorized codec
     * plugs into (the Scala analogue of Python's `mapInPandas`): a
@@ -103,7 +104,7 @@ object Multimodal {
           }
         }.flatten
       }
-      .toDF("asset_id", "width", "height")
+      .toDF("asset_id", "width", "height", "mean_luma")
   }
 
   /** The stub codec: same pseudo-dimensions as
@@ -111,6 +112,72 @@ object Multimodal {
     */
   def stubDecode(batch: Seq[AssetRow]): Seq[DecodedRow] = batch.map { r =>
     val len = if (r.payload == null) 0L else r.payload.length.toLong
-    DecodedRow(r.asset_id, (len % 640 + 1).toInt, ((len * 7) % 480 + 1).toInt)
+    DecodedRow(r.asset_id, (len % 640 + 1).toInt, ((len * 7) % 480 + 1).toInt,
+      (len % 256).toDouble)
+  }
+
+  // ---- real JVM codec (javax.imageio PNG) -------------------------------
+
+  /** Render a deterministic two-band grayscale PNG per row — the in-repo
+    * stand-in for raw media files (no network, no native libs: PNG encode
+    * is pure-JVM `javax.imageio`). Input columns: `asset_id, width,
+    * height, luma_top, luma_bottom`; rows `[0, height/2)` get `luma_top`,
+    * the rest `luma_bottom`. Pixels are written straight to the raster
+    * (no sRGB color conversion), so the lossless PNG roundtrip is exact
+    * and the decoded mean luma has a closed form an external oracle can
+    * reproduce. Encoding rides the typed `Dataset.map` family (same
+    * justified non-Catalyst island as [[decodeBatched]]): an opaque codec
+    * can't be a Catalyst expression.
+    */
+  def renderPngAssets(spec: DataFrame): DataFrame = {
+    val spark = spec.sparkSession
+    import spark.implicits._
+    spec.select(col("asset_id").cast("long"), col("width").cast("int"),
+        col("height").cast("int"), col("luma_top").cast("int"),
+        col("luma_bottom").cast("int"))
+      .as[(Long, Int, Int, Int, Int)]
+      .map { case (id, w, h, lt, lb) =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          val luma = if (y < h / 2) lt else lb
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, luma); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        // MemoryCacheImageOutputStream sidesteps ImageIO's global disk-
+        // cache setting — no temp files on executor-local disk.
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
+        (id, bos.toByteArray)
+      }
+      .toDF("asset_id", "payload")
+  }
+
+  /** The real codec for [[decodeBatched]]: `javax.imageio` PNG decode to
+    * actual pixels — dimensions from the decoded image, mean luma summed
+    * over the raster (exact: integer sum, one double division). Swapping
+    * this for [[stubDecode]] changes no plumbing, which is the whole
+    * point of the batched-decode contract. Reference bar: the reference's
+    * embedding generation consumes real decoded images
+    * (scripts/embeddings/generate_clip_embeddings.py:40-91).
+    */
+  def imageIoDecode(batch: Seq[AssetRow]): Seq[DecodedRow] = batch.map { r =>
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"undecodable payload for asset ${r.asset_id}")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    DecodedRow(r.asset_id, w, h, sum.toDouble / (w.toLong * h))
   }
 }

@@ -109,6 +109,7 @@ class WritersSpec extends SparkSpecBase {
       .collect().toSet
     // small row cap forces many batches; results must not depend on batching
     val viaBatches = Multimodal.decodeBatched(assets, maxBatchRows = 7)()
+      .select("asset_id", "width", "height")
       .as[(Long, Int, Int)].collect().toSet
     assert(viaBatches === viaColumns)
     // byte cap: with a 60-byte budget every batch holds >= 1 row and the
@@ -116,6 +117,30 @@ class WritersSpec extends SparkSpecBase {
     val tiny = Multimodal.decodeBatched(assets, maxBatchRows = 1000,
       maxBatchBytes = 60L)()
     assert(tiny.count() === 200)
+  }
+
+  test("real PNG codec roundtrips through decodeBatched independent of " +
+      "batching") {
+    // 60 deterministic two-band PNGs; imageIoDecode reads actual pixels
+    val spec = (1L to 60L).map(i =>
+        (i, (i % 48 + 16).toInt, ((i * 7) % 32 + 16).toInt,
+          (i % 256).toInt, ((i * 31) % 256).toInt))
+      .toDF("asset_id", "width", "height", "luma_top", "luma_bottom")
+    val pngs = Multimodal.renderPngAssets(spec)
+    def decode(rows: Int) =
+      Multimodal.decodeBatched(pngs, maxBatchRows = rows)(
+          Multimodal.imageIoDecode)
+        .as[(Long, Int, Int, Double)].collect().toSet
+    val small = decode(7)
+    assert(small === decode(1000)) // batching-invariant
+    // decoded dims + mean equal the closed form the PNGs were built from
+    val expected = (1L to 60L).map { i =>
+      val (w, h) = ((i % 48 + 16).toInt, ((i * 7) % 32 + 16).toInt)
+      val (lt, lb) = ((i % 256).toInt, ((i * 31) % 256).toInt)
+      val top = h / 2
+      (i, w, h, (top.toLong * lt + (h - top).toLong * lb).toDouble / h)
+    }.toSet
+    assert(small === expected)
   }
 
   test("overwritePartitions replaces only the partitions present in the " +

@@ -24,6 +24,12 @@ object Tables {
     // microsecond timestamp with integer division (a double division would
     // lose precision: ns epochs exceed 2^53).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Driver regenerations have also shipped timestamp[us] WITHOUT the
+    // UTC-adjusted flag, which Spark 4 infers as TIMESTAMP_NTZ — a type
+    // unix_micros/watermarks reject. Read those as plain TIMESTAMP; the
+    // session timezone is pinned to UTC everywhere, so the instants match
+    // the DuckDB oracle's naive reading of the same files.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * machine mode Bench parses — one untimed warmup rep then `reps` timed
   * reps, emitted as a single `[benchone-json] {...}` line (median +
   * all reps). Without `--json` it keeps the historical per-rep prints
-  * (no warmup rep) for interactive use.
+  * (no warmup rep) for interactive use. A `product:` name prefix
+  * resolves against `SparkEntry.productQueries` (the deployment-side
+  * plan of an audit-shaped query) instead of the catalog.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -24,7 +26,10 @@ object BenchOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
-    val fn = SparkEntry.queries(name)
+    val fn =
+      if (name.startsWith("product:"))
+        SparkEntry.productQueries(name.stripPrefix("product:"))
+      else SparkEntry.queries(name)
     def once(): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()

@@ -9,9 +9,15 @@ import org.apache.spark.sql.functions._
   * and nprobe ∈ {2, 4, 8} probed cells this sweeps the sf embeddings,
   * reporting recall@5 against the exact brute-force top-5, the probe-side
   * wall time (fit excluded — the quantizer is built once and amortized),
-  * and the scanned-candidate fraction vs N² (the number that actually
-  * predicts cost at 100 TB, where cell id is the partition key and probe
-  * cost is Σ|probed cells|).
+  * and the scanned-candidate fraction vs the N(N−1) self-excluded pair
+  * space (the number that actually predicts cost at 100 TB, where cell id
+  * is the partition key and probe cost is Σ|probed cells|).
+  *
+  * Cell assignment comes from [[operators.Similarity.ivfCellRanks]] — the
+  * same code `ivfTopK` plans with — so the reported cand_frac is by
+  * construction the fraction the production operator scans (ADVICE r6:
+  * a re-implementation here could silently diverge on tie-breaks or
+  * zero-vector normalization).
   *
   * Findings land in README's "IVF recall-cost curve" table and set the
   * `ann2c` floor: the floor is the measured nprobe=4 recall minus margin,
@@ -36,61 +42,60 @@ object IvfSweep {
         .bruteForceTopK(base, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
       val nExact = exact.count().toDouble
-      println(s"[ivfsweep] $sfDir N=$n exact_pairs=${nExact.toLong}")
-      for (k <- Seq(rootK, 2 * rootK)) {
-        val cents = ml.Clustering.kmeansCentroids(
-          base, "embedding", k, seed = 7L).localCheckpoint(true)
-        for (nprobe <- Seq(2, 4, 8)) {
-          // candidate volume: Σ_query |probed cells' populations|
-          val ivf = operators.Similarity
-            .ivfTopK(base, "vec_id", "embedding", 5, cents, nprobe)
-            .select(col("query_id"), col("neighbor_id"))
-          // warm once, then median of 3 probe-side runs
-          ivf.count()
-          val times = (1 to 3).map { _ =>
-            val t0 = System.nanoTime()
-            operators.Similarity
+      if (nExact == 0) {
+        println(s"[ivfsweep] $sfDir N=$n exact_pairs=0 — degenerate " +
+          "fixture (recall undefined), skipping")
+      } else {
+        println(s"[ivfsweep] $sfDir N=$n exact_pairs=${nExact.toLong}")
+        for (k <- Seq(rootK, 2 * rootK)) {
+          val cents = ml.Clustering.kmeansCentroids(
+            base, "embedding", k, seed = 7L).localCheckpoint(true)
+          for (nprobe <- Seq(2, 4, 8)) {
+            val ivf = operators.Similarity
               .ivfTopK(base, "vec_id", "embedding", 5, cents, nprobe)
+              .select(col("query_id"), col("neighbor_id"))
+            // warm once, then median of 3 probe-side runs
+            ivf.count()
+            val times = (1 to 3).map { _ =>
+              val t0 = System.nanoTime()
+              operators.Similarity
+                .ivfTopK(base, "vec_id", "embedding", 5, cents, nprobe)
+                .count()
+              (System.nanoTime() - t0) / 1e9
+            }.sorted
+            val hits = exact
+              .join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
               .count()
-            (System.nanoTime() - t0) / 1e9
-          }.sorted
-          val hits = exact
-            .join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
-            .count()
-          val recall = hits / nExact
-          val candFrac = candidateFraction(base, cents, nprobe)
-          println(f"[ivfsweep] k=$k%3d nprobe=$nprobe recall@5=$recall%.3f " +
-            f"probe_s=${times(1)}%.2f cand_frac=$candFrac%.4f")
+            val recall = hits / nExact
+            val candFrac = candidateFraction(base, cents, nprobe)
+            println(f"[ivfsweep] k=$k%3d nprobe=$nprobe recall@5=$recall%.3f " +
+              f"probe_s=${times(1)}%.2f cand_frac=$candFrac%.4f")
+          }
         }
       }
     }
     spark.stop()
   }
 
-  /** Fraction of the N² exact-search pair space an (k, nprobe) config
-    * scans: Σ_query Σ_{probed cell} |cell| ÷ N².
+  /** Fraction of the N(N−1) exact-search pair space an (k, nprobe)
+    * config scans: (Σ_query Σ_{probed cell} |cell| − N) ÷ N(N−1). The
+    * −N removes each query's self-pair — its home cell is always rank 1,
+    * hence always probed, so the query appears in its own candidate set
+    * exactly once, while the recall pipeline's pair space excludes
+    * self-pairs (`query_id != neighbor_id`).
     */
   private def candidateFraction(base: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame, nprobe: Int): Double = {
     import operators.Similarity
-    // cell assignment is an argmax over dots with unit centroids, so the
-    // query-side L2 normalization (a positive scalar) can be skipped here
-    val unit = base.select(col("vec_id").cast("long").as("id"),
-      transform(col("embedding"), x => x.cast("double")).as("vec"))
-    val simTo = unit.join(broadcast(cents))
-      .select(col("id"), col("cell"),
-        Similarity.fastDot(col("vec"), col("cent_vec")).as("sim"))
-    val wCell = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("sim").desc, col("cell").desc)
-    val ranked = simTo.withColumn("cell_rank",
-      row_number().over(wCell))
+    val ranked = Similarity.ivfCellRanks(
+      base, "vec_id", "embedding", cents, nprobe)
     val home = ranked.where(col("cell_rank") === 1)
       .groupBy(col("cell")).agg(count(lit(1)).as("pop"))
-    val probes = ranked.where(col("cell_rank") <= nprobe)
-      .select(col("id"), col("cell"))
+    val probes = ranked.select(col("id"), col("cell"))
     val row = probes.join(home, Seq("cell"))
       .agg(sum(col("pop")).as("cand"), countDistinct(col("id")).as("n"))
       .head()
-    row.getLong(0).toDouble / (row.getLong(1).toDouble * row.getLong(1))
+    val nq = row.getLong(1).toDouble
+    (row.getLong(0) - nq) / (nq * (nq - 1))
   }
 }

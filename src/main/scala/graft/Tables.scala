@@ -6,6 +6,19 @@ import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-provided testdata star schema (TESTDATA.md).
   * One parquet file per table under the sf directory.
+  *
+  * SESSION-WIDE SIDE EFFECT (deliberate, ADVICE r6): `load` sets two
+  * session confs — `legacy.parquet.nanosAsLong=true` and
+  * `parquet.inferTimestampNTZ.enabled=false` — that stay set for the
+  * session and affect EVERY later parquet read, not just these tables.
+  * Both exist to absorb driver-fixture regeneration quirks (NANOS
+  * timestamps; us-timestamps missing the UTC-adjusted flag), and both
+  * are what this engine's sessions want globally: every session here
+  * pins spark.sql.session.timeZone=UTC, so NTZ-as-LTZ reinterpretation
+  * is identity. A host application embedding these loaders in a session
+  * that also reads genuine TIMESTAMP_NTZ parquet should scope the confs
+  * (set/restore around `load`) — per-read options don't exist for
+  * either flag.
   */
 object Tables {
   val all: Seq[String] = Seq(

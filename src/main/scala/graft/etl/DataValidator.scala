@@ -206,10 +206,14 @@ object DataValidator {
     * transactions_with_price.
     */
   def qualityMetrics(clean: DataFrame): Map[String, Any] = {
-    // the three collects are independent jobs over the (cached) clean
-    // frame — run them concurrently so this phase's wall time is the
-    // max, not the sum (they were measured serializing ~3 s of an ~5 s
-    // phase at the 1.5M-row anchor)
+    // TWO concurrent jobs instead of three (round 7 — E1 fan-out shave:
+    // the phase's measured pole is per-job fixed cost among the
+    // concurrent fan-out jobs, not plan cost). The event-type and
+    // collection count lists share ONE groupBy(collection, event_type)
+    // job — its grain is aggregate-bound (|collections| × |event types|
+    // rows, ~750 at the anchor) and both lists are exact driver-side
+    // roll-ups of it. The global distinct aggregate keeps its own job:
+    // countDistinct(token_id) is not derivable from any per-group grain.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -224,19 +228,21 @@ object DataValidator {
       sum(when(col("price_total_eth") === 0, 1L).otherwise(0L))
         .as("null_prices"))
       .head())
+    val pairsF = Future(clean
+      .groupBy(col("collection"), col("event_type")).count().collect())
+    val agg = Await.result(aggF, Duration.Inf)
+    val pairs = Await.result(pairsF, Duration.Inf)
     // count-descending like the reference's sort('count', descending=True);
     // name ascending as the deterministic tie-break
-    val eventTypesF = Future(clean.groupBy(col("event_type")).count()
-      .orderBy(col("count").desc, col("event_type")).collect()
-      .map(r => Map[String, Any]("event_type" -> r.getString(0),
-        "count" -> r.getLong(1))).toSeq: Seq[Any])
-    val collectionsF = Future(clean.groupBy(col("collection")).count()
-      .orderBy(col("count").desc, col("collection")).collect()
-      .map(r => Map[String, Any]("collection" -> r.getString(0),
-        "count" -> r.getLong(1))).toSeq: Seq[Any])
-    val agg = Await.result(aggF, Duration.Inf)
-    val eventTypes = Await.result(eventTypesF, Duration.Inf)
-    val collections = Await.result(collectionsF, Duration.Inf)
+    def rollup(key: org.apache.spark.sql.Row => String, field: String)
+        : Seq[Any] =
+      pairs.groupMapReduce(key)(_.getLong(2))(_ + _).toSeq
+        .sortBy { case (k, n) => (-n, Option(k).getOrElse("")) }
+        .map { case (k, n) =>
+          Map[String, Any](field -> k, "count" -> n): Any
+        }
+    val eventTypes = rollup(_.getString(1), "event_type")
+    val collections = rollup(_.getString(0), "collection")
     Map(
       "total_rows" -> agg.getLong(0),
       "total_collections" -> agg.getLong(1),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Small-input parallelism guard for per-row-heavy operators.
   *
@@ -18,13 +19,52 @@ import org.apache.spark.sql.DataFrame
   * already carries >= defaultParallelism splits and the frame passes
   * through untouched, so the 100 TB path never pays the shuffle.
   *
-  * Contract: call on scan-rooted (narrow) frames only. Compiling the
-  * partition count of a frame with an exchange below it would execute
-  * that stage eagerly under AQE.
+  * Contract — ENFORCED, not advisory (VERDICT r6 #4): the frame must be
+  * scan-rooted (narrow: projections/filters/generates over a relation).
+  * Compiling the partition count (`.rdd`) of a frame with an exchange
+  * below it would execute that stage eagerly under AQE; `out` walks the
+  * analyzed plan and refuses any exchange-introducing operator
+  * (aggregate, join, window, sort, distinct, repartition, global limit)
+  * so a mis-rooted call fails fast at plan-build time instead of
+  * silently running a stage.
   */
 object Fan {
-  def out(df: DataFrame): DataFrame = {
+
+  /** First exchange-introducing operator in the analyzed plan, if any. */
+  private def wideNode(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case p: Aggregate => p.nodeName
+      case p: Join => p.nodeName
+      case p: Window => p.nodeName
+      case p: Sort => p.nodeName
+      case p: Distinct => p.nodeName
+      case p: Deduplicate => p.nodeName
+      case p: RepartitionOperation => p.nodeName
+      case p: GlobalLimit => p.nodeName
+    }
+
+  private def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  def out(df: DataFrame): DataFrame = {
+    val wide = wideNode(df)
+    require(wide.isEmpty,
+      s"Fan.out requires a scan-rooted (narrow) frame; found " +
+        s"${wide.getOrElse("")} in the plan — compiling this frame's " +
+        "partition count would eagerly execute its exchange")
+    widen(df)
+  }
+
+  /** For operator ENTRY POINTS that accept arbitrary caller frames
+    * (shingling, minhash, unit-vector projections): widen only when the
+    * frame is scan-rooted and narrow. A frame with an exchange below it
+    * already carries shuffle-grade parallelism
+    * (spark.sql.shuffle.partitions ≥ defaultParallelism in every session
+    * here), so it passes through untouched — no eager stage execution at
+    * plan-build time, no pointless extra shuffle.
+    */
+  def outIfNarrow(df: DataFrame): DataFrame =
+    if (wideNode(df).isEmpty) widen(df) else df
 }

@@ -57,7 +57,7 @@ object Similarity {
     // many small shuffle stages, not per-row compute, and widening every
     // stage to defaultParallelism just multiplies task overhead.
     val pruned = df.select(col(idCol).cast("long").as("id"), v.as("raw"))
-    (if (fanOut) Fan.out(pruned) else pruned)
+    (if (fanOut) Fan.outIfNarrow(pruned) else pruned)
       .select(col("id"),
         transform(col("raw"), x => x / l2Norm(col("raw"))).as("vec"))
   }
@@ -328,16 +328,10 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       centroids: DataFrame, nprobe: Int = 1): DataFrame = {
     val base = unitVectors(df, idCol, vecCol)
-    val simTo = base.join(broadcast(centroids))
-      .select(col("id"), col("cell"),
-        fastDot(col("vec"), col("cent_vec")).as("sim"))
-    val wCell = Window.partitionBy(col("id"))
-      .orderBy(col("sim").desc, col("cell").desc)
-    val rankedCells = simTo.withColumn("cell_rank", row_number().over(wCell))
+    val rankedCells = ivfCellRanks(df, idCol, vecCol, centroids, nprobe)
     val home = rankedCells.where(col("cell_rank") === 1)
       .select(col("id"), col("cell"))
-    val probes = rankedCells.where(col("cell_rank") <= nprobe)
-      .select(col("id"), col("cell"))
+    val probes = rankedCells.select(col("id"), col("cell"))
     val l = base.join(probes, Seq("id"))
       .select(col("id").as("query_id"), col("vec").as("vec_a"), col("cell"))
     val r = base.join(home, Seq("id"))
@@ -353,6 +347,29 @@ object Similarity {
       .where(col("knn_rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("knn_rank"),
         round(col("cosine") + lit(1e-9), 6).as("cosine"))
+  }
+
+  /** IVF coarse-quantizer cell assignment — the ONE definition of which
+    * cells a vector lives in and which cells a query probes, shared by
+    * [[ivfTopK]] and the `IvfSweep` capacity tool so a reported
+    * candidate fraction can never diverge from what `ivfTopK` actually
+    * scans (same dot product, same `cell desc` tie-break, same
+    * normalization edge cases). Returns (id, cell, cell_rank) for every
+    * vector's `max(1, maxRank)` nearest centroid cells: rank 1 is the
+    * home cell an index stores the vector under; ranks <= nprobe are the
+    * cells a query scans.
+    */
+  def ivfCellRanks(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, maxRank: Int): DataFrame = {
+    val base = unitVectors(df, idCol, vecCol)
+    val simTo = base.join(broadcast(centroids))
+      .select(col("id"), col("cell"),
+        fastDot(col("vec"), col("cent_vec")).as("sim"))
+    val wCell = Window.partitionBy(col("id"))
+      .orderBy(col("sim").desc, col("cell").desc)
+    simTo.withColumn("cell_rank", row_number().over(wCell))
+      .where(col("cell_rank") <= math.max(1, maxRank))
+      .select(col("id"), col("cell"), col("cell_rank"))
   }
 
   /** The candidate pair set an LSH configuration would score (before the

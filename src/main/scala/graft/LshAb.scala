@@ -4,16 +4,17 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev tool: A/B the two MinHash-LSH pair-join shapes (VERDICT r6 #5) —
-  * the production single-pass form (band rows CARRY their 32-long
-  * signature through the self-join; `Dedup.minHashLshPairs`) vs the
-  * band-key-only form (distinct candidate ids first, then two verify
-  * joins against the materialized signature table;
-  * `Dedup.minHashLshPairsKeyJoin`) — at the sf corpus and at a 10×
-  * replicated corpus whose copies are strong near-dups (each doc's 10
-  * copies differ only in a trailing token), so the candidate space
-  * grows ~45 pairs per source doc and the verify stage is genuinely
-  * exercised. Asserts both shapes return the same pair count, then
-  * reports warm medians. Usage: `runMain graft.LshAb [sfDir] [factor]`.
+  * the band-key-only form (distinct candidate ids first, then two
+  * verify joins against the materialized signature table; the
+  * production `Dedup.minHashLshPairs` since round 7) vs the round-6
+  * single-pass form (band rows CARRY their 32-long signature through
+  * the self-join; `Dedup.minHashLshPairsSigCarry`) — at the sf corpus
+  * and at a 10× replicated corpus whose copies are strong near-dups
+  * (each doc's 10 copies differ only in a trailing token), so the
+  * candidate space grows ~45 pairs per source doc and the verify stage
+  * is genuinely exercised. Asserts both shapes return the same pair
+  * count, then reports warm medians.
+  * Usage: `runMain graft.LshAb [sfDir] [factor]`.
   */
 object LshAb {
   def main(args: Array[String]): Unit = {
@@ -37,9 +38,9 @@ object LshAb {
     docsBig.cache().count()
 
     def run(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      def single() = operators.Dedup.minHashLshPairs(
+      def single() = operators.Dedup.minHashLshPairsSigCarry(
         df, "text", "doc_id", 3, 32, 4, 0.5)
-      def keyJoin() = operators.Dedup.minHashLshPairsKeyJoin(
+      def keyJoin() = operators.Dedup.minHashLshPairs(
         df, "text", "doc_id", 3, 32, 4, 0.5)
       val n1 = single().count()
       val n2 = keyJoin().count()

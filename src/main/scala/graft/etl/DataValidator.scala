@@ -163,6 +163,41 @@ object DataValidator {
           .as("__ts_range"))
   }
 
+  /** Row-local audit battery AND the V5 event-type whitelist audit in
+    * ONE job (round 7 — E1 fan-out shave): group the row-local
+    * conditional sums by the normalized INVALID event value (null for
+    * rows whose event type is in the whitelist), then roll both results
+    * up driver-side. The grouping key has cardinality 1 + |distinct
+    * invalid values| (a handful), so the shuffle moves a few
+    * map-side-combined rows and the job's cost stays the scan — which
+    * previously ran TWICE, once for the plain aggregate and once for
+    * [[invalidEventTypes]]'s groupBy. Returns the row-local metric
+    * getter (summed across groups) and the invalid-event-type count map
+    * (each invalid group's `__total`).
+    */
+  def rowLocalWithEventTypes(df: DataFrame)
+      : (String => Long, Map[String, Long]) = {
+    if (!df.columns.contains("event_type")) {
+      val exprs = rowLocalAuditExprs(df)
+      val row = df.select(exprs: _*).head()
+      return (name => row.getAs[Long](name), Map.empty)
+    }
+    val evtNorm = lower(trim(col("event_type")))
+    val invalidEvt = when(
+      !evtNorm.isin(validEventTypes: _*) || evtNorm.isNull,
+      coalesce(evtNorm, lit("<null>")))
+    val exprs = rowLocalAuditExprs(df)
+    val rows = df.groupBy(invalidEvt.as("__invalid_evt"))
+      .agg(exprs.head, exprs.tail: _*).collect()
+    val metricNames = rows.headOption.map(_.schema.fieldNames.drop(1).toSeq)
+      .getOrElse(Seq.empty)
+    val totals: Map[String, Long] = metricNames.map(n =>
+      n -> rows.map(_.getAs[Long](n)).sum).toMap
+    val evtCounts = rows.filter(_.get(0) != null)
+      .map(r => r.getString(0) -> r.getAs[Long]("__total")).toMap
+    (name => totals.getOrElse(name, 0L), evtCounts)
+  }
+
   /** Assemble the report from already-computed pieces: the fused
     * row-local metrics (from `observe` or a standalone select) plus the
     * two shuffle audits.

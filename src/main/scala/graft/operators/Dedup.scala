@@ -252,69 +252,22 @@ object Dedup {
     * collide, so the join is an equi-join on a compact key — the LSH
     * scale path.
     *
-    * Single-pass shape (round 6): each banded row CARRIES its full
-    * signature through the bucket-join, and the estimate is computed
-    * directly on the join output (zip_with over the two carried arrays),
-    * so the whole operator is signature-project → one self-join → filter
-    * → distinct. Compared to the distinct-then-rejoin form this removes
-    * the signature materialization job and both verify joins — at
-    * cluster scale those verify joins are two extra shuffles of the
-    * entire signature table, strictly more bytes than the ~`numBands`×
-    * sig copies the banding shuffle now carries. A pair colliding in
-    * multiple bands recomputes the ~numHashes-element estimate once per
-    * collision — bounded by numBands — and the post-filter distinct
-    * dedupes it; the distinct's shuffle is (id_a, id_b, est): the
-    * verified survivors, the smallest frame in the pipeline.
+    * Band-KEY-only shape (round 7, A/B-measured — `graft.LshAb`): band
+    * rows carry only (id, band, band_sig); colliding id pairs are
+    * `distinct`'d FIRST, then the materialized signature table joins
+    * back once per side for the Jaccard-estimate verify. The round-6
+    * signature-carry form (kept as [[minHashLshPairsSigCarry]]) shipped
+    * the full `numHashes`-long signature on BOTH sides of the band
+    * self-join — ~2·numBands·numHashes longs/doc through the join's
+    * shuffle vs ~2·numHashes (bands) + 2·numHashes (two verify joins)
+    * here, ~4× the bytes at the default 32/4 config — and measured
+    * slower at BOTH scales (sf0.1: 0.99 vs 0.90 s; 10× replicated
+    * heavy-collision corpus: 3.82 vs 3.33 s), so the byte ledger, not
+    * the job count, decides. The cost here is one eager signature
+    * materialization (`localCheckpoint` — see the object scaladoc for
+    * the fault-tolerance trade) feeding three consumers.
     */
   def minHashLshPairs(
-      df: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int, numHashes: Int, rowsPerBand: Int,
-      threshold: Double): DataFrame = {
-    // signatures from the shuffle-free inline path, consumed exactly
-    // once (the banding explode below) — no internal materialization
-    val sig = minHashSignatureArrayInline(
-      df, textCol, idCol, shingleSize, numHashes)
-    val numBands = numHashes / rowsPerBand
-    // band_sig stays an ARRAY<LONG> join key (no cast to string): array
-    // equality is the same predicate, without formatting a string per
-    // (doc, band) row on both sides of the self-join.
-    val banded = sig.select(col(idCol), col("sig"),
-      explode(array((0 until numBands).map(b =>
-        struct(lit(b).as("band"),
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-            .as("band_sig"))): _*)).as("bb"))
-      .select(col(idCol), col("sig"), col("bb.band").as("band"),
-        col("bb.band_sig").as("band_sig"))
-    val l = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("band_sig"))
-    val r = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("band_sig"))
-    val est = aggregate(
-      zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / numHashes
-    l.join(r, Seq("band", "band_sig"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), est.as("__est"))
-      .where(col("__est") >= threshold)
-      .distinct()
-      .select(col("id_a"), col("id_b"),
-        round(col("__est") + lit(1e-9), 6).as("est_jaccard"))
-  }
-
-  /** A/B twin of [[minHashLshPairs]] (VERDICT r6 #5): the band-key-only
-    * shape the round-6 single-pass rewrite replaced. Band rows carry
-    * ONLY (id, band, band_sig); colliding id pairs are `distinct`'d
-    * FIRST, then the materialized signature table joins back once per
-    * side for the Jaccard-estimate verify. Trade vs the single-pass
-    * form: the band self-join moves ~`numBands`× fewer signature bytes,
-    * but the operator gains a signature materialization job plus two
-    * extra shuffles of the full signature table. `graft.LshAb` measures
-    * both at sf0.1 and at a 10× replicated corpus; the winner is
-    * [[minHashLshPairs]] — kept as the production form (crossover notes
-    * in README).
-    */
-  private[graft] def minHashLshPairsKeyJoin(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
@@ -322,6 +275,9 @@ object Dedup {
     val sig = minHashSignatureArrayInline(
       df, textCol, idCol, shingleSize, numHashes).localCheckpoint(true)
     val numBands = numHashes / rowsPerBand
+    // band_sig stays an ARRAY<LONG> join key (no cast to string): array
+    // equality is the same predicate, without formatting a string per
+    // (doc, band) row on both sides of the self-join.
     val banded = sig.select(col(idCol),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),
@@ -343,6 +299,49 @@ object Dedup {
       .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"), est.as("__est"))
       .where(col("__est") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("__est") + lit(1e-9), 6).as("est_jaccard"))
+  }
+
+  /** A/B twin of [[minHashLshPairs]]: the round-6 single-pass
+    * signature-carry shape — each banded row carries its full signature
+    * through the bucket-join and the estimate is computed directly on
+    * the join output, so there is no materialization job and no verify
+    * join, at the price of ~numBands× the signature bytes on both sides
+    * of the self-join's shuffle. Measured SLOWER than the key-join form
+    * at sf0.1 and at a 10× heavy-collision corpus (`graft.LshAb`;
+    * README note) — kept for the A/B harness and for corpora where
+    * signatures are short relative to collision counts.
+    */
+  private[graft] def minHashLshPairsSigCarry(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    // signatures from the shuffle-free inline path, consumed exactly
+    // once (the banding explode below) — no internal materialization
+    val sig = minHashSignatureArrayInline(
+      df, textCol, idCol, shingleSize, numHashes)
+    val numBands = numHashes / rowsPerBand
+    val banded = sig.select(col(idCol), col("sig"),
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"),
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+            .as("band_sig"))): _*)).as("bb"))
+      .select(col(idCol), col("sig"), col("bb.band").as("band"),
+        col("bb.band_sig").as("band_sig"))
+    val l = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("band_sig"))
+    val r = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("band_sig"))
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    l.join(r, Seq("band", "band_sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("__est"))
+      .where(col("__est") >= threshold)
+      .distinct()
       .select(col("id_a"), col("id_b"),
         round(col("__est") + lit(1e-9), 6).as("est_jaccard"))
   }

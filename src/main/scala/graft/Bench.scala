@@ -76,11 +76,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ANCHOR_ONLY=1: skip the query suite entirely and
+    // measure just the E1 anchor — the cheap path for validating the
+    // anchor methodology without a 20-minute suite in front of it.
+    val anchorOnly = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_ONLY", "0") == "1"
+
     spark.range(1000).selectExpr("sum(id)").collect()
     // Cache the input tables: Spark's plan canonicalization makes every
     // later `spark.read.parquet(<same path>)` hit the in-memory columnar
     // cache — the buffer-pool behavior any warm engine has.
-    Tables.all.foreach { t =>
+    if (!anchorOnly) Tables.all.foreach { t =>
       try Tables.load(spark, sfDir, t).cache().count()
       catch { case _: Throwable => () }
     }
@@ -122,17 +127,21 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      measure(name, fn)
-    }
+    val results =
+      if (anchorOnly) Seq.empty[Meas]
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        measure(name, fn)
+      }
 
     // Audit-shaped queries (recall/approximation gates): time the
     // PRODUCTION side alone with the same methodology. The catalog
     // number above includes the exact brute-force ground truth that
     // exists only to gate the approximate plan; this one is the cost a
     // deployment pays.
-    val productResults = SparkEntry.productQueries.toSeq.sortBy(_._1)
-      .map { case (name, fn) => measure(name, fn) }
+    val productResults =
+      if (anchorOnly) Seq.empty[Meas]
+      else SparkEntry.productQueries.toSeq.sortBy(_._1)
+        .map { case (name, fn) => measure(name, fn) }
 
     // Isolated section: re-measure the heaviest queries — plus every
     // escalation-flagged one — in a FRESH JVM each (fork of BenchOne
@@ -209,10 +218,40 @@ object Bench {
     val total = fin.map(_.median).sum
 
     // E1 ETL anchor: seeded corpus + full RunPipeline in a fresh JVM,
-    // warm median of 3 same-JVM reruns — the number BASELINE.md's ~7 s
-    // reference anchor is compared against.
+    // warm median of 5 same-JVM reruns — the number BASELINE.md's ~7 s
+    // reference anchor is compared against. Like the query section, the
+    // anchor defends its own record: a rep spread of max/min > 2 means
+    // external load hit some reps (an r7 run recorded
+    // [12.3, 37.4, 41.4, 10.7, 61.3] — clean and 3-5x-contaminated reps
+    // INTERLEAVED, so neither a median nor escalation detection saves
+    // it), so the fork re-runs once after a cooldown and the
+    // lower-median window wins. anchor_min_s is also recorded: under
+    // asymmetric contamination (noise only ever adds time) the best rep
+    // is the least-biased estimate of the engine's cost.
     val anchorEnabled = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "1") != "0"
     var anchorReps: Seq[Double] = Seq.empty
+    def anchorOnce(rawDir: String): Option[(Double, Seq[Double])] = {
+      val outDir = java.nio.file.Files.createTempDirectory("graft_anchor_out")
+      try {
+        val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp,
+          "graft.RunPipeline", rawDir, outDir.toString, "--repeat", "5")
+        val lines = forkLines(cmd, timeoutSec = 900)
+        val repRe = "warm rerun \\d+: ([0-9.]+) s".r
+        val reps = lines.flatMap(l =>
+          repRe.findFirstMatchIn(l).map(_.group(1).toDouble))
+        val medRe = "warm median of \\d+: ([0-9.]+) s".r
+        lines.reverse.collectFirst {
+          case l if medRe.findFirstMatchIn(l).isDefined =>
+            medRe.findFirstMatchIn(l).get.group(1).toDouble
+        }.map(m => (m, reps))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(outDir)) {
+          java.nio.file.Files.walk(outDir).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+    }
     val anchorMedian: Option[Double] = if (!anchorEnabled) None else try {
       val rawDir = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_RAW",
         "/tmp/graft_anchor_raw")
@@ -224,8 +263,7 @@ object Bench {
       val genOk = rawOk || {
         val gen = new java.io.File("tools/gen_anchor.py")
         gen.isFile && {
-          val lines = forkLines(
-            Seq("python3", gen.getPath, rawDir), timeoutSec = 300)
+          forkLines(Seq("python3", gen.getPath, rawDir), timeoutSec = 300)
           new java.io.File(rawDir).listFiles() != null &&
             new java.io.File(rawDir).listFiles()
               .count(_.getName.endsWith(".csv")) >= 5
@@ -233,27 +271,19 @@ object Bench {
       }
       if (!genOk) None
       else {
-        val outDir = java.nio.file.Files
-          .createTempDirectory("graft_anchor_out")
-        try {
-          val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp,
-            "graft.RunPipeline", rawDir, outDir.toString, "--repeat", "3")
-          val lines = forkLines(cmd, timeoutSec = 900)
-          val repRe = "warm rerun \\d+: ([0-9.]+) s".r
-          anchorReps = lines.flatMap(l =>
-            repRe.findFirstMatchIn(l).map(_.group(1).toDouble))
-          val medRe = "warm median of \\d+: ([0-9.]+) s".r
-          lines.reverse.collectFirst {
-            case l if medRe.findFirstMatchIn(l).isDefined =>
-              medRe.findFirstMatchIn(l).get.group(1).toDouble
-          }
-        } finally {
-          import scala.jdk.CollectionConverters._
-          if (java.nio.file.Files.exists(outDir)) {
-            java.nio.file.Files.walk(outDir).iterator().asScala.toSeq
-              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-          }
+        val first = anchorOnce(rawDir)
+        val chosen = first match {
+          case Some((m, reps)) if reps.nonEmpty &&
+              reps.max / math.max(reps.min, 1e-9) > 2.0 =>
+            Thread.sleep(10000)
+            anchorOnce(rawDir) match {
+              case Some((m2, reps2)) if m2 < m => Some((m2, reps2))
+              case _ => first
+            }
+          case other => other
         }
+        chosen.foreach { case (_, reps) => anchorReps = reps }
+        chosen.map(_._1)
       }
     } catch { case _: Throwable => None }
 
@@ -270,9 +300,11 @@ object Bench {
       val ps = pfin.map(entry).mkString("{", ",", "}")
       val iso = isolated.toSeq.sorted.map { case (n, m) => s""""$n":$m""" }
         .mkString("{", ",", "}")
-      val anchorPart = anchorMedian.map(a =>
-        s""","anchor_median_s":$a,"anchor_reps":[${anchorReps.mkString(",")}]""")
-        .getOrElse("")
+      val anchorPart = anchorMedian.map { a =>
+        val mn = if (anchorReps.nonEmpty) anchorReps.min else a
+        s""","anchor_median_s":$a,"anchor_min_s":$mn""" +
+          s""","anchor_reps":[${anchorReps.mkString(",")}]"""
+      }.getOrElse("")
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"reps_per_query":3,"warmup_reps":1,"queries":$qs,"product":$ps,"isolated":$iso$anchorPart}"""
     }
     try {
@@ -295,8 +327,10 @@ object Bench {
     val unstableList = (fin.filter(_.m.unstable).map(_.name) ++
       pfin.filter(_.m.unstable).map("product:" + _.name))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val anchorCompact = anchorMedian
-      .map(a => s""","anchor_median_s":${f"$a%.2f"}""").getOrElse("")
+    val anchorCompact = anchorMedian.map { a =>
+      val mn = if (anchorReps.nonEmpty) anchorReps.min else a
+      s""","anchor_median_s":${f"$a%.2f"},"anchor_min_s":${f"$mn%.2f"}"""
+    }.getOrElse("")
     println(s"""{"queries":$qsCompact,"product":$psCompact,"isolated":$isoCompact,"unstable":$unstableList$anchorCompact,"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","full":"$fullOut"}""")
     spark.stop()
   }

@@ -110,24 +110,18 @@ object EventAggregator {
       .na.fill(0.0, Seq("volume_eth"))
   }
 
-  /** A6 — collection dimension. */
-  def collectionDimension(events: DataFrame): DataFrame =
-    events.groupBy(col("collection"))
-      .agg(
-        min(col("contract_address")).as("contract_address"),
-        min(col("event_date")).as("first_seen_date"),
-        max(col("event_date")).as("last_seen_date"),
-        countDistinct(col("token_id")).as("unique_tokens"),
-        count(lit(1)).as("total_events"))
-
-  /** A11 — collection summary with quartiles over priced events. The
-    * quartiles live in their own aggregation joined back on the
-    * collection key, for the same sort-agg-×-expand reason documented on
-    * [[dailyCollectionStats]].
+  /** Shared per-collection grain feeding BOTH the collection dimension
+    * and the collection summary (round 7 — E1 fan-out shave): the
+    * dimension is a pure projection of the summary's main aggregation
+    * plus `contract_address`, so computing the grain once removes one
+    * full scan+shuffle job from the pipeline's fan-out. The pipeline
+    * persists this (|collections| rows) and derives both outputs;
+    * the single-output entry points below delegate through it, so there
+    * is exactly one definition of every aggregate.
     */
-  def collectionSummary(events: DataFrame): DataFrame = {
+  def collectionSummaryBase(events: DataFrame): DataFrame = {
     val priced = col("price_total_eth") > 0
-    val main = events.groupBy(col("collection"))
+    events.groupBy(col("collection"))
       .agg(
         count(lit(1)).as("total_events"),
         countDistinct(col("token_id")).as("unique_tokens"),
@@ -138,19 +132,45 @@ object EventAggregator {
         sum(when(priced, col("price_total_eth"))).as("volume_eth"),
         avg(when(priced, col("price_total_eth"))).as("avg_price_eth"),
         min(when(priced, col("price_total_eth"))).as("min_price_eth"),
-        max(when(priced, col("price_total_eth"))).as("max_price_eth"))
+        max(when(priced, col("price_total_eth"))).as("max_price_eth"),
+        min(col("contract_address")).as("contract_address"))
+  }
+
+  /** A6 — collection dimension, as a projection of [[collectionSummaryBase]]. */
+  def collectionDimensionFromBase(base: DataFrame): DataFrame =
+    base.select(col("collection"), col("contract_address"),
+      col("first_date").as("first_seen_date"),
+      col("last_date").as("last_seen_date"),
+      col("unique_tokens"), col("total_events"))
+
+  /** A6 — collection dimension. */
+  def collectionDimension(events: DataFrame): DataFrame =
+    collectionDimensionFromBase(collectionSummaryBase(events))
+
+  /** A11 — collection summary from the shared base: the exact quartiles
+    * live in their own aggregation joined back on the collection key,
+    * for the same sort-agg-×-expand reason documented on
+    * [[dailyCollectionStats]].
+    */
+  def collectionSummaryFromBase(base: DataFrame,
+      events: DataFrame): DataFrame = {
+    val priced = col("price_total_eth") > 0
     val quartiles = events.where(priced)
       .groupBy(col("collection"))
       .agg(
         percentile(col("price_total_eth"), lit(0.25)).as("p25_price_eth"),
         percentile(col("price_total_eth"), lit(0.5)).as("median_price_eth"),
         percentile(col("price_total_eth"), lit(0.75)).as("p75_price_eth"))
-    main.join(broadcast(quartiles), Seq("collection"), "left")
+    base.join(broadcast(quartiles), Seq("collection"), "left")
       .select("collection", "total_events", "unique_tokens", "unique_buyers",
         "first_date", "last_date", "priced_events", "volume_eth",
         "avg_price_eth", "p25_price_eth", "median_price_eth",
         "p75_price_eth", "min_price_eth", "max_price_eth")
   }
+
+  /** A11 — collection summary with quartiles over priced events. */
+  def collectionSummary(events: DataFrame): DataFrame =
+    collectionSummaryFromBase(collectionSummaryBase(events), events)
 
   /** A8+J4+A9+A10 — wallet dimension: buyer and seller aggregates
     * full-outer-joined on the wallet, horizontal min/max for activity

@@ -145,6 +145,12 @@ object OpenSeaPipeline {
     // repartition(1) adds one tiny shuffle of the already-aggregated
     // grain rows and keeps every aggregation stage on all cores; only
     // the trivial file write runs as one task.
+    // The collection dimension is a projection of the summary's main
+    // aggregation (round 7): compute the per-collection grain ONCE,
+    // persist it (|collections| rows), and let the two writes race to
+    // materialize it — one fewer full scan+shuffle job in the fan-out.
+    val summaryBase = EventAggregator.collectionSummaryBase(clean)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aggWrites = Seq(
       "daily" -> (() => Writers.writeParquet(
         EventAggregator.dailyCollectionStats(clean).repartition(1),
@@ -153,10 +159,12 @@ object OpenSeaPipeline {
         EventAggregator.tokenStats(clean).repartition(1),
         s"$outDir/token_stats.parquet", config.compression)),
       "collection_dim" -> (() => Writers.writeParquet(
-        EventAggregator.collectionDimension(clean).repartition(1),
+        EventAggregator.collectionDimensionFromBase(summaryBase)
+          .repartition(1),
         s"$outDir/collection_dimension.parquet", config.compression)),
       "summary" -> (() => Writers.writeParquet(
-        EventAggregator.collectionSummary(clean).repartition(1),
+        EventAggregator.collectionSummaryFromBase(summaryBase, clean)
+          .repartition(1),
         s"$outDir/collection_summary.parquet", config.compression))) ++
       (if (config.createWalletDim)
         Seq("wallet_dim" -> (() => Writers.writeParquet(
@@ -190,6 +198,7 @@ object OpenSeaPipeline {
     Await.result(writeF, Duration.Inf)
     aggFutures.foreach(Await.result(_, Duration.Inf))
     val metrics = Await.result(metricsF, Duration.Inf)
+    summaryBase.unpersist(blocking = false)
     cleanDf.unpersist(blocking = false)
     Writers.writeMetricsJson(metrics, s"$outDir/metrics.json")
     val elapsed = (System.nanoTime() - t0) / 1e9

@@ -170,14 +170,25 @@ object QueriesC {
           AS pct_in_trait
       FROM t GROUP BY 1, 2"""))
 
-  // M6: distributed KMeans over the embedding table (no SQL oracle —
-  // centroid init is engine-specific; driver records rows>0, unit tests
-  // assert quality invariants)
+  // M6: distributed KMeans over the embedding table, driver-gated as an
+  // ASSIGNMENT AUDIT (ann1's pattern; VERDICT r7 #3): centroid init is
+  // engine-specific so raw assignments can't be hashed against an
+  // oracle, but the Voronoi property — every vector in its nearest
+  // centroid's cell — is engine-independent. The query fits k=10,
+  // recomputes each vector's argmin-euclidean centroid in-plan
+  // (broadcast centroid table, never a second fit), and reduces to a
+  // deterministic (n_vectors, k_clusters, assign_nearest_ok) row DuckDB
+  // reproduces. Per-cluster sizes/inertia stay unit-tested
+  // (VisualMarketSpec); the production assignment path stays
+  // Clustering.kmeansAssign (timed as the product side).
   val m6 = Q("m6_kmeans_clusters",
-    (s, d) => graft.ml.Clustering.kmeansAssign(
+    (s, d) => graft.ml.Clustering.kmeansAssignAudit(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 10, seed = 42),
+    Some("""SELECT count(*) AS n_vectors, CAST(10 AS BIGINT) AS k_clusters,
+      true AS assign_nearest_ok FROM embeddings"""),
+    product = Some((s, d) => graft.ml.Clustering.kmeansAssign(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 10, seed = 42)
-      .groupBy(col("cluster")).agg(count(lit(1)).as("n")),
-    None)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))))
 
   // M9: regime-sensitivity score per group (pivoted conditional aggregates
   // + log-ratio + 3-way label)

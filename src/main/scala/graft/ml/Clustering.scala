@@ -27,6 +27,50 @@ object Clustering {
       .select(col(idCol), col("cluster"))
   }
 
+  /** Oracle-checkable reduction of `kmeansAssign` (VERDICT r7 #3): the
+    * assignments and centroids themselves are init-dependent (sklearn vs
+    * spark.ml never agree, which is why m6 had no oracle row), but the
+    * VORONOI PROPERTY — every vector sits in the cell of its nearest
+    * centroid — is engine-independent and reduces to a deterministic
+    * boolean DuckDB can assert. Fits once, recomputes each vector's
+    * argmin-euclidean centroid IN-PLAN (broadcast of the k×dim centroid
+    * table, per-row distance fold, min_by — the same shape a deployed
+    * quantizer assignment uses at any scale), and returns ONE row:
+    * (n_vectors, k_clusters, assign_nearest_ok). `assign_nearest_ok`
+    * goes false if spark.ml's assignment ever disagrees with the
+    * from-scratch nearest-centroid computation, so the driver's hash
+    * compare gates the clustering that every cycle/trait result
+    * downstream rides on (reference
+    * prepare_visual_market_data.py:296-304).
+    */
+  def kmeansAssignAudit(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: Long): DataFrame = {
+    val feats = df.select(col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("features", array_to_vector(col("__v")))
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(feats)
+    val assigned = model.transform(feats)
+      .select(col(idCol), col("__v"), col("cluster"))
+    val cents = df.sparkSession.createDataFrame(
+      model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) =>
+        (i, c.toArray.toSeq)
+      }).toDF("cell", "cent")
+    val dist2 = aggregate(
+      zip_with(col("__v"), col("cent"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    assigned.crossJoin(broadcast(cents))
+      .select(col(idCol), col("cluster"), col("cell"), dist2.as("__d2"))
+      .groupBy(col(idCol), col("cluster"))
+      .agg(min_by(col("cell"), col("__d2")).as("nearest_cell"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        countDistinct(col("cluster")).as("k_clusters"),
+        bool_and(col("cluster") === col("nearest_cell"))
+          .as("assign_nearest_ok"))
+  }
+
   /** Fit spherical-style KMeans (inputs L2-normalized first, the right
     * space for cosine search) and return the learned centroids as a
     * (cell, cent_vec) frame — the coarse quantizer an IVF ANN index

@@ -117,6 +117,8 @@ object RunPipeline {
       val n = args.sliding(2).collectFirst {
         case Array("--repeat", v) if v.forall(_.isDigit) => v.toInt
       }.getOrElse(1)
+      val phaseAcc =
+        scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
       val times = (1 to n).map { i =>
         // ContextCleaner frees shuffle files / broadcast blocks via weak
         // references, i.e. only after a GC — back-to-back runs in one
@@ -128,9 +130,19 @@ object RunPipeline {
         val again = OpenSeaPipeline.run(spark, config)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"warm rerun $i: $dt%.2f s -> ${again.outputDir}")
+        again.phases.foreach { case (p, d) => phaseAcc(p) = d :: phaseAcc(p) }
         dt
       }
       println(f"warm median of $n: ${times.sorted.apply(n / 2)}%.2f s")
+      // Per-phase warm medians on one parseable line: the concurrent
+      // phases time-slice the same cores, so the SUM of phase spans
+      // exceeds the wall clock — each span is that job's wall residency,
+      // the evidence base for the fan-out's per-job fixed-cost floor.
+      val phasesJson = phaseAcc.toSeq.sortBy(_._1).map { case (p, ds) =>
+        val med = ds.sorted.apply(ds.size / 2)
+        "\"" + p + "\":" + f"$med%.3f"
+      }.mkString("{", ",", "}")
+      println(s"[anchor-phases] $phasesJson")
     }
     spark.stop()
   }

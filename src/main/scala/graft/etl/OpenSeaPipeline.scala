@@ -40,7 +40,8 @@ object OpenSeaPipeline {
   case class RunResult(
       outputDir: String,
       report: DataValidator.ValidationReport,
-      metrics: Map[String, Any])
+      metrics: Map[String, Any],
+      phases: Seq[(String, Double)] = Seq.empty)
 
   def run(spark: SparkSession, config: Config): RunResult = {
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -49,13 +50,16 @@ object OpenSeaPipeline {
 
     val t0 = System.nanoTime()
     val phaseLog = new StringBuilder
+    val phaseTimes = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     def phase[A](name: String)(f: => A): A = {
       val p0 = System.nanoTime()
       val r = f
+      val dt = (System.nanoTime() - p0) / 1e9
       phaseLog.synchronized {
         phaseLog.append(
-          f"phase $name: ${(System.nanoTime() - p0) / 1e9}%.2f s " +
+          f"phase $name: $dt%.2f s " +
             f"(t=${(p0 - t0) / 1e9}%.2f..${(System.nanoTime() - t0) / 1e9}%.2f)\n")
+        phaseTimes += name -> dt
       }
       r
     }
@@ -206,7 +210,7 @@ object OpenSeaPipeline {
       java.nio.file.Paths.get(s"$outDir/_run.log"),
       s"${report.render}\n${phaseLog.toString}elapsed_sec: $elapsed\n")
 
-    RunResult(outDir, report, metrics)
+    RunResult(outDir, report, metrics, phaseTimes.toSeq)
   }
 
   private def listCsvs(dir: String): Seq[String] = {

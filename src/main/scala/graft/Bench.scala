@@ -263,6 +263,20 @@ object Bench {
     val pfin = productResults.map(m => finalize1(m, "product:" + m.name))
     val total = fin.map(_.median).sum
 
+    // atScale section (VERDICT r7 #5): 1x-vs-10x medians for the
+    // dedup/CC/graph family, measured fresh each round so the
+    // survives-at-scale claim is record-backed. ~2 min at factor 10;
+    // SPARK_GRAFT_ATSCALE=0 disables, SPARK_GRAFT_ATSCALE_FACTOR
+    // overrides.
+    val atScale: Option[String] =
+      if (anchorOnly || sys.env.getOrElse("SPARK_GRAFT_ATSCALE", "1") == "0")
+        None
+      else try {
+        val factor =
+          sys.env.getOrElse("SPARK_GRAFT_ATSCALE_FACTOR", "10").toInt
+        Some(ScaleProbe.run(spark, sfDir, factor))
+      } catch { case _: Throwable => None }
+
     // E1 ETL anchor: seeded corpus + full RunPipeline in a fresh JVM,
     // warm median of 5 same-JVM reruns — the number BASELINE.md's ~7 s
     // reference anchor is compared against. Like the query section, the
@@ -390,7 +404,9 @@ object Bench {
           s""","anchor_clean_n":${cleanOf(anchorReps).size}""" +
           s""","anchor_unstable":$anchorUnstable""" + rej + phasesPart
       }.getOrElse("")
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"reps_per_query":3,"warmup_reps":1,"queries":$qs,"product":$ps,"isolated":$iso,"isolated_rejected":$isoRej$anchorPart}"""
+      val atScalePart =
+        atScale.map(a => s""","atScale":$a""").getOrElse("")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"reps_per_query":3,"warmup_reps":1,"queries":$qs,"product":$ps,"isolated":$iso,"isolated_rejected":$isoRej$atScalePart$anchorPart}"""
     }
     try {
       val w = new java.io.PrintWriter(fullOut, "UTF-8")
@@ -420,7 +436,9 @@ object Bench {
       s""","anchor_median_s":${f"$a%.2f"},"anchor_min_s":${f"$mn%.2f"}""" +
         s""","anchor_unstable":$anchorUnstable"""
     }.getOrElse("")
-    println(s"""{"queries":$qsCompact,"product":$psCompact,"isolated":$isoCompact,"isolated_rejected":$isoRejCompact,"unstable":$unstableList$anchorCompact,"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","full":"$fullOut"}""")
+    val atScaleCompact =
+      atScale.map(a => s""","atScale":$a""").getOrElse("")
+    println(s"""{"queries":$qsCompact,"product":$psCompact,"isolated":$isoCompact,"isolated_rejected":$isoRejCompact,"unstable":$unstableList$atScaleCompact$anchorCompact,"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","full":"$fullOut"}""")
     spark.stop()
   }
 }

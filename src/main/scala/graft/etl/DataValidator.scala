@@ -198,6 +198,58 @@ object DataValidator {
     (name => totals.getOrElse(name, 0L), evtCounts)
   }
 
+  /** ALL THREE shuffle audits — row-local battery, V5 event-type
+    * whitelist, V2 duplicate-key count — in ONE Spark action (round 8 —
+    * the last E1 fan-out fusion): the dup-key aggregate
+    * (groupBy(dedupKey) -> count>1 -> count) can't share the row-local
+    * job's grouping key, but it CAN share its ACTION — `unionByName`
+    * over the two aggregate subtrees (the single dup-count row carries
+    * nulls for the row-local columns and vice versa) submits one job
+    * whose two independent shuffle-map stages the DAG scheduler runs
+    * CONCURRENTLY, where the round-7 shape ran them sequentially
+    * (4.2 s + 3.3 s of span at the 1.56M anchor). A join would NOT fuse:
+    * a broadcast/NLJ build side materializes through its own eager job.
+    */
+  def allShuffleAudits(df: DataFrame)
+      : (String => Long, Long, Map[String, Long]) = {
+    val present = dedupKey.filter(df.columns.contains)
+    val dupAgg = df.groupBy(present.map(col): _*).count()
+      .where(col("count") > 1)
+      .agg(count(lit(1)).as("__dup_keys"))
+    if (!df.columns.contains("event_type")) {
+      val exprs = rowLocalAuditExprs(df)
+      val rows = df.select(exprs: _*)
+        .unionByName(dupAgg, allowMissingColumns = true).collect()
+      val rowLocal = rows.find(_.getAs[Any]("__dup_keys") == null).get
+      val dup = rows.flatMap(r =>
+        Option(r.getAs[Any]("__dup_keys"))).headOption
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      return (name => rowLocal.getAs[Long](name), dup, Map.empty)
+    }
+    val evtNorm = lower(trim(col("event_type")))
+    val invalidEvt = when(
+      !evtNorm.isin(validEventTypes: _*) || evtNorm.isNull,
+      coalesce(evtNorm, lit("<null>")))
+    val exprs = rowLocalAuditExprs(df)
+    val rows = df.groupBy(invalidEvt.as("__invalid_evt"))
+      .agg(exprs.head, exprs.tail: _*)
+      .unionByName(dupAgg, allowMissingColumns = true)
+      .collect()
+    val (dupRows, auditRows) =
+      rows.partition(r => r.getAs[Any]("__dup_keys") != null)
+    val dup = dupRows.headOption.map(_.getAs[Long]("__dup_keys"))
+      .getOrElse(0L)
+    val metricNames = auditRows.headOption
+      .map(_.schema.fieldNames
+        .filterNot(n => n == "__dup_keys" || n == "__invalid_evt").toSeq)
+      .getOrElse(Seq.empty)
+    val totals: Map[String, Long] = metricNames.map(n =>
+      n -> auditRows.map(_.getAs[Long](n)).sum).toMap
+    val evtCounts = auditRows.filter(_.get(0) != null)
+      .map(r => r.getString(0) -> r.getAs[Long]("__total")).toMap
+    (name => totals.getOrElse(name, 0L), dup, evtCounts)
+  }
+
   /** Assemble the report from already-computed pieces: the fused
     * row-local metrics (from `observe` or a standalone select) plus the
     * two shuffle audits.
@@ -241,18 +293,16 @@ object DataValidator {
     * transactions_with_price.
     */
   def qualityMetrics(clean: DataFrame): Map[String, Any] = {
-    // TWO concurrent jobs instead of three (round 7 — E1 fan-out shave:
-    // the phase's measured pole is per-job fixed cost among the
-    // concurrent fan-out jobs, not plan cost). The event-type and
-    // collection count lists share ONE groupBy(collection, event_type)
-    // job — its grain is aggregate-bound (|collections| × |event types|
-    // rows, ~750 at the anchor) and both lists are exact driver-side
-    // roll-ups of it. The global distinct aggregate keeps its own job:
-    // countDistinct(token_id) is not derivable from any per-group grain.
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val aggF = Future(clean.agg(
+    // ONE job instead of two (round 8; round 7 had fused three into
+    // two): the global distinct aggregate and the
+    // groupBy(collection, event_type) grain can't share a grouping key,
+    // but unionByName over the two aggregate subtrees (the single
+    // global row carries nulls for the grain columns and vice versa)
+    // submits ONE action whose two shuffle-map stages the DAG scheduler
+    // runs concurrently — the same fusion as `allShuffleAudits`. The
+    // event-type and collection count lists are exact driver-side
+    // roll-ups of the ~750-row grain.
+    val aggDf = clean.agg(
       count(lit(1)).as("total_rows"),
       countDistinct(col("collection")).as("total_collections"),
       countDistinct(col("token_id")).as("total_tokens"),
@@ -262,11 +312,13 @@ object DataValidator {
         .as("transactions_with_price"),
       sum(when(col("price_total_eth") === 0, 1L).otherwise(0L))
         .as("null_prices"))
-      .head())
-    val pairsF = Future(clean
-      .groupBy(col("collection"), col("event_type")).count().collect())
-    val agg = Await.result(aggF, Duration.Inf)
-    val pairs = Await.result(pairsF, Duration.Inf)
+    val pairsDf = clean
+      .groupBy(col("collection"), col("event_type")).count()
+    val rows = pairsDf
+      .unionByName(aggDf, allowMissingColumns = true).collect()
+    val (aggRows, pairs) =
+      rows.partition(r => r.getAs[Any]("total_rows") != null)
+    val agg = aggRows.head
     // count-descending like the reference's sort('count', descending=True);
     // name ascending as the deterministic tie-break
     def rollup(key: org.apache.spark.sql.Row => String, field: String)
@@ -279,14 +331,16 @@ object DataValidator {
     val eventTypes = rollup(_.getString(1), "event_type")
     val collections = rollup(_.getString(0), "collection")
     Map(
-      "total_rows" -> agg.getLong(0),
-      "total_collections" -> agg.getLong(1),
-      "total_tokens" -> agg.getLong(2),
+      "total_rows" -> agg.getAs[Long]("total_rows"),
+      "total_collections" -> agg.getAs[Long]("total_collections"),
+      "total_tokens" -> agg.getAs[Long]("total_tokens"),
       "date_range" -> Map[String, Any](
-        "min" -> agg.getString(3), "max" -> agg.getString(4)),
+        "min" -> agg.getAs[String]("min_date"),
+        "max" -> agg.getAs[String]("max_date")),
       "event_types" -> eventTypes,
       "collections" -> collections,
-      "null_prices" -> agg.getLong(6),
-      "transactions_with_price" -> agg.getLong(5))
+      "null_prices" -> agg.getAs[Long]("null_prices"),
+      "transactions_with_price" ->
+        agg.getAs[Long]("transactions_with_price"))
   }
 }

@@ -101,13 +101,12 @@ object OpenSeaPipeline {
       org.apache.spark.sql.functions.col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val auditsF = Future(inPool("audit") {
-      // row-local battery + event-type whitelist fused into ONE job
-      // (round 7): the grouping key is the invalid event value, so the
-      // scan over the audit projection runs once for both
-      val (rowLocal, evt) = phase("audit row-local+event-types")(
-        DataValidator.rowLocalWithEventTypes(rawKeys))
-      val dup = phase("audit dup-keys")(
-        DataValidator.duplicateKeyCount(rawKeys))
+      // All three audits in ONE action (round 8; round 7 fused
+      // row-local + event-types, leaving dup-keys as a second,
+      // sequential job): unionByName over the two aggregate subtrees
+      // submits one job whose shuffle-map stages run concurrently.
+      val (rowLocal, dup, evt) = phase("audit fused")(
+        DataValidator.allShuffleAudits(rawKeys))
       rawKeys.unpersist(blocking = false)
       (rowLocal, dup, evt)
     })

@@ -30,7 +30,14 @@ import org.apache.spark.sql.catalyst.plans.logical._
   */
 object Fan {
 
-  /** First exchange-introducing operator in the analyzed plan, if any. */
+  /** First exchange-introducing operator in the analyzed plan, if any.
+    * Expression subqueries count as wide (round 8 hardening): a scalar /
+    * IN / EXISTS subquery nested in a Filter or Project executes its own
+    * job when the enclosing frame is compiled — even over a narrow
+    * subplan — which is exactly the eager-stage hazard the `out`
+    * fail-fast exists to prevent, so the plan walk must see through the
+    * expression tree, not just the operator tree.
+    */
   private def wideNode(df: DataFrame): Option[String] =
     df.queryExecution.analyzed.collectFirst {
       case p: Aggregate => p.nodeName
@@ -41,6 +48,11 @@ object Fan {
       case p: Deduplicate => p.nodeName
       case p: RepartitionOperation => p.nodeName
       case p: GlobalLimit => p.nodeName
+      case p if p.expressions.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          true
+        case _ => false
+      }) => "SubqueryExpression"
     }
 
   private def widen(df: DataFrame): DataFrame = {
@@ -64,6 +76,16 @@ object Fan {
     * (spark.sql.shuffle.partitions ≥ defaultParallelism in every session
     * here), so it passes through untouched — no eager stage execution at
     * plan-build time, no pointless extra shuffle.
+    *
+    * Known gap, accepted (perf-only, never correctness): under AQE,
+    * partition COALESCING can leave a small post-exchange intermediate
+    * with fewer partitions than defaultParallelism, so CPU-heavy work
+    * fed by a tiny aggregate/join result may run under-parallelized.
+    * Detecting that here would require compiling the exchange (the
+    * eager-execution hazard this function exists to avoid); callers
+    * whose post-exchange frame is both tiny and feeds per-row-heavy
+    * work should localCheckpoint + `out` instead, which is what the
+    * operator pipelines in this repo do.
     */
   def outIfNarrow(df: DataFrame): DataFrame =
     if (wideNode(df).isEmpty) widen(df) else df

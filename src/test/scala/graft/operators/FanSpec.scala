@@ -35,6 +35,19 @@ class FanSpec extends SparkSpecBase {
     assert(e.getMessage.contains("scan-rooted"))
   }
 
+  test("Fan.out fails fast on an expression subquery (round 8)") {
+    // The operator tree here is Filter over a relation — narrow to the
+    // node walk — but the filter embeds an IN-subquery whose plan
+    // executes its own job when the frame compiles: must be rejected.
+    base.createOrReplaceTempView("fan_base")
+    val sub = spark.sql(
+      "SELECT * FROM fan_base WHERE id IN (SELECT max(id) FROM fan_base)")
+    val e = intercept[IllegalArgumentException](Fan.out(sub))
+    assert(e.getMessage.contains("scan-rooted"))
+    // outIfNarrow must pass it through untouched, not widen it
+    assert(Fan.outIfNarrow(sub) eq sub)
+  }
+
   test("Fan.out fails fast on joins, windows, sorts, repartitions") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("s")).orderBy(col("id"))

@@ -62,4 +62,31 @@ class FusedAuditSpec extends SparkSpecBase {
     assert(evt.isEmpty)
     assert(get("__total") === 9L)
   }
+
+  test("round-8 one-action fusion == the three separate audits") {
+    // plant two duplicate (tx, token_id, event_type, timestamp) keys on
+    // top of the base fixture so the dup-count side is non-trivial
+    val withDups = raw.unionByName(raw.limit(2))
+    val (get, dup, evt) = DataValidator.allShuffleAudits(withDups)
+    val (sepGet, sepEvt) = DataValidator.rowLocalWithEventTypes(withDups)
+    val sepDup = DataValidator.duplicateKeyCount(withDups)
+    val exprs = DataValidator.rowLocalAuditExprs(withDups)
+    withDups.agg(exprs.head, exprs.tail: _*).head()
+      .schema.fieldNames.foreach { name =>
+        assert(get(name) === sepGet(name), s"metric $name diverged")
+      }
+    assert(dup === sepDup)
+    assert(dup === 2L)
+    assert(evt === sepEvt)
+    assert(get("__total") === 11L)
+  }
+
+  test("one-action fusion without event_type still carries dup count") {
+    val noEvt = raw.unionByName(raw.limit(2)).drop("event_type")
+    val (get, dup, evt) = DataValidator.allShuffleAudits(noEvt)
+    assert(evt.isEmpty)
+    assert(get("__total") === 11L)
+    // dedup key degrades to (tx, token_id, timestamp): same 2 dups
+    assert(dup === 2L)
+  }
 }

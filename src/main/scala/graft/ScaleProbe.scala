@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   *     ring+chord graph at 100K vs 1M edges: the catalog g5's cost is
   *     dominated by deriving its 500-edge backbone, so scaling the
   *     OPERATOR needs an edge set that actually grows.
+  *   - ann_lsh_topk — the ANN scale path (ann1's product plan) over a
+  *     10x jittered vector corpus, with the plane count re-sized by the
+  *     occupancy-constant rule (`Similarity.planesForCorpus`) the way a
+  *     deployment re-sizes its index as the corpus grows.
   *
   * Each probe: 1 untimed warm rep (which also records result counts at
   * both scales — a probe whose output collapses would fake its ratio),
@@ -57,7 +61,7 @@ object ScaleProbe {
 
   /** Runs the probes and returns the `atScale` JSON object body. */
   def run(spark: SparkSession, sfDir: String, factor: Int): String = {
-    import graft.operators.{Dedup, Graph}
+    import graft.operators.{Dedup, Graph, Similarity}
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .localCheckpoint(true)
@@ -69,6 +73,34 @@ object ScaleProbe {
       .select((col("doc_id") * factor + col("c")).as("doc_id"),
         concat(col("text"), lit(" zz"), col("c")).as("text"))
       .localCheckpoint(true)
+
+    // ANN scale path (ann1's product plan): 10x the vector corpus, each
+    // copy deterministically jittered in one dimension so copies are
+    // near- but not exact neighbors — per-table bucket occupancy grows
+    // 10x, which is what the banded hyperplane join must absorb.
+    // k/planes/tables pinned to the catalog config.
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val embBig = emb
+      .select(explode(sequence(lit(0), lit(factor - 1))).as("c"),
+        col("vec_id"), col("embedding"))
+      .select((col("vec_id") * factor + col("c")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + col("c").cast("float") * lit(0.001f))
+            .otherwise(x)).as("embedding"))
+      .localCheckpoint(true)
+
+    // The hyperplane family's scale knob is planes ∝ log2(N)
+    // (occupancy-constant — Similarity.planesForCorpus): at FIXED
+    // planes=4 the 10x side measured 34x the base wall (bucket
+    // occupancy 10x → per-bucket pairs ~100x). The probe runs the
+    // configuration a deployment would: catalog planes (4) at 1x,
+    // re-sized planes at 10x with occupancy held at the catalog
+    // operating point (N / 2^4).
+    val nBase = emb.count()
+    val planesBig = Similarity.planesForCorpus(nBase * factor,
+      math.max(1, (nBase >> 4).toInt))
 
     // g5 runs FIRST: its base side is the cheapest probe and sits
     // closest to the fixed-cost floor, so shuffle/GC debt left behind by
@@ -86,7 +118,13 @@ object ScaleProbe {
         () => Dedup.nearDupClusters(docsBig, "text", "doc_id")),
       ("t7_jaccard",
         () => Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.3, 100),
-        () => Dedup.jaccardPairs(docsBig, "text", "doc_id", 3, 0.3, 100)))
+        () => Dedup.jaccardPairs(docsBig, "text", "doc_id", 3, 0.3, 100)),
+      ("ann_lsh_topk",
+        () => Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
+          numPlanes = 4, numTables = 8, dim = Tables.embeddingDim),
+        () => Similarity.lshTopK(embBig, "vec_id", "embedding", k = 5,
+          numPlanes = planesBig, numTables = 8,
+          dim = Tables.embeddingDim)))
 
     val entries = probes.map { case (name, baseFn, bigFn) =>
       val (baseS, baseN) = timeCount(baseFn)

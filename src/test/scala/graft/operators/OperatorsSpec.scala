@@ -210,6 +210,22 @@ class OperatorsSpec extends SparkSpecBase {
       s"candidate space $candidates vs all-pairs $allPairs")
   }
 
+  test("planesForCorpus: occupancy-constant sizing rule") {
+    // the catalog operating point: N=2000 at occupancy 125 -> 4 planes
+    assert(Similarity.planesForCorpus(2000, 125) === 4)
+    // 10x the corpus at the same occupancy -> ceil(log2(160)) = 8:
+    // re-sizing by this rule held the ScaleProbe 10x wall at 5.5x
+    // where fixed planes measured 34x
+    assert(Similarity.planesForCorpus(20000, 125) === 8)
+    // degenerate corpora never go below one plane
+    assert(Similarity.planesForCorpus(16, 16) === 1)
+    assert(Similarity.planesForCorpus(1, 1) === 1)
+    // growing N at fixed occupancy is monotone non-decreasing
+    val seq = Seq(1000L, 4000L, 16000L, 64000L)
+      .map(Similarity.planesForCorpus(_, 125))
+    assert(seq === seq.sorted)
+  }
+
   test("e3d LSH elasticity audit: exact side sane, approximation " +
       "agreement booleans hold") {
     val row = graft.SparkEntry.queries("e3d_peer_elasticity_lsh")(

@@ -203,13 +203,39 @@ object Similarity {
       math.log(n.toDouble / math.max(targetOccupancy, 1)) / math.log(2))
       .toInt)
 
+  /** Self-sizing LSH top-k: the production entry point for a corpus
+    * whose size varies — planes come from the occupancy-constant rule
+    * ([[planesForCorpus]]) and tables from the Charikar recall bound
+    * ([[tablesForRecall]]) at the stated similarity operating point, so
+    * the index keeps BOTH its per-vector cost and its recall target as
+    * the corpus grows instead of silently degrading in one or the
+    * other (a fixed (planes, tables) config at 10x the corpus measured
+    * 34x the wall; fixed planes with more data also means bigger
+    * buckets, not better recall). Costs one `count()` at index-build
+    * time — the same cardinality any index build knows.
+    *
+    * @param simTarget the cosine at which `targetRecall` must hold;
+    *   pairs more similar than this collide strictly more often
+    * @param targetOccupancy expected vectors per bucket per table —
+    *   the per-probe candidate budget knob
+    */
+  def lshTopKAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int = 0, targetOccupancy: Int = 128, simTarget: Double = 0.8,
+      targetRecall: Double = 0.9): DataFrame = {
+    val n = df.count()
+    val planes = planesForCorpus(n, targetOccupancy)
+    val tables = tablesForRecall(simTarget, planes, targetRecall)
+    lshTopK(df, idCol, vecCol, k, planes, tables, dim)
+  }
+
   /** Random-hyperplane LSH bucketing: sign bits of `numPlanes` fixed
     * pseudo-random hyperplane projections form the bucket key. Vectors
     * only compare within a bucket → pair space shrinks from N² to
     * sum over buckets of |bucket|². Deterministic planes (hash-seeded per
     * (plane, dim)) keep runs reproducible. Recall < 1.0 by construction;
     * `numTables` independent bucketings raise it (union of candidates).
-    * Size `numPlanes` by corpus via [[planesForCorpus]].
+    * Size `numPlanes` by corpus via [[planesForCorpus]] — or use
+    * [[lshTopKAuto]], which applies both sizing rules.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 4, numTables: Int = 8, dim: Int = 0): DataFrame = {

@@ -30,6 +30,9 @@ import org.apache.spark.sql.functions._
   *     10x jittered vector corpus, with the plane count re-sized by the
   *     occupancy-constant rule (`Similarity.planesForCorpus`) the way a
   *     deployment re-sizes its index as the corpus grows.
+  *   - t42_span_scrub (round 8) — the per-doc positionedTokens family
+  *     (repeated-span scrub): every shuffle keys on doc_id, so the
+  *     probe pins the ~linear-in-corpus claim for t42/t43.
   *
   * Each probe: 1 untimed warm rep (which also records result counts at
   * both scales — a probe whose output collapses would fake its ratio),
@@ -61,7 +64,7 @@ object ScaleProbe {
 
   /** Runs the probes and returns the `atScale` JSON object body. */
   def run(spark: SparkSession, sfDir: String, factor: Int): String = {
-    import graft.operators.{Dedup, Graph, Similarity}
+    import graft.operators.{Dedup, Graph, Similarity, TextAnalysis}
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .localCheckpoint(true)
@@ -119,6 +122,13 @@ object ScaleProbe {
       ("t7_jaccard",
         () => Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.3, 100),
         () => Dedup.jaccardPairs(docsBig, "text", "doc_id", 3, 0.3, 100)),
+      // Per-doc span work (round 8): all shuffles key on doc_id, so the
+      // scrub should scale ~linearly with the corpus — the probe pins
+      // that claim for the whole positionedTokens family (t42/t43).
+      ("t42_span_scrub",
+        () => TextAnalysis.repeatedSpanScrub(docs, "doc_id", "text", k = 3),
+        () => TextAnalysis.repeatedSpanScrub(docsBig, "doc_id", "text",
+          k = 3)),
       ("ann_lsh_topk",
         () => Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
           numPlanes = 4, numTables = 8, dim = Tables.embeddingDim),

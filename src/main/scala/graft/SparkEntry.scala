@@ -19,7 +19,8 @@ object SparkEntry {
   /** The full catalog across all parts. */
   def catalog: Seq[Queries.Q] =
     Queries.all ++ QueriesB.all ++ QueriesC.all ++ QueriesD.all ++
-      QueriesE.all ++ QueriesF.all ++ QueriesG.all ++ QueriesH.all
+      QueriesE.all ++ QueriesF.all ++ QueriesG.all ++ QueriesH.all ++
+      QueriesI.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

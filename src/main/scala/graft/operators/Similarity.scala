@@ -141,6 +141,41 @@ object Similarity {
         round(col("cosine") + lit(1e-9), 6).as("cosine"))
   }
 
+  /** k-NN majority-vote classification: each query vector takes the
+    * modal label of its k nearest corpus vectors by cosine (ties on
+    * votes broken by smallest label, ties on cosine by neighbor id —
+    * fully deterministic). The neighbor search is the Q×N brute-force
+    * pair loop (exact, the oracle-checkable baseline); at corpus scale
+    * the same vote aggregate composes over [[lshTopKAuto]]'s candidates
+    * instead — the classifier is agnostic to where its neighbor rows
+    * come from. Returns (query_id, predicted_label, n_votes).
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val labels = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(labelCol).cast("long").as("label"))
+    val c = unitVectors(corpus, idCol, vecCol, fanOut = true)
+      .select(col("id").as("neighbor_id"), col("vec").as("vec_b"))
+    val q = unitVectors(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("vec").as("vec_a"))
+    val pairs = q.crossJoin(c)
+      .select(col("query_id"), col("neighbor_id"),
+        fastDot(col("vec_a"), col("vec_b")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val topK = pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .join(labels, "neighbor_id")
+    val votes = topK.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val vw = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes.withColumn("__r", row_number().over(vw))
+      .where(col("__r") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"),
+        col("n_votes"))
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1): based
     * on the same md5-derived integer hash the dedup operators use, so
     * every run (and every engine re-implementation) buckets identically.

@@ -254,4 +254,103 @@ object TextAnalysis {
       .where(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Tokens with 1-based positions for span-level operators. One narrow
+    * posexplode per doc; blank docs are excluded so position arithmetic
+    * never sees an empty-token row.
+    */
+  private def positionedTokens(df: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val base = df.where(trim(col(textCol)) =!= "")
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("tk"))
+    val toks = base.select(col(idCol),
+        posexplode(col("tk")).as(Seq("__p0", "tok")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("p"), col("tok"))
+    (base, toks)
+  }
+
+  /** Intra-document repeated-span removal (the within-doc variant of
+    * training-data dedup a la "Deduplicating Training Data Makes LMs
+    * Better"): every k-gram occurrence after its first in the SAME
+    * document marks its k token positions for removal; surviving tokens
+    * are re-joined in order. Semantics are position-exact and engine-
+    * reproducible: repeat starts come from a min-position-per-gram
+    * window, covered positions from a bounded `sequence` explode (k rows
+    * per repeat start — never a range join), and the scrub is one
+    * anti-join on (doc, position). All shuffles key on doc_id, so a
+    * 100 TB corpus scrubs as embarrassingly-parallel per-doc work.
+    * Returns (idCol, n_tokens, n_removed, cleaned_md5) — the md5 stands
+    * in for the rebuilt text so the result row stays narrow; callers
+    * wanting the text itself take `keptText` = the same aggregate without
+    * the hash.
+    */
+  def repeatedSpanScrub(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"span length must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val (base, toks) = positionedTokens(df, idCol, textCol)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    val gram = concat_ws(" ",
+      col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(w)): _*)
+    val grams = toks
+      .withColumn("__last", lead(col("tok"), k - 1).over(w))
+      .withColumn("g", gram)
+      .where(col("__last").isNotNull)
+      .select(col(idCol), col("p"), col("g"))
+    val covered = grams
+      .withColumn("__first",
+        min(col("p")).over(Window.partitionBy(col(idCol), col("g"))))
+      .where(col("p") > col("__first"))
+      .select(col(idCol),
+        explode(sequence(col("p"), col("p") + lit(k - 1))).as("p"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            e => e.getField("tok")))).as("cleaned_md5"))
+    base.select(col(idCol), size(col("tk")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+  }
+
+  /** Winnowing-style minimizer sketch: over every length-`w` window of
+    * token md5 hashes, keep the lexicographic minimum; the document's
+    * sketch is its distinct minimizer set. Adjacent windows share
+    * minimizers, so the sketch is a deterministic ~1/w-density sample of
+    * the token stream that two engines (or two shards of a 100 TB
+    * corpus) agree on exactly — the classic local fingerprinting scheme
+    * for shard-local near-dup candidate generation. One sliding window
+    * min (sort keyed on doc) + one per-doc aggregate; no joins.
+    * Returns (idCol, n_windows, n_minimizers, sketch_md5); docs shorter
+    * than `w` tokens have an empty sketch.
+    */
+  def minimizerSketch(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val (base, toks) = positionedTokens(df, idCol, textCol)
+    val win = Window.partitionBy(col(idCol)).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val mins = toks.withColumn("__h", md5(col("tok")))
+      .withColumn("minz", min(col("__h")).over(win))
+    val sk = mins
+      .join(base.select(col(idCol), size(col("tk")).cast("long").as("__m")),
+        Seq(idCol))
+      .where(col("p") <= col("__m") - (w - 1))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("minz")).as("n_minimizers"),
+        md5(array_join(array_sort(collect_set(col("minz"))), ""))
+          .as("sketch_md5"))
+    base.select(col(idCol))
+      .join(sk, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_minimizers"), lit(0L)).as("n_minimizers"),
+        coalesce(col("sketch_md5"), md5(lit(""))).as("sketch_md5"))
+  }
 }

@@ -176,6 +176,32 @@ object Similarity {
         col("n_votes"))
   }
 
+  /** Achlioptas sign random projection to `dPrime` dimensions:
+    * p_j = Σ_i v_i · s(i, j) / sqrt(dPrime) with s(i, j) ∈ {±1} drawn
+    * from the first md5 hex digit of "i:j" — the Johnson-Lindenstrauss
+    * dimensionality reduction every embedding pipeline uses to shrink
+    * vectors before indexing, derandomized the repo's way (md5 keys) so
+    * any engine reproduces the exact same projection. Pure column
+    * algebra: one posexplode (d rows/vector), a bounded dPrime-way
+    * expand, one (id, j) groupBy — all map-side combinable, no UDF, no
+    * driver-side matrix. Returns long form (id, j, p); long form
+    * deliberately, so pair dots downstream stay equi-joins on j instead
+    * of array zips over collected vectors.
+    */
+  def signProject(df: DataFrame, idCol: String, vecCol: String,
+      dPrime: Int): DataFrame = {
+    require(dPrime >= 1, s"projection dim must be >= 1, got $dPrime")
+    val unit = unitVectors(df, idCol, vecCol)
+    val dims = unit.select(col("id"), posexplode(col("vec")).as(Seq("__i0", "v")))
+      .select(col("id"), (col("__i0") + 1).as("i"), col("v"))
+    val sign = when(substring(md5(concat_ws(":", col("i"), col("j"))), 1, 1)
+      < lit("8"), lit(1.0)).otherwise(lit(-1.0))
+    dims.select(col("id"), col("i"), col("v"),
+        explode(sequence(lit(1), lit(dPrime))).as("j"))
+      .groupBy(col("id"), col("j"))
+      .agg((sum(col("v") * sign) / lit(math.sqrt(dPrime.toDouble))).as("p"))
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1): based
     * on the same md5-derived integer hash the dedup operators use, so
     * every run (and every engine re-implementation) buckets identically.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** Catalog part J (round 8 continuation): Johnson-Lindenstrauss sign
   * projection with a distance-preservation audit, prefix-key dedup,
@@ -241,5 +241,53 @@ object QueriesJ {
         round(avg(m) + 1e-9, 6) AS avg_monetary
       FROM b GROUP BY 1, 2, 3"""))
 
-  val all: Seq[Q] = Seq(ann7, t44, m36, a40)
+  // ER1 — end-to-end entity resolution, the composed showcase: distinct
+  // part names → length-blocked edit-distance candidate pairs (t18's
+  // blocking — never all-pairs on the Spark side), dist ≤ 1 edges →
+  // connected components (t17's min-label propagation over the
+  // edge-touching subgraph only) → golden-record survivorship (most
+  // records, then lexicographic). Every stage is an operator already
+  // oracled in isolation; this row pins the COMPOSITION against one
+  // recursive-CTE oracle, because ER bugs live in the seams (blocking
+  // that drops an edge, survivorship ranking the wrong variant).
+  val er1 = Q("er1_entity_resolution",
+    (s, d) => {
+      val g = Tables.load(s, d, "part").groupBy(col("p_name"))
+        .agg(count(lit(1)).as("n_records"))
+        .localCheckpoint(true) // feeds pairs, CC nodes, and the join back
+      val pairs = TextAnalysis.editDistancePairs(g, "p_name", "p_name",
+        maxDist = 1)
+      val cc = Dedup.connectedComponents(g.select(col("p_name")), "p_name",
+        pairs, "id_a", "id_b")
+      val wc = Window.partitionBy(col("cluster_id"))
+      cc.join(g, "p_name")
+        .withColumn("cluster_size", count(lit(1)).over(wc))
+        .withColumn("__rn", row_number().over(
+          wc.orderBy(col("n_records").desc, col("p_name"))))
+        .select(col("p_name"), col("cluster_id"), col("cluster_size"),
+          col("n_records"), (col("__rn") === 1).as("is_golden"))
+    },
+    Some("""WITH RECURSIVE g AS (SELECT p_name,
+        CAST(count(*) AS BIGINT) AS n_records FROM part GROUP BY 1),
+      pairs AS (SELECT a.p_name AS id_a, b.p_name AS id_b
+        FROM g a JOIN g b ON a.p_name < b.p_name
+          AND abs(length(a.p_name) - length(b.p_name)) <= 1
+          AND levenshtein(a.p_name, b.p_name) <= 1),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, m) AS (SELECT p_name, p_name FROM g
+        UNION SELECT r.id, e.dst FROM reach r JOIN edges e ON r.m = e.src),
+      cc AS (SELECT id AS p_name, min(m) AS cluster_id FROM reach
+        GROUP BY 1),
+      j AS (SELECT c.p_name, c.cluster_id, g.n_records
+        FROM cc c JOIN g USING (p_name))
+      SELECT p_name, cluster_id,
+        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+          AS cluster_size,
+        n_records,
+        (row_number() OVER (PARTITION BY cluster_id
+          ORDER BY n_records DESC, p_name) = 1) AS is_golden
+      FROM j"""))
+
+  val all: Seq[Q] = Seq(ann7, t44, m36, a40, er1)
 }

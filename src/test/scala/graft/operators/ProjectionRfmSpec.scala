@@ -48,6 +48,25 @@ class ProjectionRfmSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("entity resolution: one golden record per cluster, clusters partition names") {
+    val dir = sf("sf0.001")
+    val out = QueriesJ.er1.fn(spark, dir).cache()
+    val names = Tables.load(spark, dir, "part")
+      .select(col("p_name")).distinct().count()
+    assert(out.count() === names) // every name resolved exactly once
+    val perCluster = out.groupBy(col("cluster_id"))
+      .agg(sum(when(col("is_golden"), 1L).otherwise(0L)).as("g"))
+    assert(perCluster.where(col("g") =!= 1L).count() === 0L)
+    // the golden record carries the cluster's max record count
+    val bad = out.where(col("is_golden"))
+      .select(col("cluster_id"), col("n_records").as("gr"))
+      .join(out.groupBy(col("cluster_id"))
+        .agg(max(col("n_records")).as("mx")), "cluster_id")
+      .where(col("gr") =!= col("mx"))
+    assert(bad.count() === 0L)
+    out.unpersist()
+  }
+
   test("two-proportion z: halves cover every timestamped event") {
     val dir = sf("sf0.001")
     val r = QueriesJ.m36.fn(spark, dir).collect().head

@@ -289,5 +289,64 @@ object QueriesJ {
           ORDER BY n_records DESC, p_name) = 1) AS is_golden
       FROM j"""))
 
-  val all: Seq[Q] = Seq(ann7, t44, m36, a40, er1)
+  // T46 — minimizer-sketch near-dup pairs: t43's winnowing sketch put to
+  // work as a candidate generator. Docs pair ONLY through a shared
+  // minimizer (posting self-join on the minimizer key, df ≤ 50 hub cap —
+  // the jaccardPairs prune), and the sketch-level Jaccard
+  // |A∩B| / |A∪B| ≥ 0.5 gates the output. The pair space is
+  // Σ_z df_z² over capped postings, never N²; the estimate needs no
+  // second pass over the text because the sketch IS the signature —
+  // exactly how shard-local near-dup candidate generation runs at
+  // corpus scale (sketches travel, documents don't).
+  val t46 = Q("t46_minimizer_neardup",
+    (s, d) => {
+      // feeds both sides of the self-join AND the size frame
+      val posts = TextAnalysis.minimizerPostings(docs(s, d), "doc_id",
+        "text", w = 4, maxDf = 50).localCheckpoint(true)
+      val sizes = posts.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("sz"))
+      val shared = posts.select(col("doc_id").as("id_a"), col("minz"))
+        .join(posts.select(col("doc_id").as("id_b"), col("minz")), "minz")
+        .where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sa")),
+          "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sb")),
+          "id_b")
+        .withColumn("sketch_jaccard", col("n_shared").cast("double") /
+          (col("sa") + col("sb") - col("n_shared")))
+        .where(col("sketch_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          round(col("sketch_jaccard") + lit(1e-9), 6).as("sketch_jaccard"))
+    },
+    Some("""WITH base AS (SELECT doc_id,
+        string_split_regex(lower(trim(text)), '\s+') AS tk
+        FROM documents WHERE trim(text) <> ''),
+      toks AS (SELECT doc_id, CAST(i AS BIGINT) AS p, md5(tk[i]) AS h,
+          len(tk) AS m
+        FROM base, unnest(generate_series(1, len(tk))) AS g(i)),
+      mins AS (SELECT doc_id, p, m, min(h) OVER (PARTITION BY doc_id
+        ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minz
+        FROM toks),
+      dm AS (SELECT DISTINCT doc_id, minz FROM mins WHERE p <= m - 3),
+      freq AS (SELECT minz, count(*) AS c FROM dm GROUP BY 1),
+      kept AS (SELECT dm.doc_id, dm.minz FROM dm JOIN freq USING (minz)
+        WHERE freq.c <= 50),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM kept
+        GROUP BY 1),
+      shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(count(*) AS BIGINT) AS n_shared
+        FROM kept a JOIN kept b ON a.minz = b.minz
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, n_shared,
+        round(CAST(n_shared AS DOUBLE) / (sa.s + sb.s - n_shared)
+          + 1e-9, 6) AS sketch_jaccard
+      FROM shared JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.s + sb.s - n_shared) >= 0.5"""))
+
+  val all: Seq[Q] = Seq(ann7, t44, m36, a40, er1, t46)
 }

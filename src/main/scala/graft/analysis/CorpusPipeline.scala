@@ -9,9 +9,10 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   * flow the extension operators exist for:
   *
   *   quality features → threshold filter → language ID → language filter
-  *   → exact dedup (content hash, keep smallest id) → near-dup candidate
-  *   removal (MinHash-LSH, drop the larger id of each pair) → stable
-  *   train/val/test split.
+  *   → dup-span-ratio filter (repeated 3-gram coverage, boilerplate
+  *   screen; off by default) → exact dedup (content hash, keep smallest
+  *   id) → near-dup candidate removal (MinHash-LSH, drop the larger id
+  *   of each pair) → stable train/val/test split.
   *
   * Every stage is a DataFrame→DataFrame transform; the near-dup removal
   * is the only self-join, and it runs on LSH buckets, not all pairs.
@@ -22,6 +23,11 @@ object CorpusPipeline {
       minTokens: Int = 5,
       maxPunctRatio: Double = 0.5,
       keepLangs: Seq[String] = Nil, // empty = keep all
+      // docs whose repeated-3-gram span coverage (t42's n_removed /
+      // n_tokens) exceeds this are dropped as internal boilerplate;
+      // 1.0 = disabled (the ratio is strictly < 1: a gram's first
+      // occurrence can never be covered)
+      maxDupSpanRatio: Double = 1.0,
       nearDupThreshold: Double = 0.7,
       valPct: Int = 10,
       testPct: Int = 10)
@@ -40,10 +46,26 @@ object CorpusPipeline {
       if (config.keepLangs.isEmpty) qualityFiltered
       else qualityFiltered.where(col("lang_pred").isin(config.keepLangs: _*))
 
+    // internal-boilerplate screen: drop docs dominated by their own
+    // repeated 3-gram spans (one doc-keyed aggregate; left join so docs
+    // the scrub never sees — blank text — pass through untouched)
+    val spanFiltered =
+      if (config.maxDupSpanRatio >= 1.0) langFiltered
+      else {
+        val ratios = TextAnalysis.repeatedSpanScrub(langFiltered, idCol,
+            textCol, k = 3)
+          .select(col(idCol), (col("n_removed").cast("double") /
+            col("n_tokens")).as("__dup_ratio"))
+        langFiltered.join(ratios, Seq(idCol), "left")
+          .where(col("__dup_ratio").isNull ||
+            col("__dup_ratio") <= config.maxDupSpanRatio)
+          .drop("__dup_ratio")
+      }
+
     // exact dedup: keep the smallest id per content hash
-    val exactSurvivors = Dedup.exactTextDedup(langFiltered, textCol, idCol)
+    val exactSurvivors = Dedup.exactTextDedup(spanFiltered, textCol, idCol)
       .select(col(idCol))
-    val exactDeduped = langFiltered.join(exactSurvivors, Seq(idCol),
+    val exactDeduped = spanFiltered.join(exactSurvivors, Seq(idCol),
       "left_semi")
 
     // near-dup removal: of each candidate pair, the larger id drops

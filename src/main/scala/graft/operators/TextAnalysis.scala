@@ -330,17 +330,8 @@ object TextAnalysis {
     */
   def minimizerSketch(df: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
-    require(w >= 2, s"window must be >= 2, got $w")
-    import org.apache.spark.sql.expressions.Window
-    val (base, toks) = positionedTokens(df, idCol, textCol)
-    val win = Window.partitionBy(col(idCol)).orderBy(col("p"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val mins = toks.withColumn("__h", md5(col("tok")))
-      .withColumn("minz", min(col("__h")).over(win))
-    val sk = mins
-      .join(base.select(col(idCol), size(col("tk")).cast("long").as("__m")),
-        Seq(idCol))
-      .where(col("p") <= col("__m") - (w - 1))
+    val (base, _) = positionedTokens(df, idCol, textCol)
+    val sk = minimizerWindows(df, idCol, textCol, w)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
         countDistinct(col("minz")).as("n_minimizers"),
@@ -352,5 +343,40 @@ object TextAnalysis {
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_minimizers"), lit(0L)).as("n_minimizers"),
         coalesce(col("sketch_md5"), md5(lit(""))).as("sketch_md5"))
+  }
+
+  /** One row per length-`w` window: (idCol, p, minz) — the long form
+    * behind [[minimizerSketch]] (which aggregates it to a per-doc
+    * sketch) and [[graft.QueriesJ.t46]]-style candidate generation
+    * (which distincts and self-joins it). Windows truncated by the end
+    * of the document are excluded.
+    */
+  def minimizerWindows(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val (base, toks) = positionedTokens(df, idCol, textCol)
+    val win = Window.partitionBy(col(idCol)).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    toks.withColumn("__h", md5(col("tok")))
+      .withColumn("minz", min(col("__h")).over(win))
+      .join(base.select(col(idCol), size(col("tk")).cast("long").as("__m")),
+        Seq(idCol))
+      .where(col("p") <= col("__m") - (w - 1))
+      .select(col(idCol), col("p"), col("minz"))
+  }
+
+  /** The distinct minimizer POSTING LIST per doc with a document-
+    * frequency hub cap (`maxDf`): minimizers shared by more than
+    * `maxDf` docs are dropped before any pairing, the same frequent-key
+    * prune `Dedup.jaccardPairs` makes — a boilerplate minimizer would
+    * otherwise pair everything with everything.
+    */
+  def minimizerPostings(df: DataFrame, idCol: String, textCol: String,
+      w: Int, maxDf: Int): DataFrame = {
+    val dm = minimizerWindows(df, idCol, textCol, w)
+      .select(col(idCol), col("minz")).distinct()
+    val freq = dm.groupBy(col("minz")).agg(count(lit(1)).as("__df"))
+    dm.join(freq.where(col("__df") <= maxDf).select(col("minz")), "minz")
   }
 }

@@ -41,6 +41,23 @@ class CorpusPipelineSpec extends SparkSpecBase {
     assert(out.contains(12L))
   }
 
+  test("dup-span-ratio gate drops boilerplate-dominated docs only") {
+    val docs = Seq(
+      // 3 tokens unique, then the same 3-gram four more times: ratio 12/15
+      (1L, ("spam bacon eggs " * 5).trim),
+      (2L, "a genuinely varied document with no internal repetition at all"))
+      .toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(minTokens = 3, maxDupSpanRatio = 0.5)
+    val out = CorpusPipeline.prepare(docs, "text", "doc_id", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!out.contains(1L) && out.contains(2L))
+    // disabled by default: both survive
+    val all = CorpusPipeline.prepare(docs, "text", "doc_id",
+        CorpusPipeline.Config(minTokens = 3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L))
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     val rows = Seq(
       (1L, "2024-01-01 10:00:00", 1.0),

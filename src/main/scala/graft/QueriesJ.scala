@@ -348,5 +348,35 @@ object QueriesJ {
       JOIN sz sb ON sb.doc_id = id_b
       WHERE CAST(n_shared AS DOUBLE) / (sa.s + sb.s - n_shared) >= 0.5"""))
 
-  val all: Seq[Q] = Seq(ann7, t44, m36, a40, er1, t46)
+  // ST4 — per-user decayed-score STATE, batch form: the closed-form
+  // twin of `Streaming.decayScores` (mapGroupsWithState, one tiny state
+  // row per user). Here score discounts to each user's OWN last event —
+  // exactly what the incremental fold converges to — vs a38, which
+  // discounts to the corpus max for a global ranking. One user-keyed
+  // window max + the same groupBy shuffle; `StreamingSpec` pins
+  // stream ≡ batch on this definition.
+  val st4 = Q("st4_decay_state_batch",
+    (s, d) => {
+      val e = ev(s, d).where(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          col("value"))
+      val wu = Window.partitionBy(col("user_id"))
+      e.withColumn("last_ms", max(col("ms")).over(wu))
+        .groupBy(col("user_id"))
+        .agg(max(col("ms")).as("last_ms"), count(lit(1)).as("n_events"),
+          round(sum(col("value") * exp(-(col("last_ms") - col("ms")) /
+            lit(86400000.0) / lit(30.0))) + lit(1e-9), 6)
+            .as("decayed_score"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, value
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      w AS (SELECT user_id, ms, value,
+        max(ms) OVER (PARTITION BY user_id) AS last_ms FROM e)
+      SELECT user_id, CAST(max(ms) AS BIGINT) AS last_ms,
+        CAST(count(*) AS BIGINT) AS n_events,
+        round(sum(value * exp(-(last_ms - ms) / 86400000.0 / 30.0))
+          + 1e-9, 6) AS decayed_score
+      FROM w GROUP BY user_id"""))
+
+  val all: Seq[Q] = Seq(ann7, t44, m36, a40, er1, t46, st4)
 }

@@ -140,6 +140,46 @@ object Streaming {
         "sum_value")
   }
 
+  case class DecayState(lastMs: Long, score: Double, n: Long)
+
+  /** Incremental exponential time-decay scoring via mapGroupsWithState —
+    * the streaming twin of the a38 batch query, kept as ONE tiny state
+    * row per user (lastMs, score, n) instead of any event history. The
+    * fold uses the mergeable-decay algebra: score(T) = Σ vᵢ·e^(−(T−tᵢ)/τ)
+    * means an in-order event advances T and decays the carried score,
+    * while a LATE event (tᵢ < T) simply adds vᵢ·e^(−(T−tᵢ)/τ) without
+    * touching T — so the final state is arrival-order-independent (up to
+    * fp) and equals the batch closed form exactly; `StreamingSpec` pins
+    * the parity. Update-mode output: one row per touched user per batch.
+    */
+  def decayScores(events: DataFrame, tauDays: Double): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tauMs = tauDays * 86400000.0
+    events.selectExpr("user_id", "ts", "value").as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[DecayState, (Long, Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[DecayState]) =>
+          var st = state.getOption.getOrElse(DecayState(0L, 0.0, 0L))
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            st =
+              if (st.n == 0L) DecayState(t, e.value, 1L)
+              else if (t >= st.lastMs) DecayState(t,
+                st.score * math.exp(-(t - st.lastMs) / tauMs) + e.value,
+                st.n + 1)
+              else DecayState(st.lastMs, // late event: discount it, keep T
+                st.score + e.value * math.exp(-(st.lastMs - t) / tauMs),
+                st.n + 1)
+          }
+          state.update(st)
+          (user, st.lastMs, st.n, st.score)
+      }
+      .toDF("user_id", "last_ms", "n_events", "decayed_score")
+  }
+
   /** Stream-stream interval join: attribute each `right` event (e.g. a
     * purchase) to the `left` events of the same key within the trailing
     * `maxDelayMinutes` (e.g. the views that preceded it). Both sides are

@@ -36,6 +36,7 @@ class WindowAuditSpec extends SparkSpecBase {
       "m22 (distinct discretized values); m22's range-partitioned shape " +
       "is the scale path"),
     "m28_mutual_information" -> "joint-distribution cells: |x| x |y| rows",
+    "m37_cramers_v" -> "full contingency grid: |types| x 7 rows",
     "w2_rolling_mean_7" -> "daily calendar frame: one row per day",
     "w3_rolling_stats" -> "daily calendar frame: one row per day",
     "w4_pct_change" -> "daily calendar frame: one row per day",

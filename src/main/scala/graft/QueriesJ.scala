@@ -29,7 +29,8 @@ object QueriesJ {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       // 3 consumers (pa, pb, norms) — materialize once
-      val proj = Similarity.signProject(emb, "vec_id", "embedding", 32)
+      val proj = Similarity.signProject(emb, "vec_id", "embedding", 32,
+          dim = Tables.embeddingDim)
         .localCheckpoint(true)
       val ids = emb.select(col("vec_id").cast("long").as("id"))
       val pairs = ids.where(col("id") % 20 === 0).select(col("id").as("id_a"))

@@ -20,7 +20,8 @@ object SparkEntry {
   def catalog: Seq[Queries.Q] =
     Queries.all ++ QueriesB.all ++ QueriesC.all ++ QueriesD.all ++
       QueriesE.all ++ QueriesF.all ++ QueriesG.all ++ QueriesH.all ++
-      QueriesI.all ++ QueriesJ.all ++ QueriesK.all ++ QueriesL.all
+      QueriesI.all ++ QueriesJ.all ++ QueriesK.all ++ QueriesL.all ++
+      QueriesM.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

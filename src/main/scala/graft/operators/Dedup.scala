@@ -634,4 +634,43 @@ object Dedup {
     }.reduce((x, y) => x.bitwiseOR(y))
     voted.select(col(idCol), fp.as("simhash"))
   }
+
+  /** Pigeonhole-blocked SimHash hamming pair search: split the 56-bit
+    * fingerprint into `maxHamming + 1` equal blocks — any pair within
+    * `maxHamming` differing bits must agree EXACTLY on at least one
+    * block (pigeonhole), so candidates come from an equi-join on
+    * (block index, block value) with guaranteed recall 1.0, and the
+    * hamming verify (`bit_count(xor)`) runs only on collisions. The
+    * candidate space is Σ per-block-bucket² — never N². Unlike
+    * `minHashLshPairs` (where the r8 A/B promoted the band-KEY-only
+    * join because the carried signature is 2·numBands·numHashes longs),
+    * here the whole signature IS one long, so carrying it through the
+    * join is cheaper than two verify joins back — the same byte ledger,
+    * opposite verdict. Output: (id_a, id_b, hamming).
+    */
+  def simHashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    require(56 % blocks == 0,
+      s"maxHamming + 1 = $blocks must divide the 56-bit fingerprint")
+    val blockBits = 56 / blocks
+    val fp = simHash(df, textCol, idCol).localCheckpoint(true)
+    val blocked = fp.select(col(idCol), col("simhash"),
+        explode(array((0 until blocks).map(b => struct(lit(b).as("blk"),
+          shiftright(col("simhash"), b * blockBits)
+            .bitwiseAND(lit((1L << blockBits) - 1)).as("bv"))): _*)).as("e"))
+      .select(col(idCol), col("simhash"),
+        col("e.blk").as("blk"), col("e.bv").as("bv"))
+    blocked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+        col("blk"), col("bv"))
+      .join(blocked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+        col("blk"), col("bv")), Seq("blk", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

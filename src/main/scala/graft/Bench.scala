@@ -50,11 +50,15 @@ import org.apache.spark.sql.SparkSession
   *      fan-out's per-job fixed costs amortize.
   *
   * Window selection keeps the LOWER cleaned median wherever two windows
-  * exist (re-measure, anchor re-run) — correct under the one-sided
-  * noise model but mildly optimistic on a genuinely noisy host, so the
-  * rejected window's reps are always recorded (`reps_rejected`,
-  * `anchor_reps_rejected`, `isolated_rejected`) rather than discarded:
-  * both windows are on the record and the selection is auditable.
+  * exist (re-measure; the anchor and anchor10x forks now ALWAYS run two
+  * windows — round-8 evidence showed a window uniformly inflated ~40%
+  * by external load with max/min spread < 2, invisible to every
+  * within-window check) — correct under the one-sided noise model but
+  * mildly optimistic on a genuinely noisy host, so the rejected
+  * window's reps are always recorded (`reps_rejected`,
+  * `anchor_reps_rejected`, `anchor10x_reps_rejected`,
+  * `isolated_rejected`) rather than discarded: both windows are on the
+  * record and the selection is auditable.
   *
   * Output: the printed JSON line leads with the (alphabetical, 3-decimal)
   * per-query map so a bounded log tail keeps the end of the line intact;
@@ -359,17 +363,15 @@ object Bench {
       if (!genOk) None
       else {
         val first = anchorOnce(rawDir, repeat = 5)
-        // A >2x max/min spread means load bursts hit the window; re-run
-        // once after a cooldown and keep the window with the lower
-        // OUTLIER-CLEANED median (the burst reps themselves no longer
-        // decide either the comparison or the final number).
-        val needRerun = first.exists { r =>
-          r.reps.nonEmpty &&
-            r.reps.max / math.max(r.reps.min, 1e-9) > 2.0
-        }
-        val second =
-          if (needRerun) { Thread.sleep(10000); anchorOnce(rawDir, 5) }
-          else None
+        // Two windows UNCONDITIONALLY (round-8 session evidence): a
+        // window can be UNIFORMLY inflated by external load — reps
+        // 13.3-16.5 s with max/min spread < 2 on a host whose quiet
+        // windows measure 9.2-10.4 s — which the spread check cannot
+        // see. The lower OUTLIER-CLEANED median wins and the losing
+        // window's reps land in anchor_reps_rejected; ~75 s of extra
+        // bench wall buys an anchor headline that no single burst
+        // period can set.
+        val second = { Thread.sleep(10000); anchorOnce(rawDir, 5) }
         val windows = Seq(first, second).flatten
         val chosen = windows.sortBy(r => cleanMedian(r.reps, r.median))
           .headOption
@@ -394,6 +396,7 @@ object Bench {
     // ITS scale). SPARK_GRAFT_ANCHOR10X=0 disables; one fork, warm
     // median of 3 with the same outlier-cleaning discipline.
     var anchor10Reps: Seq[Double] = Seq.empty
+    var anchor10RepsRejected: Seq[Double] = Seq.empty
     var anchor10Rows: Option[Long] = None
     val anchor10Median: Option[Double] =
       if (!anchorEnabled || anchorMedian.isEmpty ||
@@ -416,10 +419,19 @@ object Bench {
           }
         }
         if (!bigOk) None
-        else anchorOnce(bigDir, repeat = 3).map { r =>
-          anchor10Reps = r.reps
-          anchor10Rows = r.rows
-          cleanMedian(r.reps, r.median)
+        else {
+          // same two-window discipline as the 1x anchor
+          val first = anchorOnce(bigDir, repeat = 3)
+          val second = { Thread.sleep(10000); anchorOnce(bigDir, 3) }
+          val windows = Seq(first, second).flatten
+          val chosen = windows.sortBy(r => cleanMedian(r.reps, r.median))
+            .headOption
+          chosen.map { r =>
+            anchor10Reps = r.reps
+            anchor10RepsRejected = windows.filterNot(_ == r).flatMap(_.reps)
+            anchor10Rows = r.rows
+            cleanMedian(r.reps, r.median)
+          }
         }
       } catch { case _: Throwable => None }
 
@@ -452,8 +464,12 @@ object Bench {
           val eps = anchor10Rows
             .map(rw => s""","anchor10x_events_per_sec":${(rw / a10).toLong}""")
             .getOrElse("")
+          val rej10 =
+            if (anchor10RepsRejected.isEmpty) ""
+            else s""","anchor10x_reps_rejected":[${
+              anchor10RepsRejected.mkString(",")}]"""
           s""","anchor10x_median_s":$a10""" +
-            s""","anchor10x_reps":[${anchor10Reps.mkString(",")}]""" +
+            s""","anchor10x_reps":[${anchor10Reps.mkString(",")}]""" + rej10 +
             anchor10Rows.map(rw => s""","anchor10x_rows":$rw""").getOrElse("") +
             eps
         }.getOrElse("")

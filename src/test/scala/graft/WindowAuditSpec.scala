@@ -39,6 +39,8 @@ class WindowAuditSpec extends SparkSpecBase {
     "m37_cramers_v" -> "full contingency grid: |types| x 7 rows",
     "w29_cusum_changepoint" -> "calendar-bounded daily frame (m29's argument)",
     "w30_rolling_corr" -> "calendar-bounded daily frame (m29's argument)",
+    "m41_runs_test" -> "calendar-bounded daily frame (m29's argument)",
+    "m42_markov_entropy" -> "transition cells: |types| x |types| rows",
     "w2_rolling_mean_7" -> "daily calendar frame: one row per day",
     "w3_rolling_stats" -> "daily calendar frame: one row per day",
     "w4_pct_change" -> "daily calendar frame: one row per day",

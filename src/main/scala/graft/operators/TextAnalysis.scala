@@ -281,11 +281,48 @@ object TextAnalysis {
     * 100 TB corpus scrubs as embarrassingly-parallel per-doc work.
     * Returns (idCol, n_tokens, n_removed, cleaned_md5) — the md5 stands
     * in for the rebuilt text so the result row stays narrow; callers
-    * wanting the text itself take `keptText` = the same aggregate without
-    * the hash.
+    * wanting the text itself use [[repeatedSpanScrubText]], the same
+    * aggregate without the hash.
     */
   def repeatedSpanScrub(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    val (base, kept) = scrubKeptTokens(df, idCol, textCol, k)
+    val agg = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            e => e.getField("tok")))).as("cleaned_md5"))
+    base.select(col(idCol), size(col("tk")).cast("long").as("n_tokens"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+  }
+
+  /** [[repeatedSpanScrub]] returning the rebuilt text itself (wide rows;
+    * prefer the hashed form for audits): (idCol, cleaned_text). The
+    * reconstruction lowercases and single-space-joins, i.e. the
+    * tokenization's normalization — document-level whitespace/case is
+    * not preserved through a token-level scrub.
+    */
+  def repeatedSpanScrubText(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val (base, kept) = scrubKeptTokens(df, idCol, textCol, k)
+    val agg = kept.groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          e => e.getField("tok"))).as("cleaned_text"))
+    base.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  /** Shared core of the span scrub: (base with token arrays, surviving
+    * positioned tokens after the covered-position anti-join).
+    */
+  private def scrubKeptTokens(df: DataFrame, idCol: String,
+      textCol: String, k: Int): (DataFrame, DataFrame) = {
     require(k >= 2, s"span length must be >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
     val (base, toks) = positionedTokens(df, idCol, textCol)
@@ -304,17 +341,7 @@ object TextAnalysis {
       .select(col(idCol),
         explode(sequence(col("p"), col("p") + lit(k - 1))).as("p"))
       .distinct()
-    val kept = toks.join(covered, Seq(idCol, "p"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n_kept"),
-        md5(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
-            e => e.getField("tok")))).as("cleaned_md5"))
-    base.select(col(idCol), size(col("tk")).cast("long").as("n_tokens"))
-      .join(kept, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+    (base, toks.join(covered, Seq(idCol, "p"), "left_anti"))
   }
 
   /** Winnowing-style minimizer sketch: over every length-`w` window of

@@ -28,6 +28,18 @@ class SpanMinimizerSpec extends SparkSpecBase {
     assert(out.getAs[String]("cleaned_md5") === md5Of("a b c d"))
   }
 
+  test("repeatedSpanScrubText rebuilds the exact surviving token stream") {
+    val df = Seq((1L, "a b c a b c d"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedSpanScrubText(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a b c d")
+    assert(!out.contains(2L)) // blank docs are excluded, as in the scrub
+    // text form and hashed form agree by construction
+    val h = TextAnalysis.repeatedSpanScrub(df, "doc_id", "text", k = 3)
+      .collect().head.getAs[String]("cleaned_md5")
+    assert(h === md5Of(out(1L)))
+  }
+
   test("repeatedSpanScrub is identity on repeat-free text") {
     val df = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val out = TextAnalysis.repeatedSpanScrub(df, "doc_id", "text", k = 3)

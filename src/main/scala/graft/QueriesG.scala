@@ -243,18 +243,9 @@ object QueriesG {
   // 16-row per-asset frame — is exactly what it would keep at 100 TB.
   val mm3 = Q("mm3_raster_pool",
     (s, d) => {
-      val assets = Multimodal.toAssets(
-        docs(s, d).where(length(col("text")) >= 64), "doc_id", "text", "image")
-      val h = hex(col("payload"))
-      def pix(byteIdx: org.apache.spark.sql.Column) =
-        conv(h.substr(byteIdx * 2 + 1, lit(2)), 16, 10).cast("int")
-      val withPool = assets
-        .withColumn("pool_idx", explode(sequence(lit(0), lit(15))))
-        .withColumn("__b", (col("pool_idx") / 4).cast("int") * 16 +
-          pmod(col("pool_idx"), lit(4)) * 2)
-        .withColumn("pooled",
-          (pix(col("__b")) + pix(col("__b") + 1) +
-            pix(col("__b") + 8) + pix(col("__b") + 9)) / 4.0)
+      val withPool = Multimodal.rasterPool16(Multimodal.toAssets(
+        docs(s, d).where(length(col("text")) >= 64), "doc_id", "text",
+        "image"))
       val w = Window.partitionBy(col("asset_id"))
       withPool.select(col("asset_id"), col("pool_idx"),
         round(col("pooled") + lit(1e-9), 2).as("pooled"),

@@ -56,10 +56,19 @@ object QueriesN {
       val pairs = e
         .join(deg.select(col("v").as("s1"), col("deg").as("da")), "s1")
         .join(deg.select(col("v").as("s2"), col("deg").as("db")), "s2")
+      // corr() written out as covar_pop/(σx·σy) behind a lazy when():
+      // Spark's Corr throws DIVIDE_BY_ZERO under ANSI on a degenerate
+      // graph (no edges, or all degrees equal — sf0.001's backbone),
+      // where DuckDB's corr returns NULL; the guarded form returns NULL
+      // on both engines and is identical at 6 dp otherwise.
       pairs.select(col("da").as("x"), col("db").as("y"))
         .unionAll(pairs.select(col("db").as("x"), col("da").as("y")))
         .agg(count(lit(1)).as("n_endpoints"),
-          round(corr(col("x"), col("y")) + lit(1e-9), 6)
+          covar_pop(col("x"), col("y")).as("__cv"),
+          stddev_pop(col("x")).as("__sx"), stddev_pop(col("y")).as("__sy"))
+        .select(col("n_endpoints"),
+          round(when(col("__sx") * col("__sy") > 0,
+            col("__cv") / (col("__sx") * col("__sy"))) + lit(1e-9), 6)
             .as("assortativity"))
     },
     Some("""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp

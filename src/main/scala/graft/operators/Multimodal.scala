@@ -180,4 +180,78 @@ object Multimodal {
     }
     DecodedRow(r.asset_id, w, h, sum.toDouble / (w.toLong * h))
   }
+
+  /** Windowed RMS energy over an audio-like binary payload — the
+    * frame-level feature pass (silence detection, VAD pre-filter) an
+    * audio corpus runs before transcription. The payload is interpreted
+    * as unsigned 8-bit PCM; the STUB codec here is "UTF-8 decode +
+    * non-ASCII scrub, code point − 32 = amplitude" so the result is
+    * deterministic and cross-engine oracle-checkable — a real deployment
+    * swaps the sample extraction for a PCM/Opus decoder with the SAME
+    * (asset_id, frame_idx, n_samples, rms, is_silence) contract.
+    *
+    * Shape is the real thing: per-row bounded decode (`maxSamples` caps
+    * bytes read per asset), a generate (explode) that never shuffles,
+    * and ONE aggregate keyed (asset, frame) — at 100 TB the frame grid
+    * partitions on asset_id with the scan.
+    */
+  /** mm3's in-plan raster decode: the first 64 payload bytes as an 8×8
+    * grayscale raster, average-pooled to 4×4 — (asset_id, pool_idx,
+    * pooled) with pool cells in row-major order. Byte reads are hex
+    * substring + base-16 conv (codegen'd string ops, reproducible in
+    * the oracle); a real codec replaces only this byte→pixel read.
+    * Shared by the raster stats query (mm3) and [[aHash16]] so the two
+    * can never decode differently.
+    */
+  def rasterPool16(assets: DataFrame): DataFrame = {
+    val h = hex(col("payload"))
+    def pix(byteIdx: org.apache.spark.sql.Column) =
+      conv(h.substr(byteIdx * 2 + 1, lit(2)), 16, 10).cast("int")
+    assets
+      .withColumn("pool_idx", explode(sequence(lit(0), lit(15))))
+      .withColumn("__b", (col("pool_idx") / 4).cast("int") * 16 +
+        pmod(col("pool_idx"), lit(4)) * 2)
+      .withColumn("pooled",
+        (pix(col("__b")) + pix(col("__b") + 1) +
+          pix(col("__b") + 8) + pix(col("__b") + 9)) / 4.0)
+      .select(col("asset_id"), col("pool_idx"), col("pooled"))
+  }
+
+  /** 16-bit average-hash perceptual fingerprint: bit i set iff pool
+    * cell i sits above the image mean. Pool means are quarter-integers
+    * and the image mean a /16 of their sum — both exact in binary, so
+    * the > compare (and therefore the hash) is bit-identical
+    * cross-engine. One groupBy per asset; the fold over collected cells
+    * is order-independent (commutative sum of per-cell bits).
+    */
+  def aHash16(assets: DataFrame): DataFrame =
+    rasterPool16(assets)
+      .groupBy(col("asset_id"))
+      .agg(sum(col("pooled")).as("__tot"),
+        collect_list(struct(col("pool_idx"), col("pooled"))).as("__c"))
+      .select(col("asset_id"),
+        aggregate(col("__c"), lit(0L), (acc, c) =>
+          acc + when(c.getField("pooled") > col("__tot") / 16,
+            pow(lit(2.0), c.getField("pool_idx")).cast("long"))
+            .otherwise(lit(0L))).as("phash"))
+
+  def audioFrameEnergy(assets: DataFrame, frameLen: Int = 256,
+      maxSamples: Int = 1024, silenceRms: Double = 16.0): DataFrame = {
+    val base = assets.select(col("asset_id"),
+        substring(regexp_replace(col("payload").cast("string"),
+          "[^ -~]", ""), 1, maxSamples).as("__s"))
+      .where(length(col("__s")) >= frameLen)
+    base.select(col("asset_id"), col("__s"),
+        posexplode(sequence(lit(1), length(col("__s"))))
+          .as(Seq("__p", "__i")))
+      .select(col("asset_id"),
+        floor((col("__i") - 1) / frameLen).cast("long").as("frame_idx"),
+        (ascii(col("__s").substr(col("__i"), lit(1))) - 32)
+          .cast("double").as("__amp"))
+      .groupBy(col("asset_id"), col("frame_idx"))
+      .agg(count(lit(1)).as("n_samples"),
+        round(sqrt(avg(col("__amp") * col("__amp"))) + lit(1e-9), 6)
+          .as("rms"))
+      .withColumn("is_silence", col("rms") < silenceRms)
+  }
 }

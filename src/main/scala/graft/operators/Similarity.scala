@@ -501,4 +501,47 @@ object Similarity {
     lshCandidates(base, d, numPlanes, numTables, "id_a", "id_b",
       ordered = true)
   }
+
+  /** Hard-negative mining for contrastive training: for each ANCHOR
+    * vector, the k most cosine-similar corpus vectors carrying a
+    * DIFFERENT label — the near-misses a retrieval/embedding model
+    * learns the most from. `anchors` is a one-column frame of ids
+    * (mining runs over a designated anchor subset, not all N, so the
+    * pair space is |anchors|·N, not N²); the anchor side is broadcast
+    * and the label constraint is applied inside the pair loop, BEFORE
+    * the top-k window, so negatives never crowd out slots.
+    *
+    * At corpus scale the same different-label filter + vote window
+    * composes over [[lshTopKAuto]]'s bucketed candidates instead of the
+    * exact pair loop — the mining logic is agnostic to where its
+    * candidate rows come from (same split as [[knnClassify]]).
+    */
+  def hardNegatives(df: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("long").as("lbl"),
+        transform(col(vecCol), x => x.cast("double")).as("raw"))
+    val unit = Fan.outIfNarrow(base)
+      .select(col("id"), col("lbl"),
+        transform(col("raw"), x => x / l2Norm(col("raw"))).as("vec"))
+      .localCheckpoint(true)
+    val a = unit
+      .join(anchors.select(col(idCol).cast("long").as("id")), Seq("id"),
+        "left_semi")
+      .select(col("id").as("anchor_id"), col("lbl").as("anchor_label"),
+        col("vec").as("vec_a"))
+    val r = unit.select(col("id").as("neg_id"), col("lbl").as("neg_label"),
+      col("vec").as("vec_b"))
+    val pairs = broadcast(a).crossJoin(r)
+      .where(col("anchor_label") =!= col("neg_label"))
+      .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+        col("neg_label"), fastDot(col("vec_a"), col("vec_b")).as("cosine"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("neg_id"))
+    pairs.withColumn("hn_rank", row_number().over(w))
+      .where(col("hn_rank") <= k)
+      .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+        col("neg_label"), col("hn_rank"),
+        round(col("cosine") + lit(1e-9), 6).as("cosine"))
+  }
 }

@@ -217,4 +217,85 @@ object Stats {
       .groupBy("series_a", "series_b")
       .agg(count(lit(1)).as("n_aligned"), corr(col("v_a"), col("v_b")).as("pearson_r"))
   }
+
+  /** Kaplan-Meier product-limit survival estimator with right-censoring:
+    * `df` is one row per subject with a `durCol` (time observed) and an
+    * `eventCol` (1 = the terminal event happened, 0 = censored — the
+    * subject was still alive when observation ended). Output is one row
+    * per distinct duration that carries at least one terminal event:
+    * at-risk count, events, censored, and the running survival estimate
+    * S(t) = Π_{t_i<=t} (1 − d_i/n_i).
+    *
+    * One groupBy on duration reduces subjects to the duration grid, so
+    * the ordered window that forms the cumulative product runs over at
+    * most |distinct durations| rows — calendar-bounded here (events span
+    * 30 days), which is what keeps the unpartitioned window safe (see
+    * WindowAuditSpec's allowlist). The 1e-300 guard keeps ln() finite
+    * when the last duration's events exhaust the risk set (S(t) = 0);
+    * after 6-dp rounding the guarded value is exactly 0 on both engines.
+    */
+  def kaplanMeier(df: DataFrame, durCol: String, eventCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = df.groupBy(col(durCol).as("dur"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col(eventCol).cast("long")).as("n_events"))
+      .withColumn("n_censored", col("n_total") - col("n_events"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val prior = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.crossJoin(n)
+      .withColumn("n_at_risk",
+        col("__n") - coalesce(sum(col("n_total")).over(prior), lit(0L)))
+      .withColumn("__f", greatest(
+        lit(1.0) - col("n_events").cast("double") / col("n_at_risk"),
+        lit(1e-300)))
+      .withColumn("survival",
+        round(exp(sum(log(col("__f"))).over(upto)) + lit(1e-9), 6))
+      .where(col("n_events") > 0)
+      .select(col("dur"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("survival"))
+  }
+
+  /** Interpolated quantile mapping of a per-group score onto a reference
+    * group's distribution (histogram matching / distribution
+    * harmonization — how multi-source quality scores are put on one
+    * scale before a corpus-wide threshold is applied). Each row gets its
+    * within-group percent_rank (ties broken by `idCol`, so the rank is
+    * deterministic), then reads the reference group's interpolated
+    * quantile at that rank from a B-knot quantile table computed in ONE
+    * aggregate and broadcast as a single array row — no join keyed on
+    * rank, no per-row search: `mapped = q[j] + frac·(q[j+1] − q[j])`
+    * with `j = min(floor(rank·B), B−1)` is pure column algebra.
+    *
+    * The rank window is partitioned by `groupCol` (bounded by the
+    * largest single group, never the corpus); the quantile knots are
+    * exact `percentile` (linear interpolation, the percentile_cont
+    * semantics DuckDB's quantile_cont shares, which is what makes the
+    * op oracle-checkable).
+    */
+  def quantileMap(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, refGroup: String, knots: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = array((0 to knots).map(j => lit(j.toDouble / knots)): _*)
+    val ref = df.where(col(groupCol) === refGroup)
+      .agg(percentile(col(scoreCol).cast("double"), ps).as("__qs"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(idCol))
+    val j = least(floor(col("__pr") * knots), lit(knots - 1)).cast("int")
+    df.select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("__pr", percent_rank().over(w))
+      .crossJoin(broadcast(ref))
+      .withColumn("__j", j)
+      .withColumn("__q0", element_at(col("__qs"), col("__j") + 1))
+      .withColumn("__q1", element_at(col("__qs"), col("__j") + 2))
+      .withColumn("mapped_score", round(
+        col("__q0") + (col("__pr") * knots - col("__j")) *
+          (col("__q1") - col("__q0")) + lit(1e-9), 6))
+      .withColumn("pct_rank", round(col("__pr") + lit(1e-9), 6))
+      .select(col(idCol), col(groupCol), col(scoreCol), col("pct_rank"),
+        col("mapped_score"))
+  }
 }

@@ -406,4 +406,47 @@ object TextAnalysis {
     val freq = dm.groupBy(col("minz")).agg(count(lit(1)).as("__df"))
     dm.join(freq.where(col("__df") <= maxDf).select(col("minz")), "minz")
   }
+
+  /** The whitespace token stream shared by the vocabulary ops below —
+    * same normalization as the frequency/TF-IDF family (lower + trim +
+    * `\s+` split, empty tokens dropped).
+    */
+  private def tokenStream(df: DataFrame, textCol: String,
+      carry: Seq[String]): DataFrame =
+    df.select(carry.map(col) :+
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"): _*)
+      .where(length(col("token")) > 0)
+
+  /** Corpus vocabulary: the `size` most frequent tokens, ties broken
+    * lexicographically so the cut is deterministic. One count shuffle +
+    * a TakeOrdered top-K — no global window, so the counting side scales
+    * with distinct-token cardinality while the result stays broadcast-
+    * sized (a vocabulary is small by construction).
+    */
+  def vocabulary(df: DataFrame, textCol: String, size: Int): DataFrame =
+    tokenStream(df, textCol, Seq.empty)
+      .groupBy(col("token")).agg(count(lit(1)).as("token_freq"))
+      .orderBy(col("token_freq").desc, col("token").asc)
+      .limit(size)
+
+  /** Out-of-vocabulary rate per group — the tokenizer-coverage audit an
+    * LLM corpus runs before training (a source whose OOV rate spikes is
+    * mis-tokenized or off-distribution). The vocabulary is built on the
+    * corpus itself and BROADCAST back onto the token stream (it is
+    * top-`vocabSize` by construction), so the big side sees one
+    * map-side membership probe plus its per-group aggregate: two
+    * shuffles total at any corpus size, neither keyed on the token.
+    */
+  def oovByGroup(df: DataFrame, textCol: String, groupCol: String,
+      vocabSize: Int): DataFrame = {
+    val vocab = vocabulary(df, textCol, vocabSize)
+      .select(col("token"), lit(1).as("__in_vocab"))
+    tokenStream(df, textCol, Seq(groupCol))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens") + lit(1e-9), 6))
+  }
 }

@@ -181,20 +181,6 @@ object Multimodal {
     DecodedRow(r.asset_id, w, h, sum.toDouble / (w.toLong * h))
   }
 
-  /** Windowed RMS energy over an audio-like binary payload — the
-    * frame-level feature pass (silence detection, VAD pre-filter) an
-    * audio corpus runs before transcription. The payload is interpreted
-    * as unsigned 8-bit PCM; the STUB codec here is "UTF-8 decode +
-    * non-ASCII scrub, code point − 32 = amplitude" so the result is
-    * deterministic and cross-engine oracle-checkable — a real deployment
-    * swaps the sample extraction for a PCM/Opus decoder with the SAME
-    * (asset_id, frame_idx, n_samples, rms, is_silence) contract.
-    *
-    * Shape is the real thing: per-row bounded decode (`maxSamples` caps
-    * bytes read per asset), a generate (explode) that never shuffles,
-    * and ONE aggregate keyed (asset, frame) — at 100 TB the frame grid
-    * partitions on asset_id with the scan.
-    */
   /** mm3's in-plan raster decode: the first 64 payload bytes as an 8×8
     * grayscale raster, average-pooled to 4×4 — (asset_id, pool_idx,
     * pooled) with pool cells in row-major order. Byte reads are hex
@@ -235,6 +221,20 @@ object Multimodal {
             pow(lit(2.0), c.getField("pool_idx")).cast("long"))
             .otherwise(lit(0L))).as("phash"))
 
+  /** Windowed RMS energy over an audio-like binary payload — the
+    * frame-level feature pass (silence detection, VAD pre-filter) an
+    * audio corpus runs before transcription. The payload is interpreted
+    * as unsigned 8-bit PCM; the STUB codec here is "UTF-8 decode +
+    * non-ASCII scrub, code point − 32 = amplitude" so the result is
+    * deterministic and cross-engine oracle-checkable — a real deployment
+    * swaps the sample extraction for a PCM/Opus decoder with the SAME
+    * (asset_id, frame_idx, n_samples, rms, is_silence) contract.
+    *
+    * Shape is the real thing: per-row bounded decode (`maxSamples` caps
+    * bytes read per asset), a generate (explode) that never shuffles,
+    * and ONE aggregate keyed (asset, frame) — at 100 TB the frame grid
+    * partitions on asset_id with the scan.
+    */
   def audioFrameEnergy(assets: DataFrame, frameLen: Int = 256,
       maxSamples: Int = 1024, silenceRms: Double = 16.0): DataFrame = {
     val base = assets.select(col("asset_id"),

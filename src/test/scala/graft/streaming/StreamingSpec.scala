@@ -58,6 +58,27 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("CountMin.sketch is streaming-compatible unchanged: AvailableNow " +
+      "cells equal the batch cells") {
+    import graft.operators.CountMin
+    def items(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(concat(col("event_type"), lit(":"),
+        pmod(col("user_id"), lit(50))).as("item"))
+    val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
+    val streamed = Streaming.runAvailableNow(spark,
+      CountMin.sketch(items(stream), "item", depth = 4, width = 128),
+      "st_spec_cms")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val batch = CountMin.sketch(
+      items(graft.Tables.events(spark, sf("sf0.001"))),
+      "item", depth = 4, width = 128)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed === batch)
+  }
+
   test("windowed aggregation with watermark runs to completion") {
     val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
     val out = Streaming.runAvailableNow(spark,

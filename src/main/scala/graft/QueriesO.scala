@@ -327,28 +327,32 @@ object QueriesO {
   // 4-bit blocks, so candidates are an equi-join with recall 1.0, never
   // all-pairs. The multimodal dedup row: sketch composition over the
   // decode path, with the same stub-codec/real-plumbing split as mm3.
+  /** The mm6 pair pipeline on an arbitrary asset frame — shared with
+    * the 10x scale probe so the probed plan IS the catalog plan.
+    */
+  def phashPairs(assets: DataFrame): DataFrame = {
+    val ph = Multimodal.aHash16(assets).localCheckpoint(true)
+    val blocks = ph.select(col("asset_id"), col("phash"),
+      posexplode(array((0 until 4).map(r =>
+        pmod(shiftright(col("phash"), 4 * r), lit(16))): _*))
+        .as(Seq("r", "blk")))
+    val cand = blocks.select(col("asset_id").as("asset_a"),
+        col("phash").as("ha"), col("r"), col("blk"))
+      .join(blocks.select(col("asset_id").as("asset_b"),
+        col("phash").as("hb"), col("r"), col("blk")), Seq("r", "blk"))
+      .where(col("asset_a") < col("asset_b"))
+      .select(col("asset_a"), col("asset_b"), col("ha"), col("hb"))
+      .distinct()
+    cand.select(col("asset_a"), col("asset_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= 2)
+  }
+
   val mm6 = Q("mm6_phash_neardup",
-    (s, d) => {
-      val assets = Multimodal.toAssets(
-        docs(s, d).where(length(col("text")) >= 64), "doc_id", "text",
-        "image")
-      val ph = Multimodal.aHash16(assets).localCheckpoint(true)
-      val blocks = ph.select(col("asset_id"), col("phash"),
-        posexplode(array((0 until 4).map(r =>
-          pmod(shiftright(col("phash"), 4 * r), lit(16))): _*))
-          .as(Seq("r", "blk")))
-      val cand = blocks.select(col("asset_id").as("asset_a"),
-          col("phash").as("ha"), col("r"), col("blk"))
-        .join(blocks.select(col("asset_id").as("asset_b"),
-          col("phash").as("hb"), col("r"), col("blk")), Seq("r", "blk"))
-        .where(col("asset_a") < col("asset_b"))
-        .select(col("asset_a"), col("asset_b"), col("ha"), col("hb"))
-        .distinct()
-      cand.select(col("asset_a"), col("asset_b"),
-          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
-            .as("hamming"))
-        .where(col("hamming") <= 2)
-    },
+    (s, d) => phashPairs(Multimodal.toAssets(
+      docs(s, d).where(length(col("text")) >= 64), "doc_id", "text",
+      "image")),
     Some("""WITH a AS (SELECT doc_id AS asset_id, hex(encode(text)) AS h
         FROM documents WHERE length(text) >= 64),
       i AS (SELECT asset_id, h, unnest(generate_series(0, 15)) AS pool_idx

@@ -134,7 +134,31 @@ object ScaleProbe {
           numPlanes = 4, numTables = 8, dim = Tables.embeddingDim),
         () => Similarity.lshTopK(embBig, "vec_id", "embedding", k = 5,
           numPlanes = planesBig, numTables = 8,
-          dim = Tables.embeddingDim)))
+          dim = Tables.embeddingDim)),
+      // Misra-Gries (round 8, part O): the sketch's entire claim is that
+      // shuffle volume is partitions × k regardless of corpus size — the
+      // probe pins ~linear wall growth (scan-bound, k=8 forces constant
+      // decrementing against the 31-token stream).
+      ("m43_mg_sketch",
+        () => {
+          import spark.implicits._
+          graft.operators.HeavyHitters.misraGries(
+            docs.select(explode(split(lower(trim(col("text"))), "\\s+"))
+              .as("token")).where(length(col("token")) > 0).as[String], 8)
+        },
+        () => {
+          import spark.implicits._
+          graft.operators.HeavyHitters.misraGries(
+            docsBig.select(explode(split(lower(trim(col("text"))), "\\s+"))
+              .as("token")).where(length(col("token")) > 0).as[String], 8)
+        }),
+      // mm6's phash block join is deliberately NOT probed at 10x: a
+      // 16-bit aHash saturates by birthday effect near 50K assets (the
+      // RESULT grows ~quadratically, so a wall ratio measures output
+      // size, not join shape). The pigeonhole equi-join's scale
+      // evidence is t49's 64-bit SimHash twin — same block-index shape,
+      // collision-free hash width.
+      )
 
     val entries = probes.map { case (name, baseFn, bigFn) =>
       val (baseS, baseN) = timeCount(baseFn)

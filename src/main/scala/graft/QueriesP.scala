@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
 import graft.operators.{CountMin, Dedup, FeatureEng, Graph}
+import graft.sources.{Readers, Writers}
 
 /** Catalog part P (round 8 continuation): streaming-ready count-min
   * cells, leakage-protected target encoding, the feature-hashing trick,
@@ -145,5 +146,87 @@ object QueriesP {
         FROM t LEFT JOIN c3 ON t.id = c3.id, d3)
       SELECT id, round(r + 1e-9, 6) AS ppr FROM r3"""))
 
-  val all: Seq[Q] = Seq(st5, m46, t54, g7)
+  // X124 — ORC sink + scan roundtrip: format breadth for
+  // Hive/Trino-adjacent estates; the cleaned event projection goes out
+  // as zstd ORC and comes back through the ORC reader (same
+  // pushdown/pruning machinery as parquet), oracled against the
+  // original parquet — any writer/reader type drift flips the gate.
+  val o14 = Q("o14_orc_roundtrip",
+    (s, d) => {
+      val tmp = s"/tmp/graft_o14-${new java.io.File(d).getName}"
+      Writers.writeOrc(ev(s, d)
+        .where(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).as("dte")), tmp)
+      Readers.readOrc(s, tmp)
+        .where(col("value") > 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("dte")).as("first_day"),
+          round(sum(col("value")) + lit(1e-9), 6).as("sum_value"))
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        min(CAST(ts AS DATE)) AS first_day,
+        round(sum(value) + 1e-9, 6) AS sum_value
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND value > 0
+      GROUP BY 1"""))
+
+  // X125 — Jensen-Shannon divergence of each source's token
+  // distribution against the corpus — the bounded (0..ln 2), symmetric
+  // drift metric for MIXTURE decisions (which sources are
+  // off-distribution), complementing m17's value-space PSI. One
+  // (source, token) shuffle; the global distribution derives from it by
+  // a second tiny aggregate; the scoring grid is |sources|·|vocab|
+  // rows of pure column algebra (zero-count sources contribute only
+  // the corpus-side term, handled exactly, not by epsilon).
+  val m47 = Q("m47_source_jsd",
+    (s, d) => {
+      val st = docs(s, d).select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val g = st.groupBy(col("token")).agg(sum(col("c")).as("gc"))
+      val nTot = broadcast(st.agg(sum(col("c")).as("nn")))
+      val srcTot = st.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val grid = srcTot.crossJoin(broadcast(g))
+        .join(st, Seq("source", "token"), "left")
+        .crossJoin(nTot)
+        .withColumn("p", coalesce(col("c"), lit(0L)) / col("ns"))
+        .withColumn("q", col("gc") / col("nn"))
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .withColumn("tp",
+          when(col("p") > 0, col("p") * log(col("p") / col("m")))
+            .otherwise(lit(0.0)))
+        .withColumn("tq", col("q") * log(col("q") / col("m")))
+      grid.groupBy(col("source"))
+        .agg(first(col("ns")).as("n_tokens"),
+          round((sum(col("tp")) + sum(col("tq"))) / 2 + lit(1e-9), 6)
+            .as("jsd"))
+    },
+    Some("""WITH tok AS (SELECT source,
+        unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents),
+      st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        FROM tok WHERE len(token) > 0 GROUP BY 1, 2),
+      g AS (SELECT token, sum(c) AS gc FROM st GROUP BY 1),
+      nt AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM st),
+      srct AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+        FROM st GROUP BY 1),
+      grid AS (SELECT srct.source, srct.ns, g.token,
+          coalesce(st.c, 0) / CAST(srct.ns AS DOUBLE) AS p,
+          g.gc / nt.nn AS q
+        FROM srct CROSS JOIN g
+        LEFT JOIN st ON st.source = srct.source AND st.token = g.token,
+        nt),
+      terms AS (SELECT source, ns,
+          CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END AS tp,
+          q * ln(q / ((p + q) / 2)) AS tq
+        FROM grid)
+      SELECT source, any_value(ns) AS n_tokens,
+        round((sum(tp) + sum(tq)) / 2 + 1e-9, 6) AS jsd
+      FROM terms GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(st5, m46, t54, g7, o14, m47)
 }

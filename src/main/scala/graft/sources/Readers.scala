@@ -100,6 +100,12 @@ object Readers {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC scan — twin of [[Writers.writeOrc]]; pushdown/pruning work the
+    * same as parquet (verify via explain: PushedFilters on the Orc scan).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S4: partitioned parquet scan. The reference filters file paths by
     * "k=v" substrings manually (io_utils.py:95-120); Spark's partition
     * discovery + Catalyst partition pruning do this from a plain

@@ -20,6 +20,15 @@ object Writers {
       compression: String = "zstd"): Unit =
     df.write.mode("overwrite").option("compression", compression).parquet(path)
 
+  /** ORC sink (format breadth beyond the reference's parquet/CSV —
+    * columnar interchange with Hive/Trino estates; Spark bundles the
+    * ORC reader/writer, same predicate-pushdown and column-pruning
+    * story as parquet).
+    */
+  def writeOrc(df: DataFrame, path: String,
+      compression: String = "zstd"): Unit =
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
   /** S6: hive-partitioned parquet sink. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
       compression: String = "zstd"): Unit =

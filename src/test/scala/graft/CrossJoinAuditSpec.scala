@@ -70,6 +70,9 @@ class CrossJoinAuditSpec extends SparkSpecBase {
     "m37_cramers_v" -> ("bounded broadcast: zero-filled contingency " +
       "grid scaffold (|types| x 7 rows)"),
     "m38_theil_sen" -> "m29's calendar-bounded day-pair argument",
+    "m47_source_jsd" -> ("bounded broadcast: the global token " +
+      "distribution (|vocab| rows, sketch-sized) crossed with the " +
+      "per-source totals to build the |sources| x |vocab| scoring grid"),
     "m6_kmeans_clusters" -> ("bounded broadcast: k centroids against " +
       "vectors each Lloyd round — the assignment loop is the algorithm"),
     "t11_embedding_neardup" -> ("exact-oracle baseline: brute-force " +

@@ -52,6 +52,53 @@ class PartPSpec extends SparkSpecBase {
       math.abs(out((1L, xDim._2)) - 2 * xW) === 1L)
   }
 
+  test("jsd: identical distribution scores 0, disjoint vocabularies " +
+      "score ln 2") {
+    // src 'a' == the corpus half it contributes; against a corpus where
+    // the other half is disjoint, both sources sit strictly inside
+    // (0, ln 2); a one-source corpus scores exactly 0.
+    def jsdOf(rows: Seq[(Long, String, String)]): Map[String, Double] = {
+      val df = rows.toDF("doc_id", "text", "source")
+      val dir = java.nio.file.Files.createTempDirectory("jsd").toString
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // reuse the catalog plan by pointing Tables at the temp layout:
+      // only documents is read by m47
+      graft.QueriesP.m47.fn(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    }
+    val same = jsdOf(Seq((1L, "x y z", "a"), (2L, "x y z", "a")))
+    assert(math.abs(same("a")) < 1e-9)
+    val split = jsdOf(Seq((1L, "x x y", "a"), (2L, "u u v", "b")))
+    // each source is exactly half the corpus with a disjoint vocab:
+    // jsd(p, mix) = ln 2 - H-mixing term; hand value: p has mass only
+    // where q = p/2... jsd = ln(2) - 0.5*ln(2) ... compute directly:
+    // p = (2/3, 1/3) on {x,y}; q = (1/3, 1/6) on them; m = (1/2, 1/4)
+    // tp = 2/3 ln(4/3) + 1/3 ln(4/3) = ln(4/3)
+    // tq over ALL tokens: on x,y: 1/3 ln(2/3) + 1/6 ln(2/3);
+    //   on u,v (p=0): 1/3 ln 2 + 1/6 ln 2
+    // jsd = (ln(4/3) + 0.5 ln(2/3) + 0.5 ln 2)/2
+    val expected = (math.log(4.0 / 3) + 0.5 * math.log(2.0 / 3) +
+      0.5 * math.log(2.0)) / 2
+    assert(math.abs(split("a") - expected) < 1e-6, s"got ${split("a")}")
+    assert(math.abs(split("b") - expected) < 1e-6)
+  }
+
+  test("orc roundtrip preserves schema and values") {
+    import graft.sources.{Readers, Writers}
+    val df = Seq((1L, "a", 1.5, java.sql.Date.valueOf("2024-01-02")),
+      (2L, "b", -0.25, java.sql.Date.valueOf("2024-02-03")))
+      .toDF("id", "k", "v", "d")
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString
+    Writers.writeOrc(df, s"$dir/t")
+    val back = Readers.readOrc(spark, s"$dir/t")
+    // nullable flattens to true through any file format; names+types
+    // must survive exactly
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
+  }
+
   test("personalized pagerank: mass stays on the seed side, non-seed " +
       "sources score zero, total rank bounded by 1") {
     // star: seed 1 -> {10, 11}; disconnected 2 -> 20

@@ -159,39 +159,50 @@ object QueriesO {
         round(cosine + 1e-9, 6) AS cosine
       FROM r WHERE hn_rank <= 3"""))
 
-  // X115 — Kaplan-Meier survival: time from first to last activity per
-  // user, right-censored for users still active in the final 2 days of
-  // the observation window — retention expressed as a survival curve
-  // rather than a31/a28's fixed-horizon rates. One groupBy to the
-  // duration grid; the cumulative product runs over <= 30 rows.
+  // X115 — Kaplan-Meier survival over INTER-PURCHASE gaps: each
+  // purchase is a subject whose duration runs to the user's next
+  // purchase (event) or to the end of the observation window (right-
+  // censored — every user's final open gap), so both branches carry
+  // real mass at every SF. Repeat-purchase time expressed as a survival
+  // curve rather than a31/a28's fixed-horizon rates. One user-keyed
+  // window + one groupBy to the duration grid; the cumulative product
+  // runs over <= 31 calendar-bounded rows.
   val m44 = Q("m44_kaplan_meier",
     (s, d) => {
-      val e = ev(s, d).where(col("ts").isNotNull)
-        .select(col("user_id"), to_date(col("ts")).as("dte"))
-      val span = e.groupBy(col("user_id"))
-        .agg(min(col("dte")).as("d_first"), max(col("dte")).as("d_last"))
-      val end = e.agg(max(col("dte")).as("d_end"))
-      val subj = span.crossJoin(broadcast(end))
-        .select(col("user_id"),
-          datediff(col("d_last"), col("d_first")).cast("long").as("dur"),
-          (col("d_last") < date_sub(col("d_end"), 2)).cast("int").as("ev"))
+      import org.apache.spark.sql.expressions.Window
+      val p = ev(s, d)
+        .where(col("ts").isNotNull && col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          to_date(col("ts")).as("dte"))
+      val end = p.agg(max(col("dte")).as("d_end"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val subj = p.withColumn("nxt", lead(col("dte"), 1).over(w))
+        .crossJoin(broadcast(end))
+        .select(
+          datediff(coalesce(col("nxt"), col("d_end")), col("dte"))
+            .cast("long").as("dur"),
+          col("nxt").isNotNull.cast("int").as("ev"))
       Stats.kaplanMeier(subj, "dur", "ev")
         .withColumnRenamed("dur", "dur_days")
     },
-    Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS dte
-        FROM events WHERE ts IS NOT NULL),
-      endd AS (SELECT max(dte) AS d_end FROM e),
-      s AS (SELECT user_id, max(dte) - min(dte) AS dur,
-        CASE WHEN max(dte) < (SELECT d_end FROM endd) - 2 THEN 1 ELSE 0
-          END AS ev
-        FROM e GROUP BY 1),
+    Some("""WITH p AS (SELECT user_id, event_id, ts, CAST(ts AS DATE)
+          AS dte
+        FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'),
+      endd AS (SELECT max(dte) AS d_end FROM p),
+      s AS (SELECT coalesce(lead(dte) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id), (SELECT d_end FROM endd)) - dte
+          AS dur,
+        CASE WHEN lead(dte) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM p),
       g AS (SELECT dur, CAST(count(*) AS BIGINT) AS n_total,
         CAST(sum(ev) AS BIGINT) AS n_events FROM s GROUP BY 1),
       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
       k AS (SELECT dur, n_total, n_events, n_total - n_events AS n_censored,
-        n - coalesce(sum(n_total) OVER (ORDER BY dur
+        CAST(n - coalesce(sum(n_total) OVER (ORDER BY dur
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          AS n_at_risk
+          AS BIGINT) AS n_at_risk
         FROM g, nn)
       SELECT dur AS dur_days, n_at_risk, n_events, n_censored,
         round(exp(sum(ln(greatest(1.0 - CAST(n_events AS DOUBLE)

@@ -42,8 +42,8 @@ class WindowAuditSpec extends SparkSpecBase {
     "m41_runs_test" -> "calendar-bounded daily frame (m29's argument)",
     "m42_markov_entropy" -> "transition cells: |types| x |types| rows",
     "m44_kaplan_meier" -> ("duration grid: one row per distinct " +
-      "first-to-last-activity duration, calendar-bounded (<= 30 rows) " +
-      "after the per-user groupBy reduction"),
+      "inter-purchase gap length, calendar-bounded (<= 31 rows) after " +
+      "the per-purchase window + groupBy reduction"),
     "w2_rolling_mean_7" -> "daily calendar frame: one row per day",
     "w3_rolling_stats" -> "daily calendar frame: one row per day",
     "w4_pct_change" -> "daily calendar frame: one row per day",

@@ -272,17 +272,29 @@ object Queries {
         WHERE b.event_type = 'purchase' AND b.user_id = e.user_id)
       GROUP BY 1"""))
 
+  // Anti join at the (user, day) grain — active-but-not-converting
+  // days. (The original "users who never purchased" form returned ZERO
+  // rows at every SF — with ~66 events/user everyone purchases — so the
+  // gate was vacuous; this keys the membership test on user-days, which
+  // carry real mass at every scale.)
   val j7a = Q("j7_anti_join",
     (s, d) => {
-      val buyers = ev(s, d).where(col("event_type") === "purchase")
-        .select(col("user_id")).distinct()
-      ev(s, d).join(buyers, Seq("user_id"), "left_anti")
+      val purchDays = ev(s, d)
+        .where(col("ts").isNotNull && col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("dte")).distinct()
+      ev(s, d).where(col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("dte")).distinct()
+        .join(purchDays, Seq("user_id", "dte"), "left_anti")
         .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
+        .agg(count(lit(1)).as("n_idle_days"))
     },
-    Some("""SELECT user_id, count(*) AS n_events FROM events e
-      WHERE NOT EXISTS (SELECT 1 FROM events b
-        WHERE b.event_type = 'purchase' AND b.user_id = e.user_id)
+    Some("""WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dte
+        FROM events WHERE ts IS NOT NULL),
+      p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dte FROM events
+        WHERE ts IS NOT NULL AND event_type = 'purchase')
+      SELECT a.user_id, count(*) AS n_idle_days FROM a
+      WHERE NOT EXISTS (SELECT 1 FROM p
+        WHERE p.user_id = a.user_id AND p.dte = a.dte)
       GROUP BY 1"""))
 
   val j11 = Q("j11_peer_window_join",

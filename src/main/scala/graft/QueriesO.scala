@@ -38,39 +38,43 @@ object QueriesO {
             AS DOUBLE) / count(*) + 1e-9, 6) AS oov_rate
       FROM t LEFT JOIN vocab v USING (token) GROUP BY 1"""))
 
-  // X111 — snapshot diff: keyed reconciliation of two dataset versions
-  // (added / removed / changed / unchanged), the primitive behind
-  // incremental re-runs on versioned sinks. Versions are per-user
-  // aggregate states over two overlapping 20-day windows of the event
-  // log, so every status has mass; one full-outer join on the key.
+  // X111 — snapshot diff: keyed reconciliation of two versions of a
+  // per-(user, day) state table, the primitive behind incremental
+  // re-runs on versioned sinks. The re-ingest scenario: the initial run
+  // missed late-arriving events (odd event ids) and carried rows later
+  // retracted (ids divisible by 6), so the corrected version ADDS days
+  // the first run never saw, REMOVES days whose only rows were
+  // retracted, CHANGES days where the row set shifted, and leaves days
+  // whose rows survive both rules UNCHANGED — all four statuses carry
+  // real mass at every SF. One full-outer join on the key.
   val o13 = Q("o13_snapshot_diff",
     (s, d) => {
       val e = ev(s, d).where(col("ts").isNotNull)
-        .select(to_date(col("ts")).as("dte"), col("user_id"), col("value"))
-      val d0 = e.agg(min(col("dte")).as("d0"))
-      val e2 = e.crossJoin(broadcast(d0))
-      def state(f: DataFrame) = f.groupBy(col("user_id"))
+        .select(to_date(col("ts")).as("dte"), col("user_id"),
+          col("event_id"), col("value"))
+      def state(f: DataFrame) = f.groupBy(col("user_id"), col("dte"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")) + lit(1e-9), 6).as("sum_value"))
-      val oldV = state(e2.where(col("dte") < date_add(col("d0"), 20)))
-      val newV = state(e2.where(col("dte") >= date_add(col("d0"), 10)))
-      SnapshotDiff.diffCounts(oldV, newV, Seq("user_id"),
+      val oldV = state(e.where(col("event_id") % 2 === 0))
+      val newV = state(e.where(col("event_id") % 3 > 0))
+      SnapshotDiff.diffCounts(oldV, newV, Seq("user_id", "dte"),
         Seq("n_events", "sum_value"))
     },
-    Some("""WITH e AS (SELECT CAST(ts AS DATE) AS dte, user_id, value
+    Some("""WITH e AS (SELECT CAST(ts AS DATE) AS dte, user_id, event_id,
+          value
         FROM events WHERE ts IS NOT NULL),
-      m AS (SELECT min(dte) AS d0 FROM e),
-      oldv AS (SELECT user_id, count(*) AS n_events,
+      oldv AS (SELECT user_id, dte, count(*) AS n_events,
         round(sum(value) + 1e-9, 6) AS sum_value
-        FROM e, m WHERE dte < d0 + 20 GROUP BY 1),
-      newv AS (SELECT user_id, count(*) AS n_events,
+        FROM e WHERE event_id % 2 = 0 GROUP BY 1, 2),
+      newv AS (SELECT user_id, dte, count(*) AS n_events,
         round(sum(value) + 1e-9, 6) AS sum_value
-        FROM e, m WHERE dte >= d0 + 10 GROUP BY 1),
+        FROM e WHERE event_id % 3 > 0 GROUP BY 1, 2),
       j AS (SELECT CASE WHEN o.user_id IS NULL THEN 'added'
           WHEN n.user_id IS NULL THEN 'removed'
           WHEN o.n_events = n.n_events AND o.sum_value = n.sum_value
             THEN 'unchanged' ELSE 'changed' END AS status
-        FROM oldv o FULL OUTER JOIN newv n ON o.user_id = n.user_id)
+        FROM oldv o FULL OUTER JOIN newv n
+          ON o.user_id = n.user_id AND o.dte = n.dte)
       SELECT status, CAST(count(*) AS BIGINT) AS n_keys
       FROM j GROUP BY 1"""))
 

@@ -226,7 +226,7 @@ object QueriesC {
 
   // ---- training-data-pipeline dedup extensions --------------------------
 
-  private val shingleSql = """toks AS (SELECT doc_id,
+  private[graft] val shingleSql = """toks AS (SELECT doc_id,
         string_split_regex(trim(text), '\s+') AS tk FROM documents),
       sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
         FROM toks, unnest(generate_series(1, len(tk) - 2)) AS g(i)

@@ -21,7 +21,8 @@ object SparkEntry {
     Queries.all ++ QueriesB.all ++ QueriesC.all ++ QueriesD.all ++
       QueriesE.all ++ QueriesF.all ++ QueriesG.all ++ QueriesH.all ++
       QueriesI.all ++ QueriesJ.all ++ QueriesK.all ++ QueriesL.all ++
-      QueriesM.all ++ QueriesN.all ++ QueriesO.all ++ QueriesP.all
+      QueriesM.all ++ QueriesN.all ++ QueriesO.all ++ QueriesP.all ++
+      QueriesQ.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

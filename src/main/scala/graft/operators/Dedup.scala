@@ -114,6 +114,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard") + lit(1e-9), 6).as("jaccard"))
   }
 
+  /** ASYMMETRIC containment pairs: c(A→B) = |A∩B| / |A|. Catches the
+    * small-document-inside-big-document cases symmetric Jaccard
+    * structurally misses — a quote or boilerplate block fully contained
+    * in a 100× larger page scores containment ≈ 1 while its Jaccard is
+    * ≈ |A|/|B| ≈ 0.01, far below any dedup threshold. The pair survives
+    * when EITHER direction clears `minContainment`. Same inverted-index
+    * posting join + hub cap as [[jaccardPairs]] (one shared shingle
+    * materialization, never all-pairs).
+    */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int, minContainment: Double,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n).localCheckpoint(true)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df_freq"))
+      .where(col("df_freq") <= maxShingleFreq)
+    val pruned = sh.join(rare, "shingle").select(col(idCol), col("shingle"))
+    val sizes = pruned.groupBy(idCol).agg(count(lit(1)).as("set_size"))
+    val a = pruned.select(col(idCol).as("id_a"), col("shingle"))
+    val b = pruned.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")), "id_b")
+      .withColumn("containment_a", col("n_common") / col("size_a"))
+      .withColumn("containment_b", col("n_common") / col("size_b"))
+      .where(greatest(col("containment_a"), col("containment_b"))
+        >= minContainment)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("containment_a") + lit(1e-9), 6).as("containment_a"),
+        round(col("containment_b") + lit(1e-9), 6).as("containment_b"))
+  }
+
   /** Deterministic 56-bit hash of a string, identical across engines:
     * decimal value of the first 14 hex chars of md5. Used as the shingle
     * hash base for MinHash so the oracle can reproduce it exactly.

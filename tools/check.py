@@ -86,7 +86,11 @@ for qdir in sorted(glob.glob(f"{out_dir}/*/")):
               f"(dtype diffs: {dt or 'none — check float rendering/-0.0'})")
         n_fail += 1
     else:
-        print(f"PASS {name} ({len(a)} rows)"); n_pass += 1
+        # a 0-row pass tests nothing — surface it so vacuous gates get
+        # caught immediately (round 8 found two that slid by for rounds;
+        # RowCountAuditSpec enforces the same rule in the test suite)
+        tag = " [WARN: EMPTY — vacuous gate?]" if len(a) == 0 else ""
+        print(f"PASS {name} ({len(a)} rows){tag}"); n_pass += 1
 
 print(f"\n{n_pass} pass, {n_fail} fail, {len(oracle)} oracles")
 sys.exit(1 if n_fail else 0)

@@ -611,16 +611,48 @@ object Queries {
   // M4b — same ANOVA with the p-value surfaced in-plan (FDistCdf
   // expression; reference reports scipy-style p,
   // analyze_visual_cycles.py:162-231). DuckDB has no F-CDF, so the
-  // p-value itself is unit-asserted against commons-math3 in
-  // OperatorsSpec; the driver records the rows-only check here while
-  // n/k/F/eta stay fully oracle-checked via m4.
+  // p-value NUMBER can't be oracled — instead the DECISIONS it implies
+  // are: sig_05/sig_01 come from the real in-plan CDF (p < α), while
+  // the oracle derives the same booleans from F > F_crit(α; dfb, dfw)
+  // via a literal critical-value table at the observed dof grid
+  // (commons-math3 inverseCumulativeProbability, the exact same
+  // distribution the expression integrates — CDF monotonicity makes
+  // p < α ⇔ F > crit an identity, so a hash match certifies the CDF
+  // path end-to-end). The dof join is deliberately exact: if the data
+  // generator ever changes k or n, the oracle VALUES join goes empty
+  // and the gate fails LOUDLY on row count instead of silently
+  // bracketing at the wrong dof. The p-value numeric itself stays
+  // spec-pinned to commons-math3 in OperatorsSpec.
   val m4b = Q("m4b_anova_p",
     (s, d) => Stats.anovaWithP(ev(s, d), "event_type", "value")
       .select(col("n").cast("long").as("n"), col("k").cast("long").as("k"),
         round(col("f_stat") + lit(1e-9), 6).as("f_stat"),
         round(col("eta_squared") + lit(1e-9), 6).as("eta_squared"),
-        round(col("p_value") + lit(1e-9), 6).as("p_value")),
-    None)
+        (col("p_value") < 0.05).as("sig_05"),
+        (col("p_value") < 0.01).as("sig_01")),
+    Some("""WITH g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n_g,
+        avg(value) AS mean_g, var_samp(value) AS var_g
+        FROM events GROUP BY 1),
+      t AS (SELECT sum(n_g) AS n, CAST(count(*) AS DOUBLE) AS k,
+        sum(n_g * mean_g) / sum(n_g) AS gm,
+        sum(n_g * mean_g * mean_g) AS snm2,
+        sum((n_g - 1) * var_g) AS ssw FROM g),
+      f AS (SELECT n, k,
+        ((snm2 - n * gm * gm) / (k - 1)) / (ssw / (n - k)) AS f_raw,
+        (snm2 - n * gm * gm) / ((snm2 - n * gm * gm) + ssw) AS eta,
+        k - 1 AS dfb, n - k AS dfw FROM t),
+      -- F critical values at the observed dof grid
+      -- (commons-math3 FDistribution.inverseCumulativeProbability)
+      crit(dfb, dfw, c05, c01) AS (VALUES
+        (4, 995,   2.3808758069, 3.3380476333),
+        (4, 9995,  2.3728209081, 3.3210490602),
+        (4, 99995, 2.3720210674, 3.3193631964))
+      SELECT CAST(f.n AS BIGINT) AS n, CAST(f.k AS BIGINT) AS k,
+        round(f.f_raw + 1e-9, 6) AS f_stat,
+        round(f.eta + 1e-9, 6) AS eta_squared,
+        f.f_raw > crit.c05 AS sig_05,
+        f.f_raw > crit.c01 AS sig_01
+      FROM f JOIN crit ON f.dfb = crit.dfb AND f.dfw = crit.dfw"""))
 
   val m5 = Q("m5_zscore_anomaly",
     (s, d) => {

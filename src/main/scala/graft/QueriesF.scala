@@ -172,14 +172,45 @@ object QueriesF {
 
   // M11b — the chi-square test WITH its p-value in-plan via the custom
   // `ChiSquareCdf` expression (the m4/m4b FDistCdf pattern): one lazy
-  // frame end-to-end, no driver-side stats library post-step. No SQL
-  // oracle by design — DuckDB has no chi-square CDF — rows-checked by
-  // the driver; the spec pins the expression against commons-math3.
+  // frame end-to-end, no driver-side stats library post-step. DuckDB
+  // has no chi-square CDF, so the p-value NUMBER stays spec-pinned to
+  // commons-math3 — but its DECISIONS are oracled: sig_05/sig_01 come
+  // from the in-plan CDF (p < α) on the Spark side and from
+  // chi2 > crit(α; dof) on the oracle side, joined against a literal
+  // critical-value row at the observed dof (24 = (5−1)(7−1), fixed by
+  // the event-type × weekday grid at every SF). CDF monotonicity makes
+  // the two formulations an identity at matching dof; a changed grid
+  // empties the VALUES join and fails the gate loudly on row count.
   val m11b = Q("m11b_chi_square_p",
-    (s, d) => m11.fn(s, d).withColumn("p_value",
-      graft.expressions.ChiSquareCdf.chi2PValue(
-        col("chi2"), col("dof").cast("double"))),
-    None)
+    (s, d) => m11.fn(s, d)
+      .withColumn("p_value", graft.expressions.ChiSquareCdf.chi2PValue(
+        col("chi2"), col("dof").cast("double")))
+      .select(col("chi2"), col("dof"), col("cramers_v"),
+        (col("p_value") < 0.05).as("sig_05"),
+        (col("p_value") < 0.01).as("sig_01")),
+    Some("""WITH cells AS (SELECT event_type,
+        dayofweek(CAST(ts AS DATE)) + 1 AS wd, CAST(count(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2),
+      rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+      ct AS (SELECT wd, sum(o) AS ct FROM cells GROUP BY 1),
+      n AS (SELECT sum(o) AS tot, count(DISTINCT event_type) AS r,
+        count(DISTINCT wd) AS c FROM cells),
+      j AS (SELECT o, rt.rt * ct.ct / n.tot AS e, n.tot AS tot, n.r, n.c
+        FROM cells JOIN rt USING (event_type) JOIN ct USING (wd) CROSS JOIN n),
+      stat AS (SELECT round(sum((o - e) * (o - e) / e) + 1e-9, 6) AS chi2,
+        sum((o - e) * (o - e) / e) AS chi2_raw,
+        (any_value(r) - 1) * (any_value(c) - 1) AS dof,
+        round(sqrt(sum((o - e) * (o - e) / e)
+          / (any_value(tot) * least(any_value(r) - 1, any_value(c) - 1)))
+          + 1e-9, 6) AS cramers_v
+        FROM j),
+      -- chi-square critical values at the observed dof
+      -- (commons-math3 ChiSquaredDistribution.inverseCumulativeProbability)
+      crit(dof, c05, c01) AS (VALUES (24, 36.4150285017, 42.9798201394))
+      SELECT stat.chi2, stat.dof, stat.cramers_v,
+        stat.chi2_raw > crit.c05 AS sig_05,
+        stat.chi2_raw > crit.c01 AS sig_01
+      FROM stat JOIN crit ON stat.dof = crit.dof"""))
 
   // T18 — fuzzy (edit-distance) matching over part names, summarized per
   // distance. Two-level blocking, the shape that survives scale:

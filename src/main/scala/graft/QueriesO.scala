@@ -71,7 +71,8 @@ object QueriesO {
         FROM e WHERE event_id % 3 > 0 GROUP BY 1, 2),
       j AS (SELECT CASE WHEN o.user_id IS NULL THEN 'added'
           WHEN n.user_id IS NULL THEN 'removed'
-          WHEN o.n_events = n.n_events AND o.sum_value = n.sum_value
+          WHEN o.n_events IS NOT DISTINCT FROM n.n_events
+            AND o.sum_value IS NOT DISTINCT FROM n.sum_value
             THEN 'unchanged' ELSE 'changed' END AS status
         FROM oldv o FULL OUTER JOIN newv n
           ON o.user_id = n.user_id AND o.dte = n.dte)
@@ -309,7 +310,8 @@ object QueriesO {
         .where(col("n_pairs") >= 5)
         .select(col("tok_a"), col("tok_b"), col("n_pairs"),
           round(greatest(log(col("n_pairs").cast("double") * col("__N") /
-            (col("__ra") * col("__cb"))), lit(0.0)) + lit(1e-9), 6)
+            (col("__ra").cast("double") * col("__cb").cast("double"))),
+            lit(0.0)) + lit(1e-9), 6)
             .as("ppmi"))
     },
     Some("""WITH d AS (SELECT doc_id,

@@ -153,7 +153,11 @@ object QueriesP {
   // original parquet — any writer/reader type drift flips the gate.
   val o14 = Q("o14_orc_roundtrip",
     (s, d) => {
-      val tmp = s"/tmp/graft_o14-${new java.io.File(d).getName}"
+      // applicationId in the path: bench + test suites may build/run this
+      // query concurrently from separate sessions; a fixed path would race
+      // on the overwrite-then-read.
+      val tmp = s"/tmp/graft_o14-${new java.io.File(d).getName}-" +
+        s.sparkContext.applicationId
       Writers.writeOrc(ev(s, d)
         .where(col("ts").isNotNull && col("value").isNotNull)
         .select(col("event_id"), col("event_type"), col("value"),

@@ -42,6 +42,13 @@ object Clustering {
     * compare gates the clustering that every cycle/trait result
     * downstream rides on (reference
     * prepare_visual_market_data.py:296-304).
+    *
+    * Tie caveat: if a vector is EXACTLY equidistant from two centroids,
+    * `min_by` and spark.ml each break the tie arbitrarily and the gate
+    * could flip on which side wins. Measure-zero on real-valued
+    * embeddings (requires two float distances bit-equal), so not
+    * guarded; noted here for anyone pointing this at integral or
+    * deliberately symmetric inputs.
     */
   def kmeansAssignAudit(df: DataFrame, idCol: String, vecCol: String,
       k: Int, seed: Long): DataFrame = {

@@ -43,13 +43,19 @@ object CountMin {
     * est = min over rows of the item's cell. The cell grid is at most
     * depth×width rows — broadcast — so the probe is shuffle-free on the
     * item side up to its final min aggregate.
+    *
+    * The join is LEFT so an item absent from the sketched stream still
+    * gets a row: its empty cells count as 0 (the sketch stores only
+    * non-empty cells), and min over any empty cell is the correct CMS
+    * answer est = 0 — an inner join would instead silently drop the
+    * item or inflate its min to the non-empty cells only.
     */
   def estimate(sk: DataFrame, universe: DataFrame, itemCol: String,
       depth: Int, width: Int): DataFrame =
     universe.select(col(itemCol)).distinct()
       .select(col(itemCol), posexplode(array((0 until depth).map(r =>
         bucket(col(itemCol), r, width)): _*)).as(Seq("r", "bucket")))
-      .join(broadcast(sk), Seq("r", "bucket"))
+      .join(broadcast(sk), Seq("r", "bucket"), "left")
       .groupBy(col(itemCol))
-      .agg(min(col("cell_n")).as("est_n"))
+      .agg(min(coalesce(col("cell_n"), lit(0L))).as("est_n"))
 }

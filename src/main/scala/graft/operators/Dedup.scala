@@ -651,8 +651,10 @@ object Dedup {
     connectedComponents(df.select(col(idCol)), idCol, pairs, "id_a", "id_b")
   }
 
-  /** SimHash: 64-bit locality-sensitive fingerprint. Each token hashes to
-    * 64 bits; for each bit position sum +1/-1 across tokens; sign → bit.
+  /** SimHash: 56-bit locality-sensitive fingerprint (bits 0–55 of the
+    * engine-portable [[md5Hash56]] token hash — 56, not 64, so the value
+    * stays positive in a signed long and the SQL oracle can replicate
+    * it). For each bit position sum +1/-1 across tokens; sign → bit.
     * Computed with integer column math only (bitwise ops are codegen'd),
     * so the oracle can replicate it. Output: (id, simhash).
     */

@@ -222,13 +222,23 @@ class OperatorPropertySpec extends SparkSpecBase {
 
   test("m11b: in-plan ChiSquareCdf p-value equals the commons-math3 " +
       "driver-side computation and lies in [0, 1]") {
-    val row = graft.QueriesF.m11b.fn(spark, "/root/testdata/sf0.001").head()
+    // m11b itself now ships DECISIONS (sig_05/sig_01, oracled against
+    // critical-value brackets); the raw p-value identity vs
+    // commons-math3 is pinned here by re-deriving it in-plan from m11.
+    val row = graft.QueriesF.m11.fn(spark, "/root/testdata/sf0.001")
+      .withColumn("p_value", graft.expressions.ChiSquareCdf.chi2PValue(
+        col("chi2"), col("dof").cast("double")))
+      .head()
     val p = row.getAs[Double]("p_value")
     val expected = Stats.chi2PValue(row.getAs[Double]("chi2"),
       row.getAs[Long]("dof").toDouble)
     assert(p >= 0.0 && p <= 1.0)
     assert(math.abs(p - expected) < 1e-12,
       s"expression p=$p vs driver-side p=$expected")
+    val dec = graft.QueriesF.m11b.fn(spark, "/root/testdata/sf0.001").head()
+    assert(dec.getAs[Boolean]("sig_05") == (p < 0.05) &&
+      dec.getAs[Boolean]("sig_01") == (p < 0.01),
+      "m11b decisions disagree with the in-plan p-value")
   }
 
   // ---- incremental aggregation ---------------------------------------

@@ -310,22 +310,7 @@ object Dedup {
     // three consumers (banding + two verify joins) — materialize once
     val sig = minHashSignatureArrayInline(
       df, textCol, idCol, shingleSize, numHashes).localCheckpoint(true)
-    val numBands = numHashes / rowsPerBand
-    // band_sig stays an ARRAY<LONG> join key (no cast to string): array
-    // equality is the same predicate, without formatting a string per
-    // (doc, band) row on both sides of the self-join.
-    val banded = sig.select(col(idCol),
-      explode(array((0 until numBands).map(b =>
-        struct(lit(b).as("band"),
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-            .as("band_sig"))): _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"),
-        col("bb.band_sig").as("band_sig"))
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
-    val r = banded.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
-    val cand = l.join(r, Seq("band", "band_sig"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val cand = bandCollisionPairs(sig, idCol, numHashes, rowsPerBand)
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1).otherwise(0)),
@@ -337,6 +322,32 @@ object Dedup {
       .where(col("__est") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("__est") + lit(1e-9), 6).as("est_jaccard"))
+  }
+
+  /** The banding stage of [[minHashLshPairs]] in isolation: distinct
+    * band-collision candidate pairs from a MATERIALIZED signature frame.
+    * band_sig stays an ARRAY<LONG> join key (no cast to string): array
+    * equality is the same predicate, without formatting a string per
+    * (doc, band) row on both sides of the self-join. Exposed
+    * `private[graft]` so the scale probes can put the CANDIDATE count
+    * (the number the S-curve actually controls) on the record separately
+    * from the verified-pair count.
+    */
+  private[graft] def bandCollisionPairs(sig: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val banded = sig.select(col(idCol),
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"),
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+            .as("band_sig"))): _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"),
+        col("bb.band_sig").as("band_sig"))
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
+    l.join(r, Seq("band", "band_sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
   }
 
   /** A/B twin of [[minHashLshPairs]]: the round-6 single-pass
@@ -465,6 +476,19 @@ object Dedup {
     * @param pairs undirected edges, one row per pair (`aCol`, `bCol`)
     * @return (idCol, cluster_id) with cluster_id = min reachable id
     */
+  /** Convergence telemetry of the MOST RECENT [[connectedComponents]]
+    * run on this JVM: rounds to fixpoint, mirrored edge count, and the
+    * per-round changed-label counts — the attribution data for any
+    * at-scale wall ratio (round growth vs edge growth are different
+    * diagnoses with different fixes). Written once at the end of each
+    * run; single-writer by construction in the bench/probe harnesses
+    * (which run sequentially) — concurrent callers would observe the
+    * last finisher, so treat it as diagnostic, not API.
+    */
+  case class CcStats(rounds: Int, edges: Long, changedPerRound: Seq[Long],
+      usedStarFallback: Boolean)
+  @volatile var lastCcStats: Option[CcStats] = None
+
   def connectedComponents(
       nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
@@ -497,6 +521,7 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var iters = 1 // the init above IS propagation round 1
+    val changedLog = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (changed > 0 && iters < maxIters) {
       val nbrMin = edges
         .join(labels.select(col(idCol).as("__dst"),
@@ -517,9 +542,14 @@ object Dedup {
           .otherwise(0L)), lit(0L)).as("n_changed")) // empty frame → 0, not null
         .localCheckpoint(true)
       changed = obs.get("n_changed").asInstanceOf[Long]
+      changedLog += changed
       labels = next.drop("__changed")
       iters += 1
     }
+    // edge count off the already-checkpointed frame: a cached-partition
+    // scan, cheap relative to any propagation round.
+    lastCcStats = Some(CcStats(iters, edges.count(), changedLog.toSeq,
+      usedStarFallback = changed != 0L))
     if (changed != 0L) {
       // The diameter exceeded the bound (adversarial chain graphs —
       // crawl mirrors at corpus scale). Either hand the ALREADY

@@ -214,4 +214,43 @@ class MinHashPropertySpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     assert(star === prop)
   }
+
+  // ---- banding stage extraction (round 9) ----------------------------
+
+  test("bandCollisionPairs: verified LSH pairs are a subset of the band " +
+      "candidates, and candidates are exactly the pairs sharing >=1 " +
+      "full band of the signature") {
+    val rnd = new Random(41)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (0L until 40L).map { i =>
+      val base = (0 until 12).map(_ => vocab(rnd.nextInt(vocab.size)))
+      // half the docs are near-copies of an earlier doc (one token off)
+      val text =
+        if (i >= 20) {
+          val src = (0 until 12).map(_ => vocab(((i - 20) % 7).toInt))
+          (src :+ vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        } else base.mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val sig = Dedup.minHashSignatureArrayInline(docs, "text", "doc_id",
+      2, 16).localCheckpoint(true)
+    val cand = Dedup.bandCollisionPairs(sig, "doc_id", 16, 4)
+      .as[(Long, Long)].collect().toSet
+    // scalar reference: band b of doc = sig[4b..4b+3]; candidate iff
+    // any band equal
+    val sigs = sig.as[(Long, Seq[Long])].collect().toMap
+    val ids = sigs.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if (0 until 4).exists(k =>
+        sigs(a).slice(k * 4, k * 4 + 4) == sigs(b).slice(k * 4, k * 4 + 4))
+    } yield (a, b)).toSet
+    assert(cand === expected)
+    // the full verified pipeline only ever emits candidate pairs
+    val verified = Dedup.minHashLshPairs(docs, "text", "doc_id", 2, 16, 4, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified.subsetOf(cand))
+    assert(verified.nonEmpty, "fixture should produce at least one pair")
+  }
 }

@@ -502,6 +502,55 @@ object Similarity {
       ordered = true)
   }
 
+  /** SemDeDup-style cluster-blocked near-duplicate pairs: vectors are
+    * blocked by their learned coarse-quantizer cell and exact cosine
+    * runs only WITHIN blocks (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540 — k-means the embedding space, then prune
+    * above-threshold pairs inside each cluster). The pair space is
+    * Σ|cell|·|probe cell| instead of N(N−1)/2, and the cell id is the
+    * one shuffle key (the [[ivfTopK]] layout), so no all-pairs stage
+    * exists anywhere — the property that makes semantic dedup runnable
+    * on a 10⁹-vector corpus where [[exactThresholdPairs]] is the
+    * oracle-only baseline.
+    *
+    * `nprobe` > 1 compares each vector's HOME cell against its nprobe
+    * nearest cells (both directions of a boundary-straddling pair get a
+    * chance to look across the border), trading candidate volume for
+    * recall exactly like IVF search; cell assignment is
+    * [[ivfCellRanks]] — the same dot product, tie-break, and
+    * normalization as every other IVF consumer, so a measured recall
+    * here transfers to the deployed index. Missed pairs are ones whose
+    * endpoints share none of each other's probed cells; the t57 catalog
+    * entry gates measured recall against the exact pair set.
+    */
+  def clusterBlockedPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroids: DataFrame,
+      nprobe: Int = 1): DataFrame = {
+    val base = unitVectors(df, idCol, vecCol, fanOut = true)
+      .localCheckpoint(true)
+    val ranked = ivfCellRanks(df, idCol, vecCol, centroids, nprobe)
+    val home = ranked.where(col("cell_rank") === 1)
+      .select(col("id"), col("cell"))
+    val probes = ranked.select(col("id"), col("cell"))
+    val l = base.join(probes, Seq("id"))
+      .select(col("id").as("id_a"), col("vec").as("vec_a"), col("cell"))
+    val r = base.join(home, Seq("id"))
+      .select(col("id").as("id_b"), col("vec").as("vec_b"), col("cell"))
+    l.join(r, Seq("cell"))
+      .where(col("id_a") =!= col("id_b"))
+      // normalize to (min, max) BEFORE dedup: a boundary pair can be
+      // found in only one probe direction, and an id_a < id_b filter on
+      // the raw orientation would drop the (b probes a's home) find
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        fastDot(col("vec_a"), col("vec_b")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      // the same pair can surface via several shared cells / directions
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(first(col("cosine")) + lit(1e-9), 6).as("cosine"))
+  }
+
   /** Hard-negative mining for contrastive training: for each ANCHOR
     * vector, the k most cosine-similar corpus vectors carrying a
     * DIFFERENT label — the near-misses a retrieval/embedding model

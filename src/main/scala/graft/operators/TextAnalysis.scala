@@ -437,6 +437,54 @@ object TextAnalysis {
     * map-side membership probe plus its per-group aggregate: two
     * shuffles total at any corpus size, neither keyed on the token.
     */
+  /** DSIR-style importance log-ratio for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169): build unigram bag-of-words LMs of a small
+    * TARGET corpus and the big RAW pool over their JOINT vocabulary
+    * (add-one smoothing), then score every raw document by the average
+    * per-token log probability ratio log(p_target / p_raw) — the
+    * importance weight that up-ranks raw docs distributed like the
+    * target. The resample step composes downstream: feed
+    * `dsir_logratio` to [[Sampling]]'s weighted/temperature samplers
+    * (t21/t37) exactly as DSIR feeds its weights to gumbel-top-k.
+    *
+    * Shuffle ledger at corpus scale: one token-count aggregate (map-side
+    * combinable) + one per-doc aggregate; the LM table — vocabulary
+    * rows, bounded like [[vocabulary]]'s output — and its one-row
+    * totals are BROADCAST back onto the raw token stream, so the big
+    * side never shuffles on the token. Docs with zero tokens carry no
+    * evidence either way and drop out (same contract as [[vocabulary]]
+    * consumers). At web scale DSIR hashes n-grams into a fixed bucket
+    * count first; that variant composes by substituting
+    * [[FeatureEng.featureHash]]'s bucket for `token` — same two
+    * aggregates, bounded LM by construction.
+    */
+  def importanceLogRatio(df: DataFrame, textCol: String, idCol: String,
+      isTarget: Column): DataFrame = {
+    val toks = tokenStream(df.withColumn("__tgt", isTarget),
+      textCol, Seq(idCol, "__tgt"))
+    // one pass over the token stream counts BOTH corpora (the target
+    // flag splits inside the aggregate, not the scan)
+    val counts = toks.groupBy(col("token"))
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("c_t"),
+        sum(when(!col("__tgt"), 1L).otherwise(0L)).as("c_r"))
+      .localCheckpoint(true) // two consumers: totals + the LM join
+    val totals = counts.agg(sum(col("c_t")).as("tt"),
+      sum(col("c_r")).as("tr"), count(lit(1)).as("v"))
+    val lm = counts.crossJoin(broadcast(totals))
+      .select(col("token"),
+        ((col("c_t") + 1).cast("double") / (col("tt") + col("v")))
+          .as("p_t"),
+        ((col("c_r") + 1).cast("double") / (col("tr") + col("v")))
+          .as("p_r"))
+    toks.where(!col("__tgt"))
+      .join(broadcast(lm), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("p_t") / col("p_r"))) + lit(1e-9), 6)
+          .as("dsir_logratio"))
+  }
+
   def oovByGroup(df: DataFrame, textCol: String, groupCol: String,
       vocabSize: Int): DataFrame = {
     val vocab = vocabulary(df, textCol, vocabSize)

@@ -77,6 +77,10 @@ class CrossJoinAuditSpec extends SparkSpecBase {
       "vectors each Lloyd round — the assignment loop is the algorithm"),
     "t11_embedding_neardup" -> ("exact-oracle baseline: brute-force " +
       "near-dup ground truth; t11b's LSH-bucketed twin is the scale path"),
+    "t57_semantic_dedup" -> ("exact-oracle baseline (brute-force pair " +
+      "ground truth for the recall gate) + the bounded k-centroid " +
+      "assignment loop; the product twin runs only the cell-blocked " +
+      "equi-join path"),
     "t31_source_overlap" -> ("bounded pair space: per-SOURCE MinHash " +
       "signature rows (|sources|² pairs over union-merged sketches, " +
       "documents never pair)"))

@@ -241,6 +241,83 @@ class OperatorPropertySpec extends SparkSpecBase {
       "m11b decisions disagree with the in-plan p-value")
   }
 
+  // ---- semantic dedup block index ------------------------------------
+
+  test("clusterBlockedPairs: subset of the exact pair set at any " +
+      "config, exact-equal when every cell is probed, and recall " +
+      "complete on well-separated synthetic clusters") {
+    val rnd = new Random(53)
+    // 4 well-separated direction clusters in 8-d, 30 vectors each, plus
+    // small within-cluster jitter: near-dup pairs (cos >= 0.9) exist
+    // only within a cluster, and k-means at k=4 recovers the clusters
+    val centers = Seq(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0), Array(0, 1.0, 0, 0, 0, 0, 0, 0),
+      Array(0, 0, 1.0, 0, 0, 0, 0, 0), Array(0, 0, 0, 1.0, 0, 0, 0, 0))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.exactThresholdPairs(
+        vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val cents = graft.ml.Clustering.kmeansCentroids(
+      vecs, "embedding", 4, 13L)
+    for (nprobe <- Seq(1, 2, 4)) {
+      val blocked = Similarity.clusterBlockedPairs(
+          vecs, "vec_id", "embedding", 0.9, cents, nprobe)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(blocked.subsetOf(exact),
+        s"nprobe=$nprobe produced a non-exact pair")
+      if (nprobe == 4) assert(blocked === exact,
+        "probing every cell must recover the full exact pair set")
+    }
+    // separated clusters: even home-cell-only blocking is complete
+    val home = Similarity.clusterBlockedPairs(
+        vecs, "vec_id", "embedding", 0.9, cents, 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(home === exact,
+      "well-separated clusters should need no cross-cell probes")
+  }
+
+  // ---- DSIR importance log-ratio -------------------------------------
+
+  test("importanceLogRatio equals a scalar add-one-smoothed unigram LM " +
+      "reference; target docs and empty docs emit no row") {
+    val docsRows = Seq(
+      (0L, "spark scan table", true), (1L, "spark spark merge", true),
+      (2L, "scan scan table row", false), (3L, "merge row spark", false),
+      (4L, "   ", false), (5L, "table", false), (6L, "", true))
+    val df = docsRows.toDF("doc_id", "text", "tgt")
+    val got = TextAnalysis.importanceLogRatio(df, "text", "doc_id",
+        col("tgt"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // scalar reference
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    val tTok = docsRows.filter(_._3).flatMap(r => toks(r._2))
+    val rTok = docsRows.filterNot(_._3).flatMap(r => toks(r._2))
+    val vocab = (tTok ++ rTok).distinct
+    val (tt, tr, v) = (tTok.size, rTok.size, vocab.size)
+    def pT(w: String) = (tTok.count(_ == w) + 1.0) / (tt + v)
+    def pR(w: String) = (rTok.count(_ == w) + 1.0) / (tr + v)
+    val expected = docsRows.filterNot(_._3)
+      .map { case (id, text, _) => id -> toks(text) }
+      .filter(_._2.nonEmpty)
+      .map { case (id, ws) =>
+        id -> (ws.size.toLong,
+          ws.map(w => math.log(pT(w) / pR(w))).sum / ws.size)
+      }.toMap
+    assert(got.keySet === expected.keySet,
+      "raw docs with tokens, and only those, must be scored")
+    expected.foreach { case (id, (n, score)) =>
+      val (_, gn, gs) = got(id)
+      assert(gn === n)
+      assert(math.abs(gs - score) < 1e-6,
+        s"doc $id: got $gs want $score")
+    }
+  }
+
   // ---- incremental aggregation ---------------------------------------
 
   test("IncrementalAgg: merging per-batch states equals the one-shot " +

@@ -60,7 +60,14 @@ object QueriesR {
         .crossJoin(found)
         .select(col("n_vectors"), col("n_exact_pairs"),
           col("n_exact_kept"),
-          (col("__found").cast("double") / col("n_exact_pairs") >= 0.85)
+          // zero-pair guard: a regenerated fixture with NO exact
+          // near-dup pairs makes the recall ratio NULL, which would fail
+          // the driver compare as an opaque hash mismatch. Vacuous recall
+          // is deliberately TRUE (matching the oracle's literal), and the
+          // vacuity is legible on the same row: n_exact_pairs = 0.
+          when(col("n_exact_pairs") === 0, lit(true))
+            .otherwise(
+              col("__found").cast("double") / col("n_exact_pairs") >= 0.85)
             .as("blocked_recall_ok"))
     },
     Some("""WITH RECURSIVE unit AS (SELECT vec_id AS id,
@@ -126,5 +133,36 @@ object QueriesR {
       WHERE NOT tgt
       GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(t57, t58)
+  // T58B — DSIR over hashed buckets (the paper's actual construction,
+  // arXiv:2302.03169 §2): tokens map to a FIXED 64-bucket space via the
+  // engine-portable md5 hash before the LM builds, so the broadcast LM
+  // frame is bounded at 64 rows no matter the corpus vocabulary — the
+  // t58 variant a 100 TB crawl deploys. Fully deterministic end-to-end
+  // (md5 reproduces in DuckDB), so hash-oracled like t58; the
+  // OperatorPropertySpec pins that bucketed scores track exact scores.
+  val t58b = Q("t58b_dsir_hashed",
+    (s, d) => TextAnalysis.importanceLogRatioHashed(
+      docs(s, d), "text", "doc_id", col("source") === "src0", buckets = 64),
+    Some("""WITH toks AS (SELECT doc_id, source = 'src0' AS tgt,
+        unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents),
+      tk AS (SELECT doc_id, tgt,
+        CAST(('0x' || substr(md5(token), 1, 14)) AS BIGINT) % 64 AS bkt
+        FROM toks WHERE token <> ''),
+      counts AS (SELECT bkt,
+        sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_t,
+        sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS c_r
+        FROM tk GROUP BY 1),
+      tot AS (SELECT sum(c_t) AS tt, sum(c_r) AS tr FROM counts),
+      lm AS (SELECT bkt,
+        (c_t + 1)::DOUBLE / (tt + 64) AS p_t,
+        (c_r + 1)::DOUBLE / (tr + 64) AS p_r
+        FROM counts CROSS JOIN tot)
+      SELECT doc_id, count(*) AS n_tokens,
+        round(avg(ln(p_t / p_r)) + 1e-9, 6) AS dsir_logratio
+      FROM tk JOIN lm USING (bkt)
+      WHERE NOT tgt
+      GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(t57, t58, t58b)
 }

@@ -33,6 +33,10 @@ import org.apache.spark.sql.functions._
   *   - t42_span_scrub (round 8) — the per-doc positionedTokens family
   *     (repeated-span scrub): every shuffle keys on doc_id, so the
   *     probe pins the ~linear-in-corpus claim for t42/t43.
+  *   - t57_semdedup_10x (round 10) — the SemDeDup cell-blocked pair
+  *     generator at 10x vectors: fixed-k vs cellsForCorpus-re-sized-k
+  *     wall + candidate fraction, with a recall gate vs exact ground
+  *     truth on a deterministic source sample.
   *
   * Each probe: 1 untimed warm rep (which also records result counts at
   * both scales — a probe whose output collapses would fake its ratio),
@@ -44,6 +48,16 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   private def medianOf(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  /** A failed probe must be VISIBLE on the artifact: with a silent
+    * catch-and-drop, the absence of e.g. `t5_minhash_30x` is
+    * indistinguishable from the probe being disabled by env var, which
+    * defeats the point of a recall gate (ADVICE r9). Every probe body
+    * that can fail emits an explicit `{"err": "..."}` entry instead.
+    */
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ").take(200) + "\""
 
   private def timeCount(f: () => DataFrame): (Double, Long) = {
     val n = f().count() // warm + result size
@@ -177,10 +191,21 @@ object ScaleProbe {
         .getOrElse("")
 
     val entries = probes.map { case (name, baseFn, bigFn) =>
+      // t17's convergence telemetry needs Dedup.ccStatsEnabled, which
+      // adds an edge-count job — so it's captured on ONE extra untimed
+      // rep per scale with the flag raised, and the timed reps below run
+      // with telemetry off like every product path (ADVICE r9).
+      def statsRep(f: () => DataFrame, prefix: String): String =
+        if (name != "t17_cc") ""
+        else {
+          Dedup.ccStatsEnabled = true
+          try f().count() finally { Dedup.ccStatsEnabled = false }
+          ccFields(prefix)
+        }
+      val baseExtra = statsRep(baseFn, "base")
       val (baseS, baseN) = timeCount(baseFn)
-      val baseExtra = if (name == "t17_cc") ccFields("base") else ""
+      val bigExtra = statsRep(bigFn, "scaled")
       val (bigS, bigN) = timeCount(bigFn)
-      val bigExtra = if (name == "t17_cc") ccFields("scaled") else ""
       val ratio = bigS / math.max(baseS, 1e-9)
       s""""$name":{"factor":$factor,"base_s":${f"$baseS%.3f"}""" +
         s""","scaled_s":${f"$bigS%.3f"},"wall_ratio":${f"$ratio%.2f"}""" +
@@ -210,18 +235,116 @@ object ScaleProbe {
           (System.nanoTime() - t0) / 1e9
         })
       }
+      // telemetry on an UNTIMED rep only: with stats always-on the
+      // propagation side paid an edge-count job the star side never
+      // wrote, biasing prop_s upward (ADVICE r9)
+      Dedup.ccStatsEnabled = true
+      try Dedup.connectedComponents(
+        nodes10, "doc_id", pairs10, "id_a", "id_b").count()
+      finally { Dedup.ccStatsEnabled = false }
+      val propFields = ccFields("prop")
       val propS = timeOnly(() => Dedup.connectedComponents(
         nodes10, "doc_id", pairs10, "id_a", "id_b"))
-      val propFields = ccFields("prop")
       val starS = timeOnly(() => Dedup.connectedComponentsStarContraction(
         nodes10, "doc_id", pairs10, "id_a", "id_b"))
       val winner = if (starS < propS) "star" else "propagation"
       s""","cc_ab_10x":{"pairs":$nPairs,"prop_s":${f"$propS%.3f"}""" +
         s""","star_s":${f"$starS%.3f"},"winner":"$winner"""" +
         propFields + "}"
-    } catch { case _: Throwable => "" }
+    } catch {
+      case e: Throwable =>
+        s""","cc_ab_10x":{"err":${jsonStr(e.toString)}}"""
+    }
 
-    entries.mkString("{", ",", "") + ccAb + dedup30x(spark, docs) + "}"
+    entries.mkString("{", ",", "") + ccAb + dedup30x(spark, docs) +
+      semdedup10x(spark, emb, embBig, factor) + "}"
+  }
+
+  /** SemDeDup block-index scale probe (VERDICT r9 #1): the t5_minhash_30x
+    * treatment for `Similarity.clusterBlockedPairs` — the one near-dup
+    * path whose 100 TB claim previously rested on a fixture-sized k=8
+    * constant. Over the 10x jittered vector corpus it measures, on the
+    * record:
+    *   - the FIXED-k-vs-RE-SIZED-k contrast: catalog k at 10x the
+    *     vectors (occupancy 10x → per-vector candidates 10x) vs
+    *     k = `Clustering.cellsForCorpus` holding occupancy at the 1x
+    *     operating point — wall and candidate fraction for both, so the
+    *     self-sizing rule's value is a measured number, not scaladoc;
+    *   - a RECALL GATE for the re-sized (deployment) config against
+    *     exact-cosine ground truth on a deterministic 1/8 source sample
+    *     (all `factor` copies of every sampled source, so intra-copy-set
+    *     near-dups AND inherited cross-source pairs are both audited);
+    *     sampling bounds only the ground-truth cost — the blocked side
+    *     runs the full 10x corpus.
+    * Quantizer fits run UNTIMED (index build, amortized in deployment —
+    * ann2c's treatment); the timed path is pair generation, which is
+    * what a dedup pass pays per corpus scan. SPARK_GRAFT_SEMDEDUP10X=0
+    * skips with an explicit marker.
+    */
+  private def semdedup10x(spark: SparkSession, emb: DataFrame,
+      embBig: DataFrame, factor: Int): String = try {
+    if (sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP10X", "1") == "0")
+      return ""","t57_semdedup_10x":{"skipped":true}"""
+    import graft.ml.Clustering
+    import graft.operators.Similarity
+    val threshold = 0.45 // the catalog t57 operating point
+    val nprobe = 4
+    val kBase = 8
+    val nBase = emb.count()
+    val nBig = embBig.count()
+    val occ = math.max(1, (nBase / kBase).toInt) // 1x operating occupancy
+    val kResized = Clustering.cellsForCorpus(nBig, occ)
+    val centsBase = Clustering.kmeansCentroids(emb, "embedding", kBase, 7L)
+      .localCheckpoint(true)
+    val centsFixed = Clustering.kmeansCentroids(embBig, "embedding",
+      kBase, 7L).localCheckpoint(true)
+    val centsResized = Clustering.kmeansCentroids(embBig, "embedding",
+      kResized, 7L).localCheckpoint(true)
+    val (baseS, basePairs) = timeCount(() => Similarity.clusterBlockedPairs(
+      emb, "vec_id", "embedding", threshold, centsBase, nprobe))
+    val (fixedS, fixedPairs) = timeCount(() => Similarity.clusterBlockedPairs(
+      embBig, "vec_id", "embedding", threshold, centsFixed, nprobe))
+    val (resizedS, resizedPairs) = timeCount(() =>
+      Similarity.clusterBlockedPairs(
+        embBig, "vec_id", "embedding", threshold, centsResized, nprobe))
+    // admission rates, separated from the verify filter (untimed)
+    val pairSpace = nBig.toDouble * (nBig - 1) / 2.0
+    val fixedCand = Similarity.clusterBlockedCandidatePairs(
+      embBig, "vec_id", "embedding", centsFixed, nprobe).count()
+    val resizedCand = Similarity.clusterBlockedCandidatePairs(
+      embBig, "vec_id", "embedding", centsResized, nprobe).count()
+    // ground truth: every copy of a deterministic 1/8 of the sources
+    val sampled = embBig
+      .where(pmod(expr(s"vec_id div $factor"), lit(8L)) === 0)
+      .localCheckpoint(true)
+    val nSampled = sampled.count()
+    val truth = Similarity.exactThresholdPairs(
+        sampled, "vec_id", "embedding", threshold)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val nTruth = truth.count()
+    def foundBy(cents: DataFrame): Long =
+      truth.join(Similarity.clusterBlockedPairs(embBig, "vec_id",
+          "embedding", threshold, cents, nprobe),
+        Seq("id_a", "id_b"), "left_semi").count()
+    val foundResized = foundBy(centsResized)
+    val foundFixed = foundBy(centsFixed)
+    val recall = if (nTruth == 0) 1.0 else foundResized.toDouble / nTruth
+    val recallFixed = if (nTruth == 0) 1.0 else foundFixed.toDouble / nTruth
+    s""","t57_semdedup_10x":{"factor":$factor,"n_vectors":$nBig""" +
+      s""","k_base":$kBase,"base_s":${f"$baseS%.3f"},"base_pairs":$basePairs""" +
+      s""","fixedk_s":${f"$fixedS%.3f"},"fixedk_pairs":$fixedPairs""" +
+      s""","fixedk_candidates":$fixedCand""" +
+      s""","fixedk_cand_fraction":${f"${fixedCand / pairSpace}%.3e"}""" +
+      s""","fixedk_recall":${f"$recallFixed%.4f"}""" +
+      s""","k_resized":$kResized,"resized_s":${f"$resizedS%.3f"}""" +
+      s""","resized_pairs":$resizedPairs,"resized_candidates":$resizedCand""" +
+      s""","resized_cand_fraction":${f"${resizedCand / pairSpace}%.3e"}""" +
+      s""","sampled_vectors":$nSampled,"truth_pairs":$nTruth""" +
+      s""","found_pairs":$foundResized,"recall":${f"$recall%.4f"}""" +
+      s""","recall_floor":0.85,"recall_ok":${recall >= 0.85}}"""
+  } catch {
+    case e: Throwable =>
+      s""","t57_semdedup_10x":{"err":${jsonStr(e.toString)}}"""
   }
 
   /** One order of magnitude past the 10x record for the flagship dedup
@@ -251,7 +374,10 @@ object ScaleProbe {
     * join. SPARK_GRAFT_DEDUP30X=0 skips (≈2 min).
     */
   private def dedup30x(spark: SparkSession, docs: DataFrame): String = try {
-    if (sys.env.getOrElse("SPARK_GRAFT_DEDUP30X", "1") == "0") return ""
+    // an explicit skip marker: absence of the entry must never be
+    // ambiguous between "disabled" and "crashed" (ADVICE r9)
+    if (sys.env.getOrElse("SPARK_GRAFT_DEDUP30X", "1") == "0")
+      return ""","t5_minhash_30x":{"skipped":true}"""
     import graft.operators.Dedup
     val f = 30
     val docsBig = docs
@@ -303,7 +429,10 @@ object ScaleProbe {
       s""","sampled_pairs":$nSampledPairs,"truth_pairs":$nTruth""" +
       s""","found_pairs":$nFound,"recall":${f"$recall%.4f"}""" +
       s""","recall_floor":0.9,"recall_ok":${recall >= 0.9}}"""
-  } catch { case _: Throwable => "" }
+  } catch {
+    case e: Throwable =>
+      s""","t5_minhash_30x":{"err":${jsonStr(e.toString)}}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -86,6 +86,35 @@ object Clustering {
     * live on the driver between fit and frame construction — the same
     * small-model footprint any deployed quantizer has.
     */
+  /** Occupancy-constant cell count for the SemDeDup / IVF block index —
+    * the `Similarity.planesForCorpus` rule applied to a learned
+    * quantizer: hold expected cell occupancy (N/k) at the catalog
+    * operating point as the corpus grows, so k grows LINEARLY with N.
+    * Why occupancy and not √N: [[graft.operators.Similarity.clusterBlockedPairs]]'s
+    * pair space is Σ|cell|·|probed cells| ≈ N·occupancy·nprobe — with
+    * occupancy held constant, per-vector candidate work stays flat and
+    * TOTAL work stays linear in N, exactly the property that makes the
+    * block index survive 100 TB (a fixed k at 10× the corpus means 10×
+    * occupancy → 10× per-vector work → ~100× wall on the pair join; the
+    * r10 ScaleProbe measures this contrast on the record). The √N rule
+    * balances probe-list length against cell-scan length for top-k
+    * SEARCH; pair GENERATION has no probe-list term, so occupancy is
+    * the only knob that matters.
+    *
+    * Quantizer fit cost: spark.ml KMeans is O(iters·k·N·dim) — at
+    * k ∝ N a full-corpus fit would go quadratic, so at deployment scale
+    * the fit runs on a bounded uniform SAMPLE (a few hundred vectors per
+    * target cell, the standard IVF training regime); assignment stays
+    * the one linear broadcast pass [[graft.operators.Similarity.ivfCellRanks]]
+    * makes. Recall at a fixed nprobe is occupancy-driven (boundary pairs
+    * fall outside shared cells at the same rate when cell geometry holds),
+    * which is what lets a recall measured at 1× transfer to the re-sized
+    * index — the r10 probe's gate checks exactly that transfer.
+    */
+  def cellsForCorpus(n: Long, targetOccupancy: Int): Int =
+    math.max(1, math.ceil(
+      n.toDouble / math.max(targetOccupancy, 1)).toInt)
+
   def kmeansCentroids(df: DataFrame, vecCol: String, k: Int,
       seed: Long): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))

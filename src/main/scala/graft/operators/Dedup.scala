@@ -489,6 +489,15 @@ object Dedup {
       usedStarFallback: Boolean)
   @volatile var lastCcStats: Option[CcStats] = None
 
+  /** Telemetry is OPT-IN (default off): the edge `count()` it needs is a
+    * whole extra Spark job, which timed product twins and A/B probes must
+    * not pay — with it always-on, the cc_ab_10x comparison biased the
+    * propagation side upward (star contraction writes no stats) and every
+    * catalog product twin carried a hidden job. The bench/probe harnesses
+    * flip this on around their UNTIMED warm reps only.
+    */
+  @volatile var ccStatsEnabled: Boolean = false
+
   def connectedComponents(
       nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
@@ -547,9 +556,11 @@ object Dedup {
       iters += 1
     }
     // edge count off the already-checkpointed frame: a cached-partition
-    // scan, cheap relative to any propagation round.
-    lastCcStats = Some(CcStats(iters, edges.count(), changedLog.toSeq,
-      usedStarFallback = changed != 0L))
+    // scan, but still a Spark job — only paid when telemetry is opted in.
+    lastCcStats =
+      if (!ccStatsEnabled) None
+      else Some(CcStats(iters, edges.count(), changedLog.toSeq,
+        usedStarFallback = changed != 0L))
     if (changed != 0L) {
       // The diameter exceeded the bound (adversarial chain graphs —
       // crawl mirrors at corpus scale). Either hand the ALREADY

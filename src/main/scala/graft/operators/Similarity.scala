@@ -526,7 +526,41 @@ object Similarity {
     */
   def clusterBlockedPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, centroids: DataFrame,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1): DataFrame =
+    blockedCandidateRows(df, idCol, vecCol, centroids, nprobe)
+      // normalize to (min, max) BEFORE dedup: a boundary pair can be
+      // found in only one probe direction, and an id_a < id_b filter on
+      // the raw orientation would drop the (b probes a's home) find
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        fastDot(col("vec_a"), col("vec_b")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      // the same pair can surface via several shared cells / directions
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(first(col("cosine")) + lit(1e-9), 6).as("cosine"))
+
+  /** The candidate pair set [[clusterBlockedPairs]] scores BEFORE the
+    * cosine filter — one distinct row per unordered pair sharing a
+    * (home, probe) cell. Exposed like [[graft.operators.Dedup.bandCollisionPairs]]
+    * so capacity planning and the at-scale probe can measure the block
+    * index's admission rate (candidates / N(N−1)/2) separately from the
+    * verify filter, with the exact joins `clusterBlockedPairs` runs.
+    */
+  def clusterBlockedCandidatePairs(df: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, nprobe: Int = 1): DataFrame =
+    blockedCandidateRows(df, idCol, vecCol, centroids, nprobe)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+
+  /** Shared cell-blocked join: each vector's nprobe probe cells against
+    * every home-cell occupant, pairs carried with both unit vectors.
+    * ONE definition feeds both the scored pairs and the candidate count
+    * so a reported candidate fraction can never diverge from what the
+    * pair generator actually scanned.
+    */
+  private def blockedCandidateRows(df: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, nprobe: Int): DataFrame = {
     val base = unitVectors(df, idCol, vecCol, fanOut = true)
       .localCheckpoint(true)
     val ranked = ivfCellRanks(df, idCol, vecCol, centroids, nprobe)
@@ -539,16 +573,6 @@ object Similarity {
       .select(col("id").as("id_b"), col("vec").as("vec_b"), col("cell"))
     l.join(r, Seq("cell"))
       .where(col("id_a") =!= col("id_b"))
-      // normalize to (min, max) BEFORE dedup: a boundary pair can be
-      // found in only one probe direction, and an id_a < id_b filter on
-      // the raw orientation would drop the (b probes a's home) find
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        fastDot(col("vec_a"), col("vec_b")).as("cosine"))
-      .where(col("cosine") >= threshold)
-      // the same pair can surface via several shared cells / directions
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(round(first(col("cosine")) + lit(1e-9), 6).as("cosine"))
   }
 
   /** Hard-negative mining for contrastive training: for each ANCHOR

@@ -485,6 +485,52 @@ object TextAnalysis {
           .as("dsir_logratio"))
   }
 
+  /** [[importanceLogRatio]] over HASHED token buckets — the actual DSIR
+    * paper construction (Xie et al., arXiv:2302.03169 §2: hashed n-gram
+    * features into a fixed bucket space), and the web-scale answer to the
+    * exact variant's unbounded joint vocabulary: the LM frame here is AT
+    * MOST `buckets` rows BY CONSTRUCTION, so the broadcast stays bounded
+    * no matter how many distinct tokens a 100 TB crawl carries. Tokens
+    * map to buckets via the engine-portable md5-derived hash
+    * ([[Dedup.md5Hash56]] mod `buckets` — the same construction as
+    * [[FeatureEng.featureHash]]'s dim hash), so the scores are fully
+    * deterministic and hash-oracle-able cross-engine. Add-one smoothing
+    * runs over the FIXED bucket space (denominator `total + buckets`,
+    * not occupied-bucket count): the LM's support is the hash range
+    * itself, which is what makes the smoothing constant under corpus
+    * growth. Same shuffle ledger as the exact form — one bucket-count
+    * aggregate + one per-doc aggregate, LM and totals broadcast.
+    *
+    * Hash collisions merge token statistics (the hashing-trick
+    * trade-off); OperatorPropertySpec pins that the bucketed scores
+    * track the exact scores on the fixtures.
+    */
+  def importanceLogRatioHashed(df: DataFrame, textCol: String,
+      idCol: String, isTarget: Column, buckets: Int): DataFrame = {
+    val toks = tokenStream(df.withColumn("__tgt", isTarget),
+        textCol, Seq(idCol, "__tgt"))
+      .select(col(idCol), col("__tgt"),
+        pmod(Dedup.md5Hash56(col("token")), lit(buckets.toLong)).as("bkt"))
+    val counts = toks.groupBy(col("bkt"))
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("c_t"),
+        sum(when(!col("__tgt"), 1L).otherwise(0L)).as("c_r"))
+      .localCheckpoint(true) // two consumers: totals + the LM join
+    val totals = counts.agg(sum(col("c_t")).as("tt"),
+      sum(col("c_r")).as("tr"))
+    val lm = counts.crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        ((col("c_t") + 1).cast("double") / (col("tt") + lit(buckets)))
+          .as("p_t"),
+        ((col("c_r") + 1).cast("double") / (col("tr") + lit(buckets)))
+          .as("p_r"))
+    toks.where(!col("__tgt"))
+      .join(broadcast(lm), Seq("bkt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("p_t") / col("p_r"))) + lit(1e-9), 6)
+          .as("dsir_logratio"))
+  }
+
   def oovByGroup(df: DataFrame, textCol: String, groupCol: String,
       vocabSize: Int): DataFrame = {
     val vocab = vocabulary(df, textCol, vocabSize)

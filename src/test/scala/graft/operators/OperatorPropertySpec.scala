@@ -278,6 +278,31 @@ class OperatorPropertySpec extends SparkSpecBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(home === exact,
       "well-separated clusters should need no cross-cell probes")
+    // the exposed candidate set is what the pair generator scans: every
+    // emitted pair is a candidate, candidates are normalized+distinct
+    val cand = Similarity.clusterBlockedCandidatePairs(
+        vecs, "vec_id", "embedding", cents, 2)
+      .as[(Long, Long)].collect()
+    assert(cand.length === cand.distinct.length &&
+      cand.forall { case (a, b) => a < b })
+    val blocked2 = Similarity.clusterBlockedPairs(
+        vecs, "vec_id", "embedding", 0.9, cents, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked2.subsetOf(cand.toSet),
+      "scored pairs must come from the exposed candidate set")
+  }
+
+  test("cellsForCorpus: occupancy-constant self-sizing — k grows " +
+      "linearly with the corpus, floors at 1, ceil on remainders") {
+    import graft.ml.Clustering.cellsForCorpus
+    assert(cellsForCorpus(2000, 250) === 8)
+    assert(cellsForCorpus(20000, 250) === 80) // 10x corpus -> 10x cells
+    assert(cellsForCorpus(2001, 250) === 9) // partial cell rounds UP
+    assert(cellsForCorpus(5, 1000) === 1) // tiny corpus floors at one cell
+    assert(cellsForCorpus(100, 0) === 100) // degenerate occupancy guarded
+    val ks = Seq(1000L, 10000L, 100000L, 1000000L)
+      .map(cellsForCorpus(_, 128))
+    assert(ks === ks.sorted && ks.distinct === ks, "monotone in N")
   }
 
   // ---- DSIR importance log-ratio -------------------------------------
@@ -316,6 +341,69 @@ class OperatorPropertySpec extends SparkSpecBase {
       assert(math.abs(gs - score) < 1e-6,
         s"doc $id: got $gs want $score")
     }
+  }
+
+  test("importanceLogRatioHashed: bucketed LM is bounded by construction, " +
+      "collision-free bucketing reproduces the exact scores, and the " +
+      "hashed scores track the exact scores on the real fixture") {
+    // (a) with FAR more buckets than distinct tokens, collisions are
+    // absent (verified below) and hashed ≡ exact except for the
+    // smoothing denominator — so compare against a scalar reference
+    // built over the bucket space, same construction as the t58 spec
+    val docsRows = Seq(
+      (0L, "spark scan table", true), (1L, "spark spark merge", true),
+      (2L, "scan scan table row", false), (3L, "merge row spark", false),
+      (4L, "   ", false), (5L, "table", false), (6L, "", true))
+    val df = docsRows.toDF("doc_id", "text", "tgt")
+    val buckets = 4096
+    val got = TextAnalysis.importanceLogRatioHashed(df, "text", "doc_id",
+        col("tgt"), buckets)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    val tTok = docsRows.filter(_._3).flatMap(r => toks(r._2))
+    val rTok = docsRows.filterNot(_._3).flatMap(r => toks(r._2))
+    // the fixture's tokens must not collide at this bucket count, or the
+    // scalar reference below is wrong by construction
+    val vocab = (tTok ++ rTok).distinct
+    val bucketOf = vocab.map { w =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      w -> (java.lang.Long.parseLong(h.take(14), 16) % buckets)
+    }.toMap
+    assert(bucketOf.values.toSeq.distinct.size === vocab.size,
+      "fixture tokens collide; pick a different bucket count")
+    val (tt, tr) = (tTok.size, rTok.size)
+    def pT(w: String) = (tTok.count(_ == w) + 1.0) / (tt + buckets)
+    def pR(w: String) = (rTok.count(_ == w) + 1.0) / (tr + buckets)
+    docsRows.filterNot(_._3)
+      .map { case (id, text, _) => id -> toks(text) }
+      .filter(_._2.nonEmpty)
+      .foreach { case (id, ws) =>
+        val (_, gn, gs) = got(id)
+        val want = ws.map(w => math.log(pT(w) / pR(w))).sum / ws.size
+        assert(gn === ws.size.toLong)
+        assert(math.abs(gs - want) < 1e-6, s"doc $id: got $gs want $want")
+      }
+
+    // (b) on the real fixture at a REAL bucket count (64, the catalog
+    // config — vocab >> buckets, collisions everywhere), the hashed
+    // scores must still rank like the exact scores: DSIR's resample
+    // consumes relative weights, so rank agreement is the property the
+    // hashing trick must preserve
+    val real = graft.Tables.documents(spark, sf("sf0.001"))
+    val tgt = col("source") === "src0"
+    val exact = TextAnalysis.importanceLogRatio(real, "text", "doc_id", tgt)
+      .select(col("doc_id"), col("dsir_logratio").as("x"))
+    val hashed = TextAnalysis.importanceLogRatioHashed(
+        real, "text", "doc_id", tgt, 64)
+      .select(col("doc_id"), col("dsir_logratio").as("y"))
+    val joined = exact.join(hashed, "doc_id")
+    assert(joined.count() === exact.count(),
+      "hashed variant must score exactly the docs the exact variant does")
+    val r = joined.agg(corr(col("x"), col("y"))).head().getDouble(0)
+    assert(r > 0.8,
+      f"hashed scores decorrelated from exact scores: pearson=$r%.3f")
   }
 
   // ---- incremental aggregation ---------------------------------------

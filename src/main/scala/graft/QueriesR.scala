@@ -35,8 +35,12 @@ object QueriesR {
   // deliberately sits far below SemDeDup's usual ~0.95: low-cosine
   // pairs co-cluster far LESS (a k=16/nprobe=2 config measured recall
   // 0.57-0.71 here), so the gate runs the block index in its hardest
-  // regime — at a deployment's high threshold, near-dups share cells
-  // almost surely and k grows toward sqrt(N) with small nprobe.
+  // regime — at a deployment's high threshold near-dups share cells
+  // almost surely. k self-sizes by `Clustering.cellsForCorpus`
+  // (occupancy-constant — k=8 here IS that rule at the fixture's
+  // operating occupancy); the fixed-k vs re-sized-k cost contrast and
+  // the recall transfer are measured at 10x on the bench record
+  // (`atScale.t57_semdedup_10x`).
   val t57 = Q("t57_semantic_dedup",
     (s, d) => {
       val emb = Tables.embeddings(s, d)

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.operators.ThetaSketch
+
+/** Catalog part S (round 10): capabilities the §2.12 surface still
+  * lacked a first-class form of — mergeable distinct sketches with SET
+  * INTERSECTION (KMV/theta; HLL can't intersect), cross-document
+  * duplicated-span scrubbing and corpus-level segment dedup (the two
+  * ExactSubstr-family passes between doc-level dedup and chunking),
+  * the graph neighborhood function, and a k-anonymity governance
+  * audit. Spark-first plans; deterministic surfaces fully hash-oracled.
+  */
+object QueriesS {
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  // M50 — KMV/theta distinct sketches with set algebra (Beyer et al.,
+  // SIGMOD'07): per-event-type 64-minimum-values sketches of the
+  // distinct-user space, then UNION and INTERSECTION estimates for the
+  // click/purchase pair — the audience-overlap question HLL sketches
+  // (a30's family) structurally cannot answer. The md5 hash makes every
+  // estimate deterministic, so this entire surface is hash-oracled (the
+  // DuckDB oracle recomputes sketches, thresholds, and estimates
+  // bit-for-bit); exact counts ride the same rows so the estimator's
+  // accuracy is legible on the record. The sketch build is ONE
+  // map-combinable distinct + a group-partitioned window; sketches are
+  // 64 longs per segment — at 100 TB they broadcast, merge, and
+  // intersect without ever rescanning the facts.
+  val m50 = Q("m50_kmv_theta",
+    (s, d) => {
+      val k = 64
+      val e = ev(s, d)
+      // 3 consumers (per-type rows + both halves of the pair algebra)
+      val sk = ThetaSketch.kmvSketch(e, "event_type", "user_id", k)
+        .localCheckpoint(true)
+      val exact = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val perType = sk.join(exact, "event_type")
+        .select(col("event_type").as("set_name"), col("n_exact"),
+          round(ThetaSketch.estimate(col("kmv"), k) + lit(1e-9), 6)
+            .as("kmv_est"))
+      // the click/purchase pair: two 1-row sketch frames, scalar algebra
+      val a = sk.where(col("event_type") === "click")
+        .select(col("kmv").as("ka"))
+      val b = sk.where(col("event_type") === "purchase")
+        .select(col("kmv").as("kb"))
+      val pair = a.crossJoin(b) // 1 row x 1 row
+      val both = e.where(col("event_type").isin("click", "purchase"))
+      val exU = both.agg(countDistinct(col("user_id")).as("n_exact"))
+      val exI = both.groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).as("__nt"))
+        .where(col("__nt") === 2)
+        .agg(count(lit(1)).as("n_exact"))
+      val uRow = pair.crossJoin(exU).select(
+        lit("union:click+purchase").as("set_name"), col("n_exact"),
+        round(ThetaSketch.estimate(
+          ThetaSketch.unionSketch(col("ka"), col("kb"), k), k) + lit(1e-9),
+          6).as("kmv_est"))
+      val iRow = pair.crossJoin(exI).select(
+        lit("intersect:click+purchase").as("set_name"), col("n_exact"),
+        round(ThetaSketch.intersectEstimate(col("ka"), col("kb"), k)
+          + lit(1e-9), 6).as("kmv_est"))
+      perType.unionByName(uRow).unionByName(iRow)
+    },
+    Some("""WITH h AS (SELECT DISTINCT event_type,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))
+          AS BIGINT) AS h
+        FROM events),
+      km AS (SELECT event_type, h,
+        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h),
+      sk AS (SELECT event_type, list(h ORDER BY h) AS kmv,
+        count(*) AS sz
+        FROM km WHERE rn <= 64 GROUP BY 1),
+      ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1),
+      per AS (SELECT s.event_type AS set_name, e.n_exact,
+        round((CASE WHEN s.sz < 64 THEN s.sz::DOUBLE
+          ELSE 63.0 * power(2, 56) / s.kmv[64] END) + 1e-9, 6) AS kmv_est
+        FROM sk s JOIN ex e ON s.event_type = e.event_type),
+      mrg AS (SELECT DISTINCT unnest(kmv) AS h FROM sk
+        WHERE event_type IN ('click', 'purchase')),
+      ukm AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM mrg),
+      usk AS (SELECT list(h ORDER BY h) AS kmv, count(*) AS sz
+        FROM ukm WHERE rn <= 64),
+      exu AS (SELECT count(DISTINCT user_id) AS n_exact FROM events
+        WHERE event_type IN ('click', 'purchase')),
+      exi AS (SELECT count(*) AS n_exact FROM (
+        SELECT user_id FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1 HAVING count(DISTINCT event_type) = 2)),
+      ta AS (SELECT CASE WHEN sz < 64 THEN power(2, 56)
+          ELSE kmv[64]::DOUBLE END AS th, kmv
+        FROM sk WHERE event_type = 'click'),
+      tb AS (SELECT CASE WHEN sz < 64 THEN power(2, 56)
+          ELSE kmv[64]::DOUBLE END AS th, kmv
+        FROM sk WHERE event_type = 'purchase'),
+      th AS (SELECT least(ta.th, tb.th) AS theta FROM ta, tb),
+      com AS (SELECT count(*) AS c FROM
+        (SELECT unnest(kmv) AS h FROM ta) a
+        JOIN (SELECT unnest(kmv) AS h FROM tb) b USING (h), th
+        WHERE a.h::DOUBLE < th.theta),
+      urow AS (SELECT 'union:click+purchase' AS set_name, exu.n_exact,
+        round((CASE WHEN usk.sz < 64 THEN usk.sz::DOUBLE
+          ELSE 63.0 * power(2, 56) / usk.kmv[64] END) + 1e-9, 6) AS kmv_est
+        FROM usk, exu),
+      irow AS (SELECT 'intersect:click+purchase' AS set_name, exi.n_exact,
+        round(com.c::DOUBLE * power(2, 56) / th.theta + 1e-9, 6) AS kmv_est
+        FROM com, th, exi)
+      SELECT * FROM per
+      UNION ALL SELECT * FROM urow
+      UNION ALL SELECT * FROM irow"""))
+
+  val all: Seq[Q] = Seq(m50)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
-import graft.operators.ThetaSketch
+import graft.operators.{TextAnalysis, ThetaSketch}
 
 /** Catalog part S (round 10): capabilities the §2.12 surface still
   * lacked a first-class form of — mergeable distinct sketches with SET
@@ -115,5 +115,46 @@ object QueriesS {
       UNION ALL SELECT * FROM urow
       UNION ALL SELECT * FROM irow"""))
 
-  val all: Seq[Q] = Seq(m50)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  // T59 — ExactSubstr cross-document span scrub (Lee et al.,
+  // arXiv:2107.06499): a 4-token window occurring in >= 2 distinct
+  // documents survives only in the lowest doc id; every occurrence in a
+  // higher doc is cut and the doc re-joined around the holes. The
+  // within-doc repeats are t42's separate pass, so the two compose as a
+  // corpus pipeline's paired scrub stages. Deterministic end-to-end
+  // (position-exact survivorship, md5 of the rebuilt text), so the whole
+  // surface is hash-oracled. One gram aggregate + one occurrence join,
+  // both keyed on the gram; the scrub itself anti-joins on
+  // (doc, position) — per-doc parallel at crawl scale.
+  val t59 = Q("t59_crossdoc_span_scrub",
+    (s, d) => TextAnalysis.crossDocSpanScrub(docs(s, d), "doc_id", "text",
+      k = 4),
+    Some("""WITH base AS (SELECT doc_id,
+        string_split_regex(lower(trim(text)), '\s+') AS tk
+        FROM documents WHERE trim(text) <> ''),
+      toks AS (SELECT doc_id, CAST(i AS BIGINT) AS p, tk[i] AS tok
+        FROM base, unnest(generate_series(1, len(tk))) AS g(i)),
+      grams AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+          tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS g
+        FROM base, unnest(generate_series(1, len(tk) - 3)) AS gs(i)),
+      fd AS (SELECT g, min(doc_id) AS first_doc,
+          count(DISTINCT doc_id) AS nd
+        FROM grams GROUP BY 1),
+      rep AS (SELECT gr.doc_id, gr.p FROM grams gr JOIN fd USING (g)
+        WHERE nd >= 2 AND gr.doc_id > first_doc),
+      cov AS (SELECT DISTINCT doc_id, p + d AS p
+        FROM rep, unnest(generate_series(0, 3)) AS gd(d)),
+      kept AS (SELECT doc_id, p, tok FROM toks t
+        WHERE NOT EXISTS (SELECT 1 FROM cov c
+          WHERE c.doc_id = t.doc_id AND c.p = t.p)),
+      ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_md5
+        FROM kept GROUP BY 1)
+      SELECT b.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(len(tk) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        coalesce(cleaned_md5, md5('')) AS cleaned_md5
+      FROM base b LEFT JOIN ka USING (doc_id)"""))
+
+  val all: Seq[Q] = Seq(m50, t59)
 }

@@ -287,16 +287,7 @@ object TextAnalysis {
   def repeatedSpanScrub(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val (base, kept) = scrubKeptTokens(df, idCol, textCol, k)
-    val agg = kept.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n_kept"),
-        md5(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
-            e => e.getField("tok")))).as("cleaned_md5"))
-    base.select(col(idCol), size(col("tk")).cast("long").as("n_tokens"))
-      .join(agg, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+    scrubSummary(base, kept, idCol)
   }
 
   /** [[repeatedSpanScrub]] returning the rebuilt text itself (wide rows;
@@ -323,25 +314,92 @@ object TextAnalysis {
     */
   private def scrubKeptTokens(df: DataFrame, idCol: String,
       textCol: String, k: Int): (DataFrame, DataFrame) = {
-    require(k >= 2, s"span length must be >= 2, got $k")
-    import org.apache.spark.sql.expressions.Window
     val (base, toks) = positionedTokens(df, idCol, textCol)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
-    val gram = concat_ws(" ",
-      col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(w)): _*)
-    val grams = toks
-      .withColumn("__last", lead(col("tok"), k - 1).over(w))
-      .withColumn("g", gram)
-      .where(col("__last").isNotNull)
-      .select(col(idCol), col("p"), col("g"))
+    val grams = docGrams(toks, idCol, k)
     val covered = grams
       .withColumn("__first",
-        min(col("p")).over(Window.partitionBy(col(idCol), col("g"))))
+        min(col("p")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(idCol), col("g"))))
       .where(col("p") > col("__first"))
       .select(col(idCol),
         explode(sequence(col("p"), col("p") + lit(k - 1))).as("p"))
       .distinct()
     (base, toks.join(covered, Seq(idCol, "p"), "left_anti"))
+  }
+
+  /** Every k-gram start position per doc: (idCol, p, g). One windowed
+    * lead chain keyed on the doc — per-doc parallel at any corpus size.
+    */
+  private def docGrams(toks: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"span length must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    val gram = concat_ws(" ",
+      col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(w)): _*)
+    toks
+      .withColumn("__last", lead(col("tok"), k - 1).over(w))
+      .withColumn("g", gram)
+      .where(col("__last").isNotNull)
+      .select(col(idCol), col("p"), col("g"))
+  }
+
+  /** Narrow per-doc scrub summary: (idCol, n_tokens, n_removed,
+    * cleaned_md5) from the base token arrays and the surviving
+    * positioned tokens. Fully-scrubbed docs hash the empty string.
+    */
+  private def scrubSummary(base: DataFrame, kept: DataFrame,
+      idCol: String): DataFrame = {
+    val agg = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            e => e.getField("tok")))).as("cleaned_md5"))
+    base.select(col(idCol), size(col("tk")).cast("long").as("n_tokens"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+  }
+
+  /** CROSS-document duplicated-span scrub — the ExactSubstr pass of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al., arXiv:2107.06499), restricted to spans shared ACROSS documents
+    * (the within-doc repeats are [[repeatedSpanScrub]]'s jurisdiction,
+    * so the two passes compose without double jeopardy): a k-token
+    * window whose text occurs in two or more distinct documents keeps
+    * ALL its occurrences in the lowest doc id (the canonical copy stays
+    * readable) and marks every occurrence in any higher doc id for
+    * removal; surviving tokens re-join in order.
+    *
+    * Plan shape: the per-gram survivor frame is one map-combinable
+    * aggregate over (gram → min doc, distinct-doc count) — grouped on
+    * the gram, the same key the occurrence join then reuses, so AQE sees
+    * one exchange reused twice. Covered positions come from a bounded
+    * sequence-explode (k rows per scrubbed occurrence, never a range
+    * join) and the scrub is one anti-join on (doc, position). At crawl
+    * scale the gram strings themselves never need to shuffle twice:
+    * substituting [[Dedup.md5Hash56]] of the gram for the join key cuts
+    * the exchange to 8 bytes/row with identical semantics (md5 is
+    * engine-portable, so the oracle contract survives the swap).
+    * Returns (idCol, n_tokens, n_removed, cleaned_md5).
+    */
+  def crossDocSpanScrub(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val (base, toks) = positionedTokens(df, idCol, textCol)
+    val grams = docGrams(toks, idCol, k).localCheckpoint(true)
+    val survivors = grams.groupBy(col("g"))
+      .agg(min(col(idCol)).as("__first_doc"),
+        countDistinct(col(idCol)).as("__n_docs"))
+      .where(col("__n_docs") >= 2)
+      .select(col("g"), col("__first_doc"))
+    val covered = grams.join(survivors, Seq("g"))
+      .where(col(idCol) > col("__first_doc"))
+      .select(col(idCol),
+        explode(sequence(col("p"), col("p") + lit(k - 1))).as("p"))
+      .distinct()
+    scrubSummary(base, toks.join(covered, Seq(idCol, "p"), "left_anti"),
+      idCol)
   }
 
   /** Winnowing-style minimizer sketch: over every length-`w` window of

@@ -156,5 +156,39 @@ object QueriesS {
         coalesce(cleaned_md5, md5('')) AS cleaned_md5
       FROM base b LEFT JOIN ka USING (doc_id)"""))
 
-  val all: Seq[Q] = Seq(m50, t59)
+  // T60 — segment-level corpus dedup with reconstruction (the C4
+  // "duplicated line removal" pass, arXiv:1910.10683 §2.2, over aligned
+  // 5-token blocks since the fixture has no newlines): a block's text
+  // survives only at its globally-first (doc, block) occurrence —
+  // including repeats inside one doc — and each doc is rebuilt from its
+  // surviving blocks in order. Complements t59: aligned blocks + global
+  // keep-first vs sliding windows + keep-lowest-doc. Deterministic
+  // end-to-end, hash-oracled. Survivorship is one map-combinable
+  // min(struct) aggregate + equi-join on the segment — no corpus-wide
+  // window anywhere, so no single-reducer stage at any scale.
+  val t60 = Q("t60_segment_dedup",
+    (s, d) => TextAnalysis.segmentDedup(docs(s, d), "doc_id", "text",
+      segTokens = 5),
+    Some("""WITH base AS (SELECT doc_id,
+        string_split_regex(lower(trim(text)), '\s+') AS tk
+        FROM documents WHERE trim(text) <> ''),
+      toks AS (SELECT doc_id, CAST(i AS BIGINT) AS p, tk[i] AS tok
+        FROM base, unnest(generate_series(1, len(tk))) AS g(i)),
+      segs AS (SELECT doc_id, (p-1)//5 AS sidx,
+          string_agg(tok, ' ' ORDER BY p) AS seg
+        FROM toks GROUP BY 1, 2),
+      surv AS (SELECT doc_id, sidx, seg,
+          row_number() OVER (PARTITION BY seg ORDER BY doc_id, sidx) AS rn
+        FROM segs),
+      cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+        FROM segs GROUP BY 1),
+      ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          md5(string_agg(seg, ' ' ORDER BY sidx)) AS cleaned_md5
+        FROM surv WHERE rn = 1 GROUP BY 1)
+      SELECT c.doc_id, n_segments,
+        CAST(n_segments - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        coalesce(cleaned_md5, md5('')) AS cleaned_md5
+      FROM cnt c LEFT JOIN ka USING (doc_id)"""))
+
+  val all: Seq[Q] = Seq(m50, t59, t60)
 }

@@ -402,6 +402,62 @@ object TextAnalysis {
       idCol)
   }
 
+  /** Segment-level corpus dedup with document reconstruction — the
+    * C4/FineWeb "duplicated line removal" pass (Raffel et al.,
+    * arXiv:1910.10683 §2.2; Penedo et al., arXiv:2406.17557), adapted to
+    * aligned `segTokens`-token blocks because the fixture corpus has no
+    * newlines: each document splits into consecutive blocks (last block
+    * ragged), a block's text is deduplicated GLOBALLY — only its first
+    * occurrence in (doc id, block index) order survives, including
+    * repeats inside one document — and every document is rebuilt from
+    * its surviving blocks in order.
+    *
+    * Plan shape: segmentation is one per-doc aggregate (groupBy doc ×
+    * block index, sort-free — position order is restored inside the
+    * collect via array_sort); survivorship is one map-combinable
+    * min(struct(doc, idx)) aggregate keyed on the segment, re-joined on
+    * the same key so AQE reuses the exchange; reconstruction is one
+    * per-doc aggregate. Nothing is a window over the corpus, so no
+    * single-reducer stage exists at any scale. Hyper-frequent
+    * boilerplate segments make the survivor GROUP key hot, but min() is
+    * a partial aggregate — the combiner absorbs the skew map-side; the
+    * re-join fans the hot key back out row-per-occurrence, which AQE
+    * skew-split handles (it's a plain equi-join). At crawl scale the
+    * join key should be [[Dedup.md5Hash56]] of the block (8 bytes vs the
+    * block text) — engine-portable, so the oracle contract survives.
+    * Returns (idCol, n_segments, n_removed, cleaned_md5).
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
+    require(segTokens >= 1, s"segment size must be >= 1, got $segTokens")
+    val (base, toks) = positionedTokens(df, idCol, textCol)
+    val segs = toks
+      .withColumn("sidx", ((col("p") - 1) / segTokens).cast("long"))
+      .groupBy(col(idCol), col("sidx"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          e => e.getField("tok"))).as("seg"))
+      .localCheckpoint(true)
+    val firstOcc = segs.groupBy(col("seg"))
+      .agg(min(struct(col(idCol), col("sidx"))).as("__f"))
+    val kept = segs.join(firstOcc, Seq("seg"))
+      .where(col(idCol) === col("__f").getField(idCol) &&
+        col("sidx") === col("__f").getField("sidx"))
+      .select(col(idCol), col("sidx"), col("seg"))
+    val counts = segs.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segments"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("sidx"), col("seg")))),
+            e => e.getField("seg")))).as("cleaned_md5"))
+    counts.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_segments"),
+        (col("n_segments") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+  }
+
   /** Winnowing-style minimizer sketch: over every length-`w` window of
     * token md5 hashes, keep the lexicographic minimum; the document's
     * sketch is its distinct minimizer set. Adjacent windows share

@@ -190,5 +190,78 @@ object QueriesS {
         coalesce(cleaned_md5, md5('')) AS cleaned_md5
       FROM cnt c LEFT JOIN ka USING (doc_id)"""))
 
-  val all: Seq[Q] = Seq(m50, t59, t60)
+  // G8 — neighborhood function via ANF sketches (Palmer et al., KDD'02;
+  // HyperANF, WWW'11) over the STRONG-TIE customer↔supplier graph (g1's
+  // edge set restricted to near-full-quantity lineitems, symmetrized —
+  // the full bipartite graph saturates by hop 2, which is both a
+  // degenerate reach curve and a quadratic exact side; thresholding
+  // keeps a real expansion curve at every fixture scale): every node iterates a 16-minimum-values KMV
+  // register of its reachable set — per-round state is 16 longs per
+  // node, the construction that makes effective-diameter / reach-curve
+  // questions answerable at 100 TB where exact reach sets are quadratic.
+  // Exact seeded BFS (customers 1-30) rides the same pass as ground
+  // truth. KMV union is EXACT, so the iterated sketch equals the KMV of
+  // the true reach set — with the md5 hash that makes even the ESTIMATES
+  // hash-oracled (DuckDB recomputes them from unrolled BFS closures);
+  // n_reach carries the exact side on the same rows, so estimator error
+  // is legible on the record with no tolerance gate anywhere.
+  val g8 = Q("g8_neighborhood_function",
+    (s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).where(col("l_quantity") >= 48),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (-(col("l_suppkey") + 1)).as("dst"))
+      val nodes = Tables.customer(s, d).select(col("c_custkey").as("id"))
+        .union(Tables.supplier(s, d).select((-(col("s_suppkey") + 1)).as("id")))
+      graft.operators.Graph.neighborhoodFunction(nodes, "id",
+        edges, "src", "dst", seeds = col("id").between(1, 30),
+        maxHops = 3, k = 16)
+    },
+    Some("""WITH e0 AS (SELECT DISTINCT o_custkey AS s, -(l_suppkey + 1) AS d
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_quantity >= 48),
+      sym AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+      r0 AS (SELECT c_custkey AS v, c_custkey AS u FROM customer
+        WHERE c_custkey BETWEEN 1 AND 30),
+      r1 AS (SELECT v, u FROM r0
+        UNION SELECT r0.v, sym.d FROM r0 JOIN sym ON r0.u = sym.s),
+      r2 AS (SELECT v, u FROM r1
+        UNION SELECT r1.v, sym.d FROM r1 JOIN sym ON r1.u = sym.s),
+      r3 AS (SELECT v, u FROM r2
+        UNION SELECT r2.v, sym.d FROM r2 JOIN sym ON r2.u = sym.s),
+      q1 AS (SELECT DISTINCT v,
+        CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+        FROM r1),
+      q2 AS (SELECT DISTINCT v,
+        CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+        FROM r2),
+      q3 AS (SELECT DISTINCT v,
+        CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+        FROM r3),
+      s1 AS (SELECT v, h, row_number() OVER (PARTITION BY v ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY v) AS sz FROM q1),
+      s2 AS (SELECT v, h, row_number() OVER (PARTITION BY v ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY v) AS sz FROM q2),
+      s3 AS (SELECT v, h, row_number() OVER (PARTITION BY v ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY v) AS sz FROM q3),
+      e1 AS (SELECT v, CASE WHEN max(sz) < 16 THEN max(sz)::DOUBLE
+          ELSE 15.0 * power(2, 56) / max(CASE WHEN rn = 16 THEN h END) END
+          AS est FROM s1 GROUP BY v),
+      e2 AS (SELECT v, CASE WHEN max(sz) < 16 THEN max(sz)::DOUBLE
+          ELSE 15.0 * power(2, 56) / max(CASE WHEN rn = 16 THEN h END) END
+          AS est FROM s2 GROUP BY v),
+      e3 AS (SELECT v, CASE WHEN max(sz) < 16 THEN max(sz)::DOUBLE
+          ELSE 15.0 * power(2, 56) / max(CASE WHEN rn = 16 THEN h END) END
+          AS est FROM s3 GROUP BY v),
+      h1 AS (SELECT v, CAST(count(*) AS BIGINT) AS n_reach FROM r1 GROUP BY 1),
+      h2 AS (SELECT v, CAST(count(*) AS BIGINT) AS n_reach FROM r2 GROUP BY 1),
+      h3 AS (SELECT v, CAST(count(*) AS BIGINT) AS n_reach FROM r3 GROUP BY 1)
+      SELECT h1.v AS id, 1 AS hop, n_reach,
+        round(e1.est + 1e-9, 6) AS anf_est FROM h1 JOIN e1 USING (v)
+      UNION ALL SELECT h2.v, 2, n_reach, round(e2.est + 1e-9, 6)
+        FROM h2 JOIN e2 USING (v)
+      UNION ALL SELECT h3.v, 3, n_reach, round(e3.est + 1e-9, 6)
+        FROM h3 JOIN e3 USING (v)"""))
+
+  val all: Seq[Q] = Seq(m50, t59, t60, g8)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph centrality over entity-relation edge lists.
@@ -251,5 +251,74 @@ object Graph {
       ranks = next
     }
     ranks.select(col("__id").as(idCol), col("__r").as("ppr"))
+  }
+
+  /** Neighborhood function N(v, h) = |{u : dist(v,u) <= h}| over the
+    * symmetrized edge list, computed two ways in one pass — the ANF
+    * construction (Palmer et al., KDD'02; HyperANF, Boldi et al.,
+    * WWW'11) with [[ThetaSketch]] KMV registers instead of
+    * Flajolet-Martin/HLL, plus an exact seeded BFS for validation:
+    *
+    *  - EVERY node carries a k-minimum-values sketch of its reachable
+    *    set, initialized to {hash(v)} and advanced one hop per round by
+    *    merging each node's sketch with its neighbors' (one equi-join on
+    *    the edge + one groupBy(node) merge per round). Per-round state is
+    *    k longs per node — the whole point of ANF: at 100 TB the exact
+    *    reachable sets are quadratic, the sketch frame stays |V|·k.
+    *  - The EXACT side runs the same frontier expansion but only from
+    *    `seeds` (exact BFS from every node IS the quadratic object the
+    *    sketch exists to avoid), giving ground truth where it's
+    *    affordable.
+    *
+    * Because KMV union is exact (the k smallest of a merged sketch pair
+    * equal the k smallest of the united set), the iterated sketch of v
+    * at hop h is bit-identical to the KMV of v's exact h-hop reach set —
+    * so with the engine-portable md5 hash the ESTIMATES are exactly
+    * reproducible by an oracle that only knows the reach sets, and the
+    * whole output is hash-checkable with no tolerance gate.
+    *
+    * Returns one row per (seed, hop 1..maxHops): (idCol, hop,
+    * n_reach — exact, self included; anf_est — the seed's KMV estimate
+    * from the all-nodes sketch iteration, rounded 6dp).
+    */
+  def neighborhoodFunction(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Column, maxHops: Int, k: Int): DataFrame = {
+    require(maxHops >= 1 && k >= 2, s"need maxHops>=1, k>=2; got $maxHops, $k")
+    val e0 = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    val sym = e0.union(e0.select(col("__d"), col("__s")))
+      .distinct().localCheckpoint(true)
+    val ids = nodes.select(col(idCol).as("__v"), seeds.as("__seed"))
+      .localCheckpoint(true)
+    var reach = ids.where(col("__seed"))
+      .select(col("__v"), col("__v").as("__u")).localCheckpoint(true)
+    var sk = ids.select(col("__v"),
+        array(ThetaSketch.hash56(col("__v"))).as("__kmv"))
+      .localCheckpoint(true)
+    val perHop = (1 to maxHops).map { h =>
+      val expanded = reach.join(sym, col("__u") === col("__s"))
+        .select(col("__v"), col("__d").as("__u"))
+      reach = reach.union(expanded).distinct().localCheckpoint(true)
+      // neighbor sketches flow ALONG the edge; the merge is ONE shuffle
+      // of whole sketch arrays per node (never an exploded per-hash
+      // frame — k× fewer rows through the exchange), with the
+      // flatten/dedup/top-k inside the aggregate expression. The collect
+      // per node is bounded by k·(deg+1) longs pre-slice; a hub-heavy
+      // deployment caps it with the two-phase salted top-K (X78).
+      val nbr = sk.join(sym, col("__v") === col("__s"))
+        .select(col("__d").as("__v"), col("__kmv"))
+      sk = sk.union(nbr)
+        .groupBy(col("__v"))
+        .agg(slice(array_sort(array_distinct(
+          flatten(collect_list(col("__kmv"))))), 1, k).as("__kmv"))
+        .localCheckpoint(true)
+      val cnt = reach.groupBy(col("__v"))
+        .agg(count(lit(1)).as("n_reach"))
+      cnt.join(sk, "__v")
+        .select(col("__v").as(idCol), lit(h).as("hop"), col("n_reach"),
+          round(ThetaSketch.estimate(col("__kmv"), k) + lit(1e-9), 6)
+            .as("anf_est"))
+    }
+    perHop.reduce(_ unionByName _)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
-import graft.operators.{TextAnalysis, ThetaSketch}
+import graft.operators.{Privacy, TextAnalysis, ThetaSketch}
 
 /** Catalog part S (round 10): capabilities the §2.12 surface still
   * lacked a first-class form of — mergeable distinct sketches with SET
@@ -263,5 +263,51 @@ object QueriesS {
       UNION ALL SELECT h3.v, 3, n_reach, round(e3.est + 1e-9, 6)
         FROM h3 JOIN e3 USING (v)"""))
 
-  val all: Seq[Q] = Seq(m50, t59, t60, g8)
+  // V12 — k-anonymity / l-diversity release audit with a generalization
+  // ladder (Sweeney IJUFKS'02; Machanavajjhala ICDE'06): equivalence
+  // classes over the (nation, segment) quasi-identifiers, account-band
+  // sensitive attribute, k=10 / l=3 gates, and per class the FINEST rung
+  // of nation→region→segment-only generalization at which it reaches k.
+  // Every stage is a map-combinable grouped aggregate (one shuffle per
+  // rung; coarser rungs are tiny and broadcast back) — a one-pass audit
+  // at any table size. Fully deterministic, hash-oracled.
+  val v12 = Q("v12_k_anonymity",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("n_regionkey"), floor(col("c_acctbal") / 2500).as("__sens"))
+      val audit = Privacy.kAnonymityAudit(c,
+        Seq("c_nationkey", "c_mktsegment"), col("__sens"), k = 10, l = 3)
+      val ladder = Privacy.generalizationLadder(c,
+        Seq(Seq("c_nationkey", "c_mktsegment"),
+          Seq("n_regionkey", "c_mktsegment"),
+          Seq("c_mktsegment")), k = 10)
+      audit.join(
+        ladder.select(col("c_nationkey"), col("c_mktsegment"),
+          col("chosen_rung")),
+        Seq("c_nationkey", "c_mktsegment"))
+    },
+    Some("""WITH c AS (SELECT c_nationkey, c_mktsegment, n_regionkey,
+        floor(c_acctbal / 2500) AS sens
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      cls AS (SELECT c_nationkey, c_mktsegment,
+          CAST(count(*) AS BIGINT) AS class_size,
+          CAST(count(DISTINCT sens) AS BIGINT) AS l_distinct,
+          min(n_regionkey) AS n_regionkey
+        FROM c GROUP BY 1, 2),
+      r1 AS (SELECT n_regionkey, c_mktsegment, count(*) AS sz1
+        FROM c GROUP BY 1, 2),
+      r2 AS (SELECT c_mktsegment, count(*) AS sz2 FROM c GROUP BY 1)
+      SELECT cls.c_nationkey, cls.c_mktsegment, class_size, l_distinct,
+        class_size >= 10 AS k_anonymous, l_distinct >= 3 AS l_diverse,
+        CASE WHEN class_size >= 10 THEN 0
+             WHEN sz1 >= 10 THEN 1
+             WHEN sz2 >= 10 THEN 2
+             ELSE -1 END AS chosen_rung
+      FROM cls JOIN r1 USING (n_regionkey, c_mktsegment)
+        JOIN r2 USING (c_mktsegment)"""))
+
+  val all: Seq[Q] = Seq(m50, t59, t60, g8, v12)
 }

@@ -27,15 +27,16 @@ object QueriesS {
   // DuckDB oracle recomputes sketches, thresholds, and estimates
   // bit-for-bit); exact counts ride the same rows so the estimator's
   // accuracy is legible on the record. The sketch build is ONE
-  // map-combinable distinct + a group-partitioned window; sketches are
-  // 64 longs per segment — at 100 TB they broadcast, merge, and
-  // intersect without ever rescanning the facts.
+  // map-combinable custom aggregate (KmvAgg — each partition forwards at
+  // most k longs per group; bit-equal to the windowed builtin build, the
+  // spec pins it); sketches are 64 longs per segment — at 100 TB they
+  // broadcast, merge, and intersect without ever rescanning the facts.
   val m50 = Q("m50_kmv_theta",
     (s, d) => {
       val k = 64
       val e = ev(s, d)
       // 3 consumers (per-type rows + both halves of the pair algebra)
-      val sk = ThetaSketch.kmvSketch(e, "event_type", "user_id", k)
+      val sk = ThetaSketch.kmvSketchAgg(e, "event_type", "user_id", k)
         .localCheckpoint(true)
       val exact = e.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
@@ -43,11 +44,13 @@ object QueriesS {
         .select(col("event_type").as("set_name"), col("n_exact"),
           round(ThetaSketch.estimate(col("kmv"), k) + lit(1e-9), 6)
             .as("kmv_est"))
-      // the click/purchase pair: two 1-row sketch frames, scalar algebra
+      // the click/purchase pair: two PROVABLY-scalar sketch frames
+      // (ungrouped max over the one matching group row), so the
+      // cross-join audit sees 1-row aggregate builds, not opaque filters
       val a = sk.where(col("event_type") === "click")
-        .select(col("kmv").as("ka"))
+        .agg(max(col("kmv")).as("ka"))
       val b = sk.where(col("event_type") === "purchase")
-        .select(col("kmv").as("kb"))
+        .agg(max(col("kmv")).as("kb"))
       val pair = a.crossJoin(b) // 1 row x 1 row
       val both = e.where(col("event_type").isin("click", "purchase"))
       val exU = both.agg(countDistinct(col("user_id")).as("n_exact"))

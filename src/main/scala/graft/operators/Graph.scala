@@ -299,18 +299,17 @@ object Graph {
       val expanded = reach.join(sym, col("__u") === col("__s"))
         .select(col("__v"), col("__d").as("__u"))
       reach = reach.union(expanded).distinct().localCheckpoint(true)
-      // neighbor sketches flow ALONG the edge; the merge is ONE shuffle
-      // of whole sketch arrays per node (never an exploded per-hash
-      // frame — k× fewer rows through the exchange), with the
-      // flatten/dedup/top-k inside the aggregate expression. The collect
-      // per node is bounded by k·(deg+1) longs pre-slice; a hub-heavy
-      // deployment caps it with the two-phase salted top-K (X78).
+      // neighbor sketches flow ALONG the edge; the merge is one
+      // MAP-COMBINABLE custom aggregate (KmvMergeAgg): each map-side
+      // partition forwards at most k longs per node, so the per-round
+      // exchange is bounded by |V|·k per partition no matter the edge
+      // count or hub degree — no collect_list, no exploded per-hash
+      // frame, no post-shuffle dedup.
       val nbr = sk.join(sym, col("__v") === col("__s"))
         .select(col("__d").as("__v"), col("__kmv"))
       sk = sk.union(nbr)
         .groupBy(col("__v"))
-        .agg(slice(array_sort(array_distinct(
-          flatten(collect_list(col("__kmv"))))), 1, k).as("__kmv"))
+        .agg(graft.expressions.KmvMergeAgg(col("__kmv"), k).as("__kmv"))
         .localCheckpoint(true)
       val cnt = reach.groupBy(col("__v"))
         .agg(count(lit(1)).as("n_reach"))

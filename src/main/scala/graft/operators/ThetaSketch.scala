@@ -63,6 +63,21 @@ object ThetaSketch {
       .agg(sort_array(collect_list(col("h"))).as("kmv"))
   }
 
+  /** PRODUCTION KMV build: one map-combinable custom aggregate
+    * ([[graft.expressions.KmvAgg]], a `TypedImperativeAggregate`) — each
+    * input partition forwards at most k longs per group, with no global
+    * distinct and no window stage anywhere. Provably equivalent to
+    * [[kmvSketch]] (k smallest distinct values are merge-order
+    * independent; `ThetaSketchAggSpec` pins bit-equality), which remains
+    * as the pure-builtin fallback and the oracle's mental model. At
+    * 100 TB the difference is shuffling |groups|·k longs per partition
+    * vs every distinct (group, hash) pair in the corpus.
+    */
+  def kmvSketchAgg(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.expressions.KmvAgg(hash56(col(valueCol)), k).as("kmv"))
+
   /** Distinct-count estimate from a KMV array: exact below capacity,
     * (k−1)·2^56/h_(k) at capacity. */
   def estimate(kmv: Column, k: Int): Column =

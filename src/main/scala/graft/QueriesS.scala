@@ -312,5 +312,32 @@ object QueriesS {
       FROM cls JOIN r1 USING (n_regionkey, c_mktsegment)
         JOIN r2 USING (c_mktsegment)"""))
 
-  val all: Seq[Q] = Seq(m50, t59, t60, g8, v12)
+  // T61 — bigram-LM fluency scoring (the CCNet LM-quality axis,
+  // arXiv:1911.00359, in engine-native add-one-smoothed bigram form):
+  // corpus-trained conditional bigram counts score every doc by mean
+  // bigram negative log-likelihood — the absolute-fluency complement to
+  // t58's target-fit ranking (DSIR). Deterministic integer counts + one
+  // float expression per bigram → fully hash-oracled. Four
+  // map-combinable shuffles; the scoring join reuses the count
+  // aggregate's (prev, tok) exchange; LM frame is vocab²-bounded (the
+  // t58b hashed-bucket move bounds it further at crawl scale).
+  val t61 = Q("t61_bigram_lm_score",
+    (s, d) => TextAnalysis.bigramLmScore(docs(s, d), "text", "doc_id"),
+    Some("""WITH base AS (SELECT doc_id,
+        string_split_regex(lower(trim(text)), '\s+') AS tk
+        FROM documents WHERE trim(text) <> ''),
+      toks AS (SELECT doc_id, CAST(i AS BIGINT) AS p, tk[i] AS tok
+        FROM base, unnest(generate_series(1, len(tk))) AS g(i)),
+      bi AS (SELECT doc_id, prev, tok FROM (SELECT doc_id,
+          lag(tok) OVER (PARTITION BY doc_id ORDER BY p) AS prev, tok
+        FROM toks) WHERE prev IS NOT NULL),
+      pc AS (SELECT prev, tok, count(*) AS c_pair FROM bi GROUP BY 1, 2),
+      uc AS (SELECT tok AS prev, count(*) AS c_uni FROM toks GROUP BY 1),
+      vv AS (SELECT count(DISTINCT tok) AS v FROM toks)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(avg(-ln((c_pair + 1.0) / (c_uni + v))) + 1e-9, 6) AS nll
+      FROM bi JOIN pc USING (prev, tok) JOIN uc USING (prev), vv
+      GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(m50, t59, t60, g8, v12, t61)
 }

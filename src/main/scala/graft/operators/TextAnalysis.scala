@@ -402,6 +402,52 @@ object TextAnalysis {
       idCol)
   }
 
+  /** Bigram language-model scoring — the CCNet-style LM-quality filter
+    * (Wenzek et al., arXiv:1911.00359 use KenLM perplexity; this is the
+    * engine-native add-one-smoothed bigram form): train conditional
+    * bigram counts on the whole corpus, then score every document by
+    * the mean negative log-likelihood of its bigrams,
+    * nll = avg(−ln((c(prev,tok)+1)/(c(prev)+V))) — perplexity is
+    * exp(nll), monotone, so the filter thresholds nll directly.
+    * Complements [[importanceLogRatio]]: DSIR ranks docs by
+    * target-vs-pool fit, this ranks them by absolute fluency under the
+    * corpus's own statistics (the "gibberish/boilerplate" axis).
+    *
+    * Deterministic end-to-end (integer counts, one float expression per
+    * bigram), so fully hash-oracled. Plan: one (prev, tok) count
+    * aggregate whose exchange the scoring join REUSES (same key), one
+    * broadcast unigram join, one scalar vocab aggregate, one per-doc
+    * aggregate — four shuffles total, all map-combinable. At crawl
+    * scale the bigram LM frame is vocab²-bounded, not corpus-bounded;
+    * a deployment that can't hold it substitutes
+    * [[graft.expressions]]-hashed buckets for tokens exactly as
+    * [[importanceLogRatioHashed]] does for the unigram LM.
+    * Returns (idCol, n_bigrams, nll); docs with < 2 tokens emit no row.
+    */
+  def bigramLmScore(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, toks) = positionedTokens(df, idCol, textCol)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    val bi = toks
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col(idCol), col("prev"), col("tok"))
+      .localCheckpoint(true)
+    val pairCounts = bi.groupBy(col("prev"), col("tok"))
+      .agg(count(lit(1)).as("c_pair"))
+    val uniCounts = toks.groupBy(col("tok").as("prev"))
+      .agg(count(lit(1)).as("c_uni"))
+    val vocab = toks.agg(countDistinct(col("tok")).as("v"))
+    bi.join(pairCounts, Seq("prev", "tok"))
+      .join(uniCounts, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("c_pair") + lit(1.0)) /
+          (col("c_uni") + col("v")))) + lit(1e-9), 6).as("nll"))
+  }
+
   /** Segment-level corpus dedup with document reconstruction — the
     * C4/FineWeb "duplicated line removal" pass (Raffel et al.,
     * arXiv:1910.10683 §2.2; Penedo et al., arXiv:2406.17557), adapted to

@@ -339,5 +339,48 @@ object QueriesS {
       FROM bi JOIN pc USING (prev, tok) JOIN uc USING (prev), vv
       GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(m50, t59, t60, g8, v12, t61)
+  // ST6 — daily distinct-user KMV sketches as a STREAMING aggregation
+  // surface: kmvSketchAgg is a plain groupBy over a custom
+  // TypedImperativeAggregate, so the SAME call runs unchanged as a
+  // Structured Streaming aggregation — the custom-expression extension
+  // of st5's "mergeable state is stream-ready" claim (the state store
+  // persists the serialized KMV buffer; merge is the aggregate's own).
+  // This batch twin is fully hash-oracled (m50's determinism argument);
+  // StreamingSpec proves AvailableNow sketches ≡ these batch sketches
+  // bit-for-bit. k=32 on daily uniques ≈ 500-1500 keeps the estimator
+  // at capacity, so the estimate column exercises the (k-1)/θ path.
+  val st6 = Q("st6_kmv_daily_batch",
+    (s, d) => {
+      val k = 32
+      val daily = ev(s, d)
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(to_date(col("ts")).as("event_date"), col("user_id"))
+      val sk = ThetaSketch.kmvSketchAgg(daily, "event_date", "user_id", k)
+      val exact = daily.groupBy(col("event_date"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      sk.join(exact, "event_date")
+        .select(col("event_date"), col("n_exact"),
+          round(ThetaSketch.estimate(col("kmv"), k) + lit(1e-9), 6)
+            .as("kmv_est"))
+    },
+    Some("""WITH e AS (SELECT CAST(ts AS DATE) AS event_date, user_id
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      h AS (SELECT DISTINCT event_date,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))
+          AS BIGINT) AS h
+        FROM e),
+      km AS (SELECT event_date, h,
+        row_number() OVER (PARTITION BY event_date ORDER BY h) AS rn
+        FROM h),
+      sk AS (SELECT event_date, max(CASE WHEN rn = 32 THEN h END) AS h32,
+          count(*) AS sz
+        FROM km WHERE rn <= 32 GROUP BY 1),
+      ex AS (SELECT event_date, count(DISTINCT user_id) AS n_exact
+        FROM e GROUP BY 1)
+      SELECT s.event_date, n_exact,
+        round((CASE WHEN sz < 32 THEN sz::DOUBLE
+          ELSE 31.0 * power(2, 56) / h32 END) + 1e-9, 6) AS kmv_est
+      FROM sk s JOIN ex USING (event_date)"""))
+
+  val all: Seq[Q] = Seq(m50, t59, t60, g8, v12, t61, st6)
 }

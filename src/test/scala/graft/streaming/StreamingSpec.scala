@@ -147,4 +147,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === want)
     assert(got.keySet == Set("gold", "std") || got.contains("unknown"))
   }
+
+  test("KmvAgg is streaming-compatible unchanged: AvailableNow daily " +
+      "sketches equal the batch sketches bit-for-bit") {
+    import graft.operators.ThetaSketch
+    def daily(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("event_date"), col("user_id"))
+    val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
+    val streamed = Streaming.runAvailableNow(spark,
+      ThetaSketch.kmvSketchAgg(daily(stream), "event_date", "user_id", 32),
+      "st_spec_kmv")
+      .collect()
+      .map(r => r.getDate(0).toString -> r.getSeq[Long](1).toSeq).toMap
+    val batch = ThetaSketch.kmvSketchAgg(
+      daily(graft.Tables.events(spark, sf("sf0.001"))),
+      "event_date", "user_id", 32)
+      .collect()
+      .map(r => r.getDate(0).toString -> r.getSeq[Long](1).toSeq).toMap
+    assert(streamed.nonEmpty && streamed === batch)
+  }
 }

@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.expressions.KmvMergeAgg
 import graft.operators.ThetaSketch
 
-/** Dev tool: A/B the KMV sketch constructions on real fixture shapes —
+/** A/B the KMV sketch constructions on real fixture shapes —
   *
   *  1. BUILD: `ThetaSketch.kmvSketchAgg` (custom map-combinable
   *     TypedImperativeAggregate) vs `kmvSketch` (distinct + per-group
-  *     window) over the events table's (event_type, user_id) space.
+  *     window) over the events table's user-id space, grouped by a
+  *     4096-way synthetic segment key so the group count resembles a
+  *     deployment's, not the fixture's 5 event types.
   *  2. ANF MERGE: one `Graph.neighborhoodFunction` hop's sketch merge
   *     via `KmvMergeAgg` vs the collect_list→flatten→dedup→sort→slice
   *     expression chain, on the strong-tie graph's edge frame.
@@ -20,49 +22,44 @@ import graft.operators.ThetaSketch
   * local[32] numbers measure the SINGLE-NODE constant; the structural
   * argument (map-side state bounded at |groups|·k vs all distinct
   * hashes / all input arrays through the exchange) is what transfers to
-  * a 1000-executor shuffle. Usage: `runMain graft.KmvAb [sfDir] [reps]`.
+  * a 1000-executor shuffle. Runs standalone (`runMain graft.KmvAb
+  * [sfDir] [reps]`) and on the bench record via [[ScaleProbe]]'s
+  * `kmv_ab` entry.
   */
 object KmvAb {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val reps = if (args.length > 1) args(1).toInt else 5
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    def medianOf(thunk: () => Long): (Double, Long) = {
+  /** Measure both A/Bs; returns the JSON object body (no braces). */
+  def measure(spark: SparkSession, sfDir: String, reps: Int): String = {
+    def medianOf(thunk: () => Long): Double = {
       val walls = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val n = thunk()
-        (1e-9 * (System.nanoTime() - t0), n)
+        thunk()
+        1e-9 * (System.nanoTime() - t0)
       }
-      (walls.map(_._1).sorted.apply(reps / 2), walls.head._2)
+      walls.sorted.apply(reps / 2)
     }
 
-    // ---- 1. build shape: per-user-id sketches grouped by a WIDE key
-    // (user_id % 4096 synthetic segments) so the group count resembles a
-    // deployment's, not the fixture's 5 event types.
+    // ---- 1. build shape
     val ev = Tables.events(spark, sfDir)
       .select((col("user_id") % 4096).as("seg"), col("event_id"))
     ev.cache().count()
     val k = 64
-    def viaAgg() = ThetaSketch.kmvSketchAgg(ev, "seg", "event_id", k)
-      .agg(sum(element_at(col("kmv"), 1).cast("double"))).head().getDouble(0).toLong
-    def viaWin() = ThetaSketch.kmvSketch(ev, "seg", "event_id", k)
-      .agg(sum(element_at(col("kmv"), 1).cast("double"))).head().getDouble(0).toLong
+    def sink(df: DataFrame, kmvCol: String): Long = df
+      .agg(sum(element_at(col(kmvCol), 1).cast("double")))
+      .head().getDouble(0).toLong
+    def viaAgg() = sink(ThetaSketch.kmvSketchAgg(ev, "seg", "event_id", k),
+      "kmv")
+    def viaWin() = sink(ThetaSketch.kmvSketch(ev, "seg", "event_id", k),
+      "kmv")
     val eqBuild = ThetaSketch.kmvSketchAgg(ev, "seg", "event_id", k)
       .withColumnRenamed("kmv", "ka")
       .join(ThetaSketch.kmvSketch(ev, "seg", "event_id", k), "seg")
       .where(col("ka") =!= col("kmv")).count()
     require(eqBuild == 0L, s"build mismatch on $eqBuild groups")
-    val (aggS, _) = medianOf(viaAgg _)
-    val (winS, _) = medianOf(viaWin _)
+    val aggS = medianOf(viaAgg _)
+    val winS = medianOf(viaWin _)
 
-    // ---- 2. ANF merge shape: one sketch-propagation round over the
-    // strong-tie graph (g8's exact frame), agg vs expression chain.
+    // ---- 2. ANF merge shape (g8's exact frame, one propagation hop)
     val e0 = Tables.orders(spark, sfDir)
       .join(Tables.lineitem(spark, sfDir).where(col("l_quantity") >= 48),
         col("o_orderkey") === col("l_orderkey"))
@@ -90,16 +87,27 @@ object KmvAb {
       .join(oneHop(mergeChain), "__v")
       .where(col("__ka") =!= col("__kmv")).count()
     require(eqMerge == 0L, s"merge mismatch on $eqMerge nodes")
-    def runMergeAgg() = oneHop(mergeAgg)
-      .agg(sum(element_at(col("__kmv"), 1).cast("double"))).head().getDouble(0).toLong
-    def runMergeChain() = oneHop(mergeChain)
-      .agg(sum(element_at(col("__kmv"), 1).cast("double"))).head().getDouble(0).toLong
-    val (mAggS, _) = medianOf(runMergeAgg _)
-    val (mChainS, _) = medianOf(runMergeChain _)
+    val mAggS = medianOf(() => sink(oneHop(mergeAgg), "__kmv"))
+    val mChainS = medianOf(() => sink(oneHop(mergeChain), "__kmv"))
+    Seq(ev, sym, sk0).foreach(_.unpersist())
 
-    println(f"""{"kmv_ab":{"sf_dir":"$sfDir","reps":$reps,""" +
-      f""""build_agg_s":$aggS%.3f,"build_window_s":$winS%.3f,""" +
-      f""""merge_agg_s":$mAggS%.3f,"merge_chain_s":$mChainS%.3f}}""")
+    f""""reps":$reps,"build_agg_s":$aggS%.3f,""" +
+      f""""build_window_s":$winS%.3f,"merge_agg_s":$mAggS%.3f,""" +
+      f""""merge_chain_s":$mChainS%.3f,""" +
+      s""""build_winner":"${if (aggS <= winS) "agg" else "window"}"""" +
+      s""","merge_winner":"${if (mAggS <= mChainS) "agg" else "chain"}""""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 5
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"""{"kmv_ab":{"sf_dir":"$sfDir",${measure(spark, sfDir, reps)}}}""")
     spark.stop()
   }
 }

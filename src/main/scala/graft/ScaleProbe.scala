@@ -166,6 +166,20 @@ object ScaleProbe {
             docsBig.select(explode(split(lower(trim(col("text"))), "\\s+"))
               .as("token")).where(length(col("token")) > 0).as[String], 8)
         }),
+      // ANF sketch iteration (round 10, g8): per-round state is |V|·k
+      // longs by construction — the probe pins ~linear wall growth in
+      // the edge count on a 10x chord graph (degree-constant, so edge
+      // and node growth coincide; exact seeded BFS rides along at a
+      // fixed 30 seeds and is noise at both scales).
+      ("g8_anf",
+        () => Graph.neighborhoodFunction(
+          spark.range(baseEdges / 2).select(col("id")), "id",
+          chordGraph(spark, baseEdges / 2), "s1", "s2",
+          seeds = col("id") < 30, maxHops = 2, k = 16),
+        () => Graph.neighborhoodFunction(
+          spark.range(baseEdges * factor / 2).select(col("id")), "id",
+          chordGraph(spark, baseEdges * factor / 2), "s1", "s2",
+          seeds = col("id") < 30, maxHops = 2, k = 16)),
       // mm6's phash block join is deliberately NOT probed at 10x: a
       // 16-bit aHash saturates by birthday effect near 50K assets (the
       // RESULT grows ~quadratically, so a wall ratio measures output
@@ -257,7 +271,7 @@ object ScaleProbe {
     }
 
     entries.mkString("{", ",", "") + ccAb + dedup30x(spark, docs) +
-      semdedup10x(spark, emb, embBig, factor) + "}"
+      semdedup10x(spark, emb, embBig, factor) + kmvAb(spark, sfDir) + "}"
   }
 
   /** SemDeDup block-index scale probe (VERDICT r9 #1): the t5_minhash_30x
@@ -432,6 +446,19 @@ object ScaleProbe {
   } catch {
     case e: Throwable =>
       s""","t5_minhash_30x":{"err":${jsonStr(e.toString)}}"""
+  }
+
+  /** KMV construction A/B on the record ([[KmvAb.measure]]): custom
+    * map-combinable aggregate vs builtin window/collect chains, with
+    * bit-equality asserted in-run. SPARK_GRAFT_KMVAB=0 skips; a crash
+    * emits an explicit err entry (ADVICE r9's visibility rule).
+    */
+  private def kmvAb(spark: SparkSession, sfDir: String): String = try {
+    if (sys.env.getOrElse("SPARK_GRAFT_KMVAB", "1") == "0") ""
+    else s""","kmv_ab":{${KmvAb.measure(spark, sfDir, reps = 3)}}"""
+  } catch {
+    case e: Throwable =>
+      s""","kmv_ab":{"err":${jsonStr(e.toString)}}"""
   }
 
   def main(args: Array[String]): Unit = {

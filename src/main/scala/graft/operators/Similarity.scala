@@ -617,4 +617,105 @@ object Similarity {
         col("neg_label"), col("hn_rank"),
         round(col("cosine") + lit(1e-9), 6).as("cosine"))
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou et al., TPAMI'11): split each unit
+  // vector into m subvectors, learn a ksub-centroid codebook PER
+  // SUBSPACE, store each vector as m small codes (dim·4 bytes → m bytes
+  // at ksub <= 256). Queries score the compressed corpus by ADC —
+  // per-query lookup tables of subspace partial dot products, summed by
+  // code — then an exact rerank on the shortlist restores top-k
+  // fidelity. This is the memory tier BELOW int8 scalar quantization
+  // (quantizeInt8: 4× smaller; PQ here: 32×), the form in which a
+  // 100 TB embedding corpus actually fits an ANN serving tier.
+  // ------------------------------------------------------------------
+
+  /** Per-subspace PQ codebooks over the UNIT vectors: (sub, code,
+    * cent — array<double> of length dim/m). m sequential raw-space
+    * k-means fits ([[graft.ml.Clustering.kmeansCentroidsRaw]]); the
+    * result is m·ksub rows — broadcast-sized at any corpus scale.
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dim: Int, seed: Long): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val base = unitVectors(df, idCol, vecCol)
+    (0 until m).map { s =>
+      val sub = base.select(
+        slice(col("vec"), s * subDim + 1, subDim).as("v"))
+      graft.ml.Clustering.kmeansCentroidsRaw(sub, "v", ksub, seed + s)
+        .select(lit(s).as("sub"), col("cell").cast("int").as("code"),
+          col("cent_vec").as("cent"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ codes in long form: (id, sub, code) — the compressed corpus.
+    * One bounded broadcast loop (N·m·ksub rows pre-aggregate, the same
+    * centroid-assignment shape as IVF/kmeans); argmin is an exact
+    * min(struct(distance, code)) with the code as tie-break, so the
+    * encoding is deterministic GIVEN the codebooks.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    val base = unitVectors(df, idCol, vecCol)
+    val d2 = aggregate(zip_with(
+      slice(col("vec"), col("sub") * subDim + 1, lit(subDim)), col("cent"),
+      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v)
+    base.crossJoin(broadcast(codebooks))
+      .select(col("id").as(idCol), col("sub"), col("code"), d2.as("__d2"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("__d2"), col("code")))
+        .getField("code").as("code"))
+  }
+
+  /** ADC top-k with exact rerank: queries (rows matching `queryPred`)
+    * score the PQ-compressed corpus via per-query subspace lookup
+    * tables (|Q|·m·ksub partial dot products, broadcast), take an
+    * ADC `shortlist`, then rerank the shortlist with exact cosine
+    * against the original vectors — the standard PQ serving shape.
+    * Self-matches excluded. Returns (query_id, neighbor_id, rank,
+    * cosine). Scale: the ADC scan is one equi-join of the (N·m)-row
+    * code table against a broadcast LUT + one sum per (query,
+    * candidate); nothing touches raw vectors until the shortlist, which
+    * is |Q|·shortlist rows.
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, m: Int, ksub: Int, shortlist: Int,
+      dim: Int, seed: Long): DataFrame = {
+    val subDim = dim / m
+    val cb = pqCodebooks(df, idCol, vecCol, m, ksub, dim, seed)
+      .localCheckpoint(true)
+    val codes = pqEncode(df, idCol, vecCol, cb, m, dim)
+      .localCheckpoint(true)
+    val base = unitVectors(df, idCol, vecCol)
+    val queries = df.where(queryPred)
+    val qvecs = unitVectors(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val lut = qvecs.crossJoin(broadcast(cb))
+      .select(col("query_id"), col("sub"), col("code"),
+        fastDot(slice(col("qvec"), col("sub") * subDim + 1, lit(subDim)),
+          col("cent")).as("part"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("part")).as("__adc"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col(idCol))
+    val short = adc.withColumn("__r", row_number().over(ws))
+      .where(col("__r") <= shortlist)
+      .select(col("query_id"), col(idCol).as("neighbor_id"))
+    val rer = short
+      .join(base.select(col("id").as("neighbor_id"), col("vec")),
+        "neighbor_id")
+      .join(qvecs, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        fastDot(col("qvec"), col("vec")).as("cosine"))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    rer.withColumn("rank", row_number().over(wk))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine") + lit(1e-9), 6).as("cosine"))
+  }
 }

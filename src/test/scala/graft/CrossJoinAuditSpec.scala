@@ -83,7 +83,12 @@ class CrossJoinAuditSpec extends SparkSpecBase {
       "equi-join path"),
     "t31_source_overlap" -> ("bounded pair space: per-SOURCE MinHash " +
       "signature rows (|sources|² pairs over union-merged sketches, " +
-      "documents never pair)"))
+      "documents never pair)"),
+    "ann9_pq_topk" -> ("exact-oracle baseline (brute-force recall ground " +
+      "truth) + two bounded broadcasts: the m·ksub codebook against " +
+      "vectors (PQ encoding IS the centroid-assignment loop, ann2's " +
+      "argument) and the |Q|·m·ksub ADC lookup table; the candidate " +
+      "scan itself is a (sub, code) equi-join"))
 
   /** True when the plan subtree is a global aggregate (no grouping
     * keys) possibly wrapped in exchanges/projections — a 1-row scalar.

@@ -127,6 +127,14 @@ class MiscOperatorsSpec extends SparkSpecBase {
       val r = s2.sql(
         "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d))").head()
       assert(r.getDouble(0) === 11.0)
+      // kmv_agg registers as a SQL aggregate: 3 distinct values, k=8
+      // below capacity => the sketch IS the set
+      val k = s2.sql("SELECT kmv_agg(h, 8) FROM VALUES (1L),(2L),(2L),(3L)" +
+        " AS t(h)").head().getSeq[Long](0)
+      assert(k === Seq(1L, 2L, 3L))
+      val m = s2.sql("SELECT kmv_merge_agg(s, 2) FROM VALUES " +
+        "(array(1L, 5L)), (array(2L, 9L)) AS t(s)").head().getSeq[Long](0)
+      assert(m === Seq(1L, 2L))
     } finally {
       // s2 shares the JVM-wide SparkContext — do NOT stop it; just
       // restore the suite session as active/default.

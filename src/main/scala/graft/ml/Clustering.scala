@@ -115,25 +115,6 @@ object Clustering {
     math.max(1, math.ceil(
       n.toDouble / math.max(targetOccupancy, 1)).toInt)
 
-  /** k-means centroids in RAW space (no unit normalization) — the
-    * codebook fit product quantization needs: PQ approximates each
-    * SUBVECTOR in L2, and subvectors of a unit-normalized embedding are
-    * not themselves unit, so the cosine-flavored [[kmeansCentroids]]
-    * would distort the codebook. Returns (cell, cent_vec).
-    */
-  def kmeansCentroidsRaw(df: DataFrame, vecCol: String, k: Int,
-      seed: Long): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val feats = df.select(array_to_vector(v).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-    val cents = model.fit(feats).clusterCenters.zipWithIndex.map {
-      case (c, i) => (i.toLong, c.toArray.toSeq)
-    }
-    df.sparkSession.createDataFrame(cents.toSeq)
-      .toDF("cell", "cent_vec")
-  }
-
   def kmeansCentroids(df: DataFrame, vecCol: String, k: Int,
       seed: Long): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))

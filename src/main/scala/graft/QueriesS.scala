@@ -425,5 +425,58 @@ object QueriesS {
       k = 5, m = 16, ksub = 16, shortlist = 100,
       dim = Tables.embeddingDim, seed = 7L)))
 
-  val all: Seq[Q] = Seq(m50, t59, t60, g8, v12, t61, st6, ann9)
+  // T62 — the two scrub passes COMPOSED as one corpus stage: cross-doc
+  // ExactSubstr scrub (t59's pass, text-returning form) feeding
+  // segment-level dedup (t60's pass) — the order a production pipeline
+  // runs them (span scrub first: segment dedup on unscrubbed text would
+  // split spans across block boundaries and miss them). Proves the
+  // operators chain through their text-returning forms with no
+  // driver-side glue; fully hash-oracled by nesting the two CTE
+  // pipelines. Docs scrubbed to empty drop out (no segments), visible
+  // as fewer rows than t60 alone.
+  val t62 = Q("t62_scrub_pipeline",
+    (s, d) => TextAnalysis.segmentDedup(
+      TextAnalysis.crossDocSpanScrubText(docs(s, d), "doc_id", "text",
+        k = 4).withColumnRenamed("cleaned_text", "text"),
+      "doc_id", "text", segTokens = 5),
+    Some("""WITH base AS (SELECT doc_id,
+        string_split_regex(lower(trim(text)), '\s+') AS tk
+        FROM documents WHERE trim(text) <> ''),
+      toks AS (SELECT doc_id, CAST(i AS BIGINT) AS p, tk[i] AS tok
+        FROM base, unnest(generate_series(1, len(tk))) AS g(i)),
+      grams AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+          tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS g
+        FROM base, unnest(generate_series(1, len(tk) - 3)) AS gs(i)),
+      fd AS (SELECT g, min(doc_id) AS first_doc,
+          count(DISTINCT doc_id) AS nd
+        FROM grams GROUP BY 1),
+      rep AS (SELECT gr.doc_id, gr.p FROM grams gr JOIN fd USING (g)
+        WHERE nd >= 2 AND gr.doc_id > first_doc),
+      cov AS (SELECT DISTINCT doc_id, p + dd AS p
+        FROM rep, unnest(generate_series(0, 3)) AS gd(dd)),
+      kept AS (SELECT doc_id, p, tok FROM toks t
+        WHERE NOT EXISTS (SELECT 1 FROM cov c
+          WHERE c.doc_id = t.doc_id AND c.p = t.p)),
+      scrubbed AS (SELECT doc_id,
+          string_split_regex(string_agg(tok, ' ' ORDER BY p), '\s+') AS tk
+        FROM kept GROUP BY 1),
+      toks2 AS (SELECT doc_id, CAST(i AS BIGINT) AS p, tk[i] AS tok
+        FROM scrubbed, unnest(generate_series(1, len(tk))) AS g(i)),
+      segs AS (SELECT doc_id, (p-1)//5 AS sidx,
+          string_agg(tok, ' ' ORDER BY p) AS seg
+        FROM toks2 GROUP BY 1, 2),
+      surv AS (SELECT doc_id, sidx, seg,
+          row_number() OVER (PARTITION BY seg ORDER BY doc_id, sidx) AS rn
+        FROM segs),
+      cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+        FROM segs GROUP BY 1),
+      ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          md5(string_agg(seg, ' ' ORDER BY sidx)) AS cleaned_md5
+        FROM surv WHERE rn = 1 GROUP BY 1)
+      SELECT c.doc_id, n_segments,
+        CAST(n_segments - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        coalesce(cleaned_md5, md5('')) AS cleaned_md5
+      FROM cnt c LEFT JOIN ka USING (doc_id)"""))
+
+  val all: Seq[Q] = Seq(m50, t59, t60, g8, v12, t61, st6, ann9, t62)
 }

@@ -386,6 +386,31 @@ object TextAnalysis {
     */
   def crossDocSpanScrub(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    val (base, kept) = crossDocKeptTokens(df, idCol, textCol, k)
+    scrubSummary(base, kept, idCol)
+  }
+
+  /** [[crossDocSpanScrub]] returning the rebuilt text itself:
+    * (idCol, cleaned_text) — the form the next corpus pass consumes
+    * (t62 chains segment dedup over it). Same normalization caveat as
+    * [[repeatedSpanScrubText]]: lowercase, single-space joined.
+    * Fully-scrubbed (and blank) docs return empty text.
+    */
+  def crossDocSpanScrubText(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val (base, kept) = crossDocKeptTokens(df, idCol, textCol, k)
+    val agg = kept.groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          e => e.getField("tok"))).as("cleaned_text"))
+    base.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  private def crossDocKeptTokens(df: DataFrame, idCol: String,
+      textCol: String, k: Int): (DataFrame, DataFrame) = {
     val (base, toks) = positionedTokens(df, idCol, textCol)
     val grams = docGrams(toks, idCol, k).localCheckpoint(true)
     val survivors = grams.groupBy(col("g"))
@@ -398,8 +423,7 @@ object TextAnalysis {
       .select(col(idCol),
         explode(sequence(col("p"), col("p") + lit(k - 1))).as("p"))
       .distinct()
-    scrubSummary(base, toks.join(covered, Seq(idCol, "p"), "left_anti"),
-      idCol)
+    (base, toks.join(covered, Seq(idCol, "p"), "left_anti"))
   }
 
   /** Bigram language-model scoring — the CCNet-style LM-quality filter

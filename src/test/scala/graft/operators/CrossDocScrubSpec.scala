@@ -82,6 +82,24 @@ class CrossDocScrubSpec extends SparkSpecBase {
     assert(out(2L)._2 === 6L, s"expected union cover 6, got ${out(2L)._2}")
   }
 
+  test("text form rebuilds exactly what the md5 form hashes") {
+    val shared = "s1 s2 s3 s4"
+    val rows = Seq((1L, s"${distinctTokenDoc(5, "x")} $shared"),
+      (2L, s"$shared ${distinctTokenDoc(5, "y")}"),
+      (3L, distinctTokenDoc(7, "w")))
+    val texts = TextAnalysis.crossDocSpanScrubText(
+        rows.toDF("doc_id", "text"), "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("cleaned_text")).toMap
+    val hashes = scrub(rows)
+    rows.foreach { case (id, _) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(texts(id).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(h === hashes(id)._3, s"doc $id text/hash divergence")
+    }
+    assert(texts(2L) === texts(2L).trim && !texts(2L).startsWith("s1"))
+  }
+
   test("survivorship is transitive down the id order across three docs") {
     val shared = "q1 q2 q3 q4"
     val rows = Seq(

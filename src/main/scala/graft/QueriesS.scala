@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
-import graft.operators.{Privacy, Similarity, TextAnalysis, ThetaSketch}
+import graft.operators.{Privacy, Similarity, Stats, TextAnalysis,
+  ThetaSketch}
 
 /** Catalog part S (round 10): capabilities the §2.12 surface still
   * lacked a first-class form of — mergeable distinct sketches with SET
@@ -478,5 +479,73 @@ object QueriesS {
         coalesce(cleaned_md5, md5('')) AS cleaned_md5
       FROM cnt c LEFT JOIN ka USING (doc_id)"""))
 
-  val all: Seq[Q] = Seq(m50, t59, t60, g8, v12, t61, st6, ann9, t62)
+  // M51 — Mann-Whitney U rank-sum (nonparametric two-sample location,
+  // click vs purchase values): midranks computed on the DISTINCT-value
+  // frame via the range-partitioned prefix sum (m22's scale path — no
+  // corpus-wide window), rank arithmetic kept integral (2·R_A), so the
+  // statistic is bit-exact cross-engine and hash-oracled; the α=0.05
+  // decision brackets |z| against the literal normal critical value
+  // (m4b's decision-oracle pattern — no CDF needed in either engine).
+  val m51 = Q("m51_mann_whitney",
+    (s, d) => Stats.mannWhitney(
+      ev(s, d).where(col("event_type").isin("click", "purchase")),
+      "value", col("event_type") === "click"),
+    Some("""WITH e AS (SELECT value, event_type = 'click' AS a
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+      dv AS (SELECT value,
+          sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+          sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS nb
+        FROM e GROUP BY 1),
+      pr AS (SELECT na, nb, na + nb AS t,
+          sum(na + nb) OVER (ORDER BY value) AS ct FROM dv),
+      ag AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+          CAST(sum(nb) AS BIGINT) AS n_b,
+          CAST(sum(na * (2*(ct - t) + t + 1)) AS BIGINT) AS r2_a,
+          CAST(sum(t*t*t - t) AS BIGINT) AS ties
+        FROM pr),
+      st AS (SELECT n_a, n_b, r2_a,
+          (r2_a - n_a*(n_a+1)) / 2.0 AS u_a,
+          n_a * n_b / 2.0 AS mu,
+          n_a * n_b / 12.0 * ((n_a + n_b + 1)
+            - ties / ((n_a + n_b) * (n_a + n_b - 1.0))) AS sig2
+        FROM ag)
+      SELECT n_a, n_b, r2_a, round(u_a + 1e-9, 6) AS u_a,
+        round((u_a - mu) / sqrt(sig2) + 1e-9, 6) AS z,
+        abs((u_a - mu) / sqrt(sig2)) > 1.959964 AS reject_h0
+      FROM st"""))
+
+  // T63 — boilerplate-segment removal (C4's other line policy: text
+  // seen across >= 3 distinct docs is boilerplate and is removed
+  // EVERYWHERE, first copy included — the contrast with t60's
+  // keep-first dedup). One distinct-doc-frequency aggregate keyed on
+  // the segment + an anti-join on the same key; per-doc rebuild.
+  // Deterministic, hash-oracled at both fixture scales.
+  val t63 = Q("t63_boilerplate_filter",
+    (s, d) => TextAnalysis.boilerplateSegmentFilter(docs(s, d), "doc_id",
+      "text", segTokens = 3, minDocFreq = 3),
+    Some("""WITH base AS (SELECT doc_id,
+        string_split_regex(lower(trim(text)), '\s+') AS tk
+        FROM documents WHERE trim(text) <> ''),
+      toks AS (SELECT doc_id, CAST(i AS BIGINT) AS p, tk[i] AS tok
+        FROM base, unnest(generate_series(1, len(tk))) AS g(i)),
+      segs AS (SELECT doc_id, (p-1)//3 AS sidx,
+          string_agg(tok, ' ' ORDER BY p) AS seg
+        FROM toks GROUP BY 1, 2),
+      hot AS (SELECT seg FROM segs GROUP BY 1
+        HAVING count(DISTINCT doc_id) >= 3),
+      kept AS (SELECT doc_id, sidx, seg FROM segs
+        WHERE seg NOT IN (SELECT seg FROM hot)),
+      cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+        FROM segs GROUP BY 1),
+      ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          md5(string_agg(seg, ' ' ORDER BY sidx)) AS cleaned_md5
+        FROM kept GROUP BY 1)
+      SELECT c.doc_id, n_segments,
+        CAST(n_segments - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        coalesce(cleaned_md5, md5('')) AS cleaned_md5
+      FROM cnt c LEFT JOIN ka USING (doc_id)"""))
+
+  val all: Seq[Q] = Seq(m50, t59, t60, g8, v12, t61, st6, ann9, t62,
+    m51, t63)
 }

@@ -298,4 +298,50 @@ object Stats {
       .select(col(idCol), col(groupCol), col(scoreCol), col("pct_rank"),
         col("mapped_score"))
   }
+
+  /** Mann-Whitney U rank-sum test (two-sided, normal approximation with
+    * tie correction, no continuity correction) — the nonparametric
+    * two-sample location test the ANOVA/t family can't give when the
+    * value distribution is skewed. Rows where `isGroupA` is true form
+    * sample A; the rest form B.
+    *
+    * Scale shape: midranks need a GLOBAL prefix over the value order —
+    * computed on the DISTINCT-value frame (bounded by value cardinality,
+    * not row count) via [[rangePrefixSum]], the same range-partitioned
+    * two-pass prefix m22/m24/m27 ride — never a corpus-wide
+    * unpartitioned window. All rank arithmetic stays INTEGRAL
+    * (2·R_A = Σ na_v·(2·C_v + t_v + 1) avoids the half-integer
+    * midranks), so the statistic is bit-exact cross-engine and the
+    * whole row hash-oracles; the decision brackets |z| against the
+    * two-sided α=0.05 normal critical value (m4b's decision-oracle
+    * pattern, no CDF needed).
+    *
+    * Returns one row: (n_a, n_b, r2_a — twice A's rank sum, u_a, z,
+    * reject_h0).
+    */
+  def mannWhitney(df: DataFrame, valueCol: String,
+      isGroupA: Column): DataFrame = {
+    val dv = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(when(isGroupA, 1)).as("__na"),
+        count(when(!isGroupA, 1)).as("__nb"))
+      .withColumn("__t", col("__na") + col("__nb"))
+    val pref = rangePrefixSum(dv, Seq("__v"), Seq(("__t", "__ct")))
+    val agg = pref.agg(
+      sum(col("__na")).as("n_a"),
+      sum(col("__nb")).as("n_b"),
+      sum(col("__na") * (lit(2) * (col("__ct") - col("__t")) +
+        col("__t") + 1)).as("r2_a"),
+      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"))
+    val n = col("n_a") + col("n_b")
+    val uA = (col("r2_a") - col("n_a") * (col("n_a") + 1)) / lit(2.0)
+    val mu = col("n_a") * col("n_b") / lit(2.0)
+    val sig2 = col("n_a") * col("n_b") / lit(12.0) *
+      ((n + 1) - col("__ties") / (n * (n - lit(1.0))))
+    val z = (uA - mu) / sqrt(sig2)
+    agg.select(col("n_a"), col("n_b"), col("r2_a"),
+      round(uA + lit(1e-9), 6).as("u_a"),
+      round(z + lit(1e-9), 6).as("z"),
+      (abs(z) > lit(1.959964)).as("reject_h0"))
+  }
 }

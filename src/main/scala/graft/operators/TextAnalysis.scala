@@ -499,21 +499,63 @@ object TextAnalysis {
     */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       segTokens: Int): DataFrame = {
-    require(segTokens >= 1, s"segment size must be >= 1, got $segTokens")
-    val (base, toks) = positionedTokens(df, idCol, textCol)
-    val segs = toks
-      .withColumn("sidx", ((col("p") - 1) / segTokens).cast("long"))
-      .groupBy(col(idCol), col("sidx"))
-      .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
-          e => e.getField("tok"))).as("seg"))
-      .localCheckpoint(true)
+    val segs = docSegments(df, idCol, textCol, segTokens)
     val firstOcc = segs.groupBy(col("seg"))
       .agg(min(struct(col(idCol), col("sidx"))).as("__f"))
     val kept = segs.join(firstOcc, Seq("seg"))
       .where(col(idCol) === col("__f").getField(idCol) &&
         col("sidx") === col("__f").getField("sidx"))
       .select(col(idCol), col("sidx"), col("seg"))
+    segmentSummary(segs, kept, idCol)
+  }
+
+  /** Boilerplate-segment filter — the OTHER half of C4's line policy
+    * (arXiv:1910.10683 §2.2 removes boilerplate lines seen across many
+    * pages outright): aligned `segTokens`-token blocks whose text occurs
+    * in at least `minDocFreq` DISTINCT documents are removed from EVERY
+    * document, first occurrence included (contrast [[segmentDedup]],
+    * which keeps the first copy — dedup preserves one reading;
+    * boilerplate removal preserves none). One map-combinable
+    * distinct-doc-count aggregate keyed on the segment, re-joined on the
+    * same key (AQE reuses the exchange); rebuild is per-doc. Returns
+    * (idCol, n_segments, n_removed, cleaned_md5).
+    */
+  def boilerplateSegmentFilter(df: DataFrame, idCol: String,
+      textCol: String, segTokens: Int, minDocFreq: Int): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val segs = docSegments(df, idCol, textCol, segTokens)
+    val hot = segs.groupBy(col("seg"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minDocFreq)
+      .select(col("seg"))
+    val kept = segs.join(hot, Seq("seg"), "left_anti")
+      .select(col(idCol), col("sidx"), col("seg"))
+    segmentSummary(segs, kept, idCol)
+  }
+
+  /** Aligned `segTokens`-token blocks per doc: (idCol, sidx, seg), last
+    * block ragged; one per-doc aggregate, position order restored inside
+    * the collect. Eagerly materialized — every consumer reads it at
+    * least twice (frequency pass + scrub pass).
+    */
+  private def docSegments(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
+    require(segTokens >= 1, s"segment size must be >= 1, got $segTokens")
+    val (_, toks) = positionedTokens(df, idCol, textCol)
+    toks
+      .withColumn("sidx", ((col("p") - 1) / segTokens).cast("long"))
+      .groupBy(col(idCol), col("sidx"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          e => e.getField("tok"))).as("seg"))
+      .localCheckpoint(true)
+  }
+
+  /** Per-doc scrub summary over segment frames: (idCol, n_segments,
+    * n_removed, cleaned_md5); fully-removed docs hash the empty string.
+    */
+  private def segmentSummary(segs: DataFrame, kept: DataFrame,
+      idCol: String): DataFrame = {
     val counts = segs.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_segments"))
     val rebuilt = kept.groupBy(col(idCol))

@@ -32,6 +32,7 @@ class WindowAuditSpec extends SparkSpecBase {
       "subtotals, <= spark.sql.shuffle.partitions rows (Stats.scala)"),
     "m24_auc_score" -> "rangePrefixSum subtotal frame, <= numParts rows",
     "m27_spearman_corr" -> "rangePrefixSum subtotal frame, <= numParts rows",
+    "m51_mann_whitney" -> "rangePrefixSum subtotal frame, <= numParts rows",
     "m22b_ks_test_window" -> ("documented bounded-cardinality twin of " +
       "m22 (distinct discretized values); m22's range-partitioned shape " +
       "is the scale path"),

@@ -78,6 +78,37 @@ class SegmentDedupSpec extends SparkSpecBase {
     assert(out(2L)._2 === 1L, "duplicate ragged tail removed from doc 2")
   }
 
+  test("boilerplate filter removes hot segments EVERYWHERE, first copy included") {
+    val boiler = "h1 h2 h3 h4 h5"
+    val rows = (1L to 4L).map(i => (i, s"$boiler ${uniqueDoc(5, s"q$i")}")) :+
+      (9L, uniqueDoc(10, "z"))
+    val out = TextAnalysis.boilerplateSegmentFilter(
+        rows.toDF("doc_id", "text"), "doc_id", "text",
+        segTokens = W, minDocFreq = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("cleaned_md5"))))
+      .toMap
+    (1L to 4L).foreach { id =>
+      assert(out(id)._1 === 1L, s"doc $id must lose the boilerplate block")
+    }
+    assert(out(9L)._1 === 0L)
+    // contrast: segmentDedup keeps doc 1's copy
+    val dedup = run(rows)
+    assert(dedup(1L)._2 === 0L && dedup(2L)._2 === 1L)
+  }
+
+  test("boilerplate below the doc-frequency threshold survives everywhere") {
+    val shared = "k1 k2 k3 k4 k5"
+    val rows = Seq((1L, s"$shared ${uniqueDoc(5, "a")}"),
+      (2L, s"$shared ${uniqueDoc(5, "b")}"))
+    val out = TextAnalysis.boilerplateSegmentFilter(
+        rows.toDF("doc_id", "text"), "doc_id", "text",
+        segTokens = W, minDocFreq = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_removed")).toMap
+    assert(out(1L) === 0L && out(2L) === 0L, "df=2 < threshold 3")
+  }
+
   test("survivor order is (doc, block index): earlier block in the SAME doc wins") {
     val block = "e1 e2 e3 e4 e5"
     val filler = uniqueDoc(5, "f")

@@ -546,6 +546,48 @@ object QueriesS {
         coalesce(cleaned_md5, md5('')) AS cleaned_md5
       FROM cnt c LEFT JOIN ka USING (doc_id)"""))
 
+  // M52 — Poissonized bootstrap CI for the per-type mean (Chamandy et
+  // al. 2012, the distributed bootstrap): each row enters replicate b
+  // with a Poisson(1) weight drawn by inverse CDF from the md5-uniform
+  // of (event_id, b) — one explode + ONE map-combinable (group, b)
+  // aggregate, flat per-replicate state, no resample materialization.
+  // Deterministic weights (md5 + identical CDF literals both sides) +
+  // exact interpolated percentiles (the a11 quantile_cont equivalence)
+  // make the whole surface hash-oracled. 32 replicates over the
+  // click/purchase rows; B·rows through one shuffle is the entire cost.
+  val m52 = Q("m52_bootstrap_ci",
+    (s, d) => Stats.bootstrapMeanCi(
+      ev(s, d).where(col("event_type").isin("click", "purchase")),
+      "event_type", "value", "event_id", b = 32, lo = 0.025, hi = 0.975),
+    Some("""WITH e AS (SELECT event_type, event_id, value FROM events
+        WHERE event_type IN ('click', 'purchase')
+          AND value IS NOT NULL AND event_id IS NOT NULL),
+      r AS (SELECT event_type, value, b,
+          CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+            CAST(b AS VARCHAR)), 1, 14)) AS BIGINT) / power(2, 56) AS u
+        FROM e, range(0, 32) rr(b)),
+      w AS (SELECT event_type, b, value,
+          CASE WHEN u < 0.36787944117144233 THEN 0
+               WHEN u < 0.7357588823428847 THEN 1
+               WHEN u < 0.9196986029286058 THEN 2
+               WHEN u < 0.9810118431238463 THEN 3
+               WHEN u < 0.9963401531726563 THEN 4
+               WHEN u < 0.9994058151824183 THEN 5
+               WHEN u < 0.999916758850712 THEN 6
+               WHEN u < 0.9999897508033253 THEN 7
+               ELSE 8 END AS w
+        FROM r),
+      m AS (SELECT event_type, b, sum(w * value) / sum(w) AS m
+        FROM w GROUP BY 1, 2),
+      pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          round(avg(value) + 1e-9, 6) AS mean FROM e GROUP BY 1),
+      ci AS (SELECT event_type,
+          round(quantile_cont(m, 0.025) + 1e-9, 6) AS ci_lo,
+          round(quantile_cont(m, 0.975) + 1e-9, 6) AS ci_hi
+        FROM m GROUP BY 1)
+      SELECT pt.event_type, n, mean, ci_lo, ci_hi
+      FROM pt JOIN ci USING (event_type)"""))
+
   val all: Seq[Q] = Seq(m50, t59, t60, g8, v12, t61, st6, ann9, t62,
-    m51, t63)
+    m51, t63, m52)
 }

@@ -344,4 +344,58 @@ object Stats {
       round(z + lit(1e-9), 6).as("z"),
       (abs(z) > lit(1.959964)).as("reject_h0"))
   }
+
+  /** Poisson(1) cumulative probabilities for the bootstrap's inverse-CDF
+    * draw — identical literals on the oracle side make the weights
+    * engine-exact. Residual mass above k=7 maps to 8 (P ≈ 1e-5).
+    */
+  val PoissonCum: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253)
+
+  /** POISSONIZED bootstrap confidence interval for the per-group mean —
+    * the bootstrap form that distributes (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google TR 2012; the
+    * resampling engine under bag-of-little-bootstraps): instead of
+    * multinomial resampling (which needs the global N per replicate),
+    * each row enters replicate b with weight ~ Poisson(1), drawn by
+    * inverse CDF from the md5-uniform of (row id, b) — one explode +
+    * one grouped aggregate, no per-replicate pass over the data, and
+    * every weight reproduces bit-for-bit in any engine with md5.
+    * The CI is the [lo, hi] quantile_cont band over the B replicate
+    * means (exact linear-interpolation percentile ≡ DuckDB
+    * quantile_cont, the a11 equivalence).
+    *
+    * Returns (groupCol, n, mean, ci_lo, ci_hi), rounded 6dp. Shuffle
+    * cost: B·rows through ONE map-combinable (group, b) aggregate, then
+    * a |groups|·B-row percentile frame — flat per-replicate state, the
+    * reason this form scales where resample-materialization doesn't.
+    */
+  def bootstrapMeanCi(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, b: Int, lo: Double, hi: Double): DataFrame = {
+    require(b >= 8 && lo < hi, s"need b >= 8 and lo < hi; got $b, $lo, $hi")
+    val u = conv(substring(md5(concat_ws(":",
+        col(idCol).cast("string"), col("__b").cast("string"))), 1, 14),
+      16, 10).cast("double") / lit(math.pow(2.0, 56))
+    val w = PoissonCum.zipWithIndex.foldRight(lit(8): Column) {
+      case ((c, k), rest) => when(u < c, lit(k)).otherwise(rest)
+    }
+    val reps = df
+      .where(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol), col(idCol), col(valueCol))
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .groupBy(col(groupCol), col("__b"))
+      .agg((sum(w * col(valueCol)) / sum(w)).as("__m"))
+    val point = df
+      .where(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col(valueCol)) + lit(1e-9), 6).as("mean"))
+    val ci = reps.groupBy(col(groupCol))
+      .agg(round(percentile(col("__m"), lit(lo)) + lit(1e-9), 6)
+          .as("ci_lo"),
+        round(percentile(col("__m"), lit(hi)) + lit(1e-9), 6).as("ci_hi"))
+    point.join(ci, Seq(groupCol))
+  }
 }

@@ -588,6 +588,59 @@ object QueriesS {
       SELECT pt.event_type, n, mean, ci_lo, ci_hi
       FROM pt JOIN ci USING (event_type)"""))
 
+  // J13B — nearest-direction as-of with tolerance (pandas merge_asof
+  // direction='nearest'): each purchase takes the view of the same user
+  // closest in time, either direction, within 2 hours; equidistant →
+  // backward (pandas' rule). Same union-not-join construction as j13,
+  // both directions over ONE per-key sort — still one shuffle, no range
+  // join. Deterministic (whole-second gap arithmetic), hash-oracled via
+  // DuckDB's two directional ASOF arms + the same tolerance/tie CASE.
+  val j13b = Q("j13b_asof_nearest",
+    (s, d) => {
+      val views = ev(s, d).where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+        .withColumn("view_ts_sec", unix_seconds(col("ts")))
+      val purchases = ev(s, d).where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asOfNearest(purchases, views,
+          Seq("user_id"), "ts", Seq("view_value", "view_ts_sec"),
+          toleranceSec = 7200, prefix = "near_")
+        .select(col("event_id"), col("user_id"),
+          round(col("near_view_value") + lit(1e-9), 6)
+            .as("near_view_value"),
+          col("near_view_ts_sec"), col("near_dir"))
+    },
+    Some("""WITH v AS (SELECT user_id, ts, max(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      p AS (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'),
+      b AS (SELECT p.event_id, v.view_value AS bv,
+          CAST(floor(epoch(v.ts)) AS BIGINT) AS bts,
+          CAST(floor(epoch(p.ts)) AS BIGINT)
+            - CAST(floor(epoch(v.ts)) AS BIGINT) AS bd
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND v.ts <= p.ts),
+      f AS (SELECT p.event_id, v.view_value AS fv,
+          CAST(floor(epoch(v.ts)) AS BIGINT) AS fts,
+          CAST(floor(epoch(v.ts)) AS BIGINT)
+            - CAST(floor(epoch(p.ts)) AS BIGINT) AS fd
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND v.ts >= p.ts),
+      m AS (SELECT p.event_id, p.user_id,
+          bts IS NOT NULL AND bd <= 7200 AS bok,
+          fts IS NOT NULL AND fd <= 7200 AS fok,
+          bv, bts, bd, fv, fts, fd
+        FROM p JOIN b USING (event_id) JOIN f USING (event_id))
+      SELECT event_id, user_id,
+        round(CASE WHEN bok AND (NOT fok OR bd <= fd) THEN bv
+          WHEN fok THEN fv END + 1e-9, 6) AS near_view_value,
+        CASE WHEN bok AND (NOT fok OR bd <= fd) THEN bts
+          WHEN fok THEN fts END AS near_view_ts_sec,
+        CASE WHEN bok AND (NOT fok OR bd <= fd) THEN 'backward'
+          WHEN fok THEN 'forward' END AS near_dir
+      FROM m"""))
+
   val all: Seq[Q] = Seq(m50, t59, t60, g8, v12, t61, st6, ann9, t62,
-    m51, t63, m52)
+    m51, t63, m52, j13b)
 }

@@ -49,4 +49,58 @@ object AsOfJoin {
     filled.where(col("__side") === 1)
       .select((leftCols ++ renamed.map(_._2)).map(col): _*)
   }
+
+  /** NEAREST-direction as-of with tolerance (pandas merge_asof
+    * direction='nearest'): for each left row, the right row of the same
+    * key minimizing |right.ts − left.ts|, provided the gap is within
+    * `toleranceSec`; equidistant candidates resolve BACKWARD (pandas'
+    * rule). Same union-not-join construction as [[asOf]], run in both
+    * directions over ONE sorted frame: a backward `last(ignoreNulls)`
+    * and a forward `first(ignoreNulls)` window share the single
+    * per-key sort, so the whole operator is still one shuffle + one
+    * sort — no range join, no pair space. Gap arithmetic runs on
+    * whole-second epochs (exact longs, engine-portable), so `tsCol`
+    * must be TIMESTAMP-typed here (unlike [[asOf]], which only orders). Emits the
+    * payload columns as `prefix + name` plus `${prefix}dir`
+    * ('backward' / 'forward' / null when nothing is in tolerance).
+    * Same uniqueness contract on `right` as [[asOf]].
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, rightCols: Seq[String], toleranceSec: Long,
+      prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloads = rightCols :+ "__rts"
+    val r = right.select(
+      (keyCols :+ tsCol).map(col) ++
+        rightCols.map(c => col(c).as(s"__p_$c")) :+
+        col(tsCol).as("__p___rts"): _*)
+      .withColumn("__side", lit(0))
+    val l = left.withColumn("__side", lit(1))
+    val all = l.unionByName(r, allowMissingColumns = true)
+    val wb = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = payloads.foldLeft(all) { (df, p) =>
+      df.withColumn(s"__b_$p", last(col(s"__p_$p"), ignoreNulls = true)
+          .over(wb))
+        .withColumn(s"__f_$p", first(col(s"__p_$p"), ignoreNulls = true)
+          .over(wf))
+    }
+    val ts = unix_seconds(col(tsCol))
+    val bd = ts - unix_seconds(col("__b___rts"))
+    val fd = unix_seconds(col("__f___rts")) - ts
+    val bok = col("__b___rts").isNotNull && bd <= toleranceSec
+    val fok = col("__f___rts").isNotNull && fd <= toleranceSec
+    val pickB = bok && (!fok || bd <= fd)
+    val outs = rightCols.map { c =>
+      when(pickB, col(s"__b_$c")).when(fok, col(s"__f_$c"))
+        .as(s"$prefix$c")
+    } :+ when(pickB, lit("backward")).when(fok, lit("forward"))
+      .as(s"${prefix}dir")
+    filled.where(col("__side") === 1)
+      .select(leftCols.map(col) ++ outs: _*)
+  }
 }

@@ -370,6 +370,30 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out(104L) === "c")  // other key sees only its own rows
   }
 
+  test("asOfNearest picks the closer side, resolves ties backward, " +
+      "and nulls outside tolerance") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    def tsDf(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("k", "sec", "v")
+        .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val right = tsDf(Seq((1L, 100L, "a"), (1L, 200L, "b"),
+      (1L, 1000L, "c"), (2L, 50L, "d")))
+    val left = Seq((1L, 140L, 0L), (1L, 150L, 1L), (1L, 190L, 2L),
+      (1L, 5000L, 3L), (1L, 100L, 4L), (2L, 49L, 5L))
+      .toDF("k", "sec", "id")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("id"))
+    val out = AsOfJoin.asOfNearest(left, right, Seq("k"), "ts",
+        Seq("v"), toleranceSec = 300, prefix = "n_")
+      .select("id", "n_v", "n_dir").as[(Long, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) === (("a", "backward"))) // 40 back vs 60 fwd
+    assert(out(1L) === (("a", "backward"))) // tie 50/50 -> backward
+    assert(out(2L) === (("b", "forward")))  // 90 back vs 10 fwd
+    assert(out(3L) === ((null, null)))      // 4000s > tolerance
+    assert(out(4L) === (("a", "backward"))) // exact hit, distance 0
+    assert(out(5L) === (("d", "forward")))  // other key, 1s forward
+  }
+
   test("redactPii masks every span type, counts them, leaves clean text") {
     val docs = Seq(
       (0L, "mail a@b.io and c.d+x@e-f.org today"),

@@ -78,14 +78,6 @@ object Clustering {
           .as("assign_nearest_ok"))
   }
 
-  /** Fit spherical-style KMeans (inputs L2-normalized first, the right
-    * space for cosine search) and return the learned centroids as a
-    * (cell, cent_vec) frame — the coarse quantizer an IVF ANN index
-    * partitions on. Centroids are re-normalized to unit length so cell
-    * assignment reduces to an argmax of dot products. k × dim doubles
-    * live on the driver between fit and frame construction — the same
-    * small-model footprint any deployed quantizer has.
-    */
   /** Occupancy-constant cell count for the SemDeDup / IVF block index —
     * the `Similarity.planesForCorpus` rule applied to a learned
     * quantizer: hold expected cell occupancy (N/k) at the catalog
@@ -115,6 +107,14 @@ object Clustering {
     math.max(1, math.ceil(
       n.toDouble / math.max(targetOccupancy, 1)).toInt)
 
+  /** Fit spherical-style KMeans (inputs L2-normalized first, the right
+    * space for cosine search) and return the learned centroids as a
+    * (cell, cent_vec) frame — the coarse quantizer an IVF ANN index
+    * partitions on. Centroids are re-normalized to unit length so cell
+    * assignment reduces to an argmax of dot products. k × dim doubles
+    * live on the driver between fit and frame construction — the same
+    * small-model footprint any deployed quantizer has.
+    */
   def kmeansCentroids(df: DataFrame, vecCol: String, k: Int,
       seed: Long): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))

@@ -132,4 +132,91 @@ object Clustering {
     df.sparkSession.createDataFrame(cents.toSeq)
       .toDF("cell", "cent_vec")
   }
+
+  /** Grid-blocked DBSCAN (Ester et al., KDD'96) over a 2-D feature
+    * space — density clustering with a noise class, the shape-agnostic
+    * complement to [[kmeansAssign]] (k-means can't say "this point
+    * belongs to nothing"; DBSCAN's noise label is exactly the outlier
+    * verdict a curation pipeline wants).
+    *
+    * The ε-neighborhood join — DBSCAN's only superlinear step — is
+    * GRID-BLOCKED: cells of side ε, each point probes its 3×3 cell
+    * neighborhood (a 9× explode on one side, then a plain equi-join on
+    * the cell key). Blocking is EXACT, not approximate: two points
+    * within ε differ by < ε per axis, so their cell indices differ by
+    * at most 1 — every true neighbor pair lands in the join, and the
+    * pair space shrinks from N² to Σ|cell|·|3×3 block| (density-bounded:
+    * a cell holds O(ε²·ρ) points). Then:
+    *  - core points: |N_ε(p)| ≥ minPts (self included);
+    *  - clusters: connected components over core–core neighbor edges
+    *    ([[graft.operators.Dedup.connectedComponents]] min-label
+    *    propagation — cluster id = min core id, deterministic);
+    *  - border points: non-core with a core neighbor take the MIN core
+    *    neighbor's cluster (the textbook assignment is ingest-order-
+    *    dependent; min is the deterministic refinement);
+    *  - noise: cluster = -1.
+    *
+    * All boundary decisions are double-precision comparisons on
+    * identical IEEE arithmetic, so a SQL oracle reproduces every label
+    * exactly. At 100 TB: one 9×-explode equi-join (partitioned on cell
+    * keys — dense cells are the skew axis; ε sizes the grid), one
+    * neighbor-count shuffle, CC over the (sparse) core graph.
+    *
+    * Returns (idCol, n_in_eps — neighbors incl. self, is_core, cluster).
+    */
+  def dbscanGrid(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0 && minPts >= 2, s"need eps > 0, minPts >= 2")
+    val pts = points.select(col(idCol).cast("long").as("__id"),
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .withColumn("__cx", floor(col("__x") / eps).cast("long"))
+      .withColumn("__cy", floor(col("__y") / eps).cast("long"))
+      .localCheckpoint(true)
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val probe = pts.select(col("__id").as("__ida"), col("__x").as("__xa"),
+        col("__y").as("__ya"), col("__cx"), col("__cy"),
+        explode(offsets).as("__o"))
+      .select(col("__ida"), col("__xa"), col("__ya"),
+        (col("__cx") + col("__o.dx")).as("__jcx"),
+        (col("__cy") + col("__o.dy")).as("__jcy"))
+    val home = pts.select(col("__id").as("__idb"), col("__x").as("__xb"),
+      col("__y").as("__yb"), col("__cx").as("__jcx"),
+      col("__cy").as("__jcy"))
+    val dx = col("__xa") - col("__xb")
+    val dy = col("__ya") - col("__yb")
+    val nbrs = probe.join(home, Seq("__jcx", "__jcy"))
+      .where(col("__ida") =!= col("__idb") &&
+        dx * dx + dy * dy <= lit(eps * eps))
+      .select(col("__ida"), col("__idb"))
+      .localCheckpoint(true) // feeds count, core-edge, and border joins
+    val flagged = pts
+      .join(nbrs.groupBy(col("__ida").as("__id"))
+        .agg(count(lit(1)).as("__nn")), Seq("__id"), "left")
+      .withColumn("n_in_eps", coalesce(col("__nn"), lit(0L)) + 1)
+      .withColumn("is_core", col("n_in_eps") >= minPts)
+      .localCheckpoint(true)
+    val coreIds = flagged.where(col("is_core")).select(col("__id"))
+    val coreEdges = nbrs
+      .join(coreIds.withColumnRenamed("__id", "__ida"), Seq("__ida"),
+        "left_semi")
+      .join(coreIds.withColumnRenamed("__id", "__idb"), Seq("__idb"),
+        "left_semi")
+    val cc = graft.operators.Dedup.connectedComponents(
+      coreIds, "__id", coreEdges, "__ida", "__idb")
+    val borderLbl = nbrs
+      .join(cc.select(col("__id").as("__idb"),
+        col("cluster_id").as("__bl")), Seq("__idb"))
+      .groupBy(col("__ida").as("__id"))
+      .agg(min(col("__bl")).as("__border_cluster"))
+    flagged
+      .join(cc.withColumnRenamed("cluster_id", "__core_cluster"),
+        Seq("__id"), "left")
+      .join(borderLbl, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_in_eps"), col("is_core"),
+        when(col("is_core"), col("__core_cluster"))
+          .otherwise(coalesce(col("__border_cluster"), lit(-1L)))
+          .as("cluster"))
+  }
 }

@@ -752,4 +752,62 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Content-defined chunking (CDC) + corpus-level chunk dedup audit —
+    * the rsync/LBFS/FastCDC family (Muthitacharoen et al., SOSP'01): cut
+    * each document at positions where a rolling content hash satisfies a
+    * divisor condition, so chunk boundaries SURVIVE insertions and
+    * deletions (a fixed-size chunker shifts every boundary after an
+    * edit; a content-defined one re-synchronizes within one chunk).
+    * Boundary rule here: position i ends a chunk when the 56-bit md5 of
+    * the trailing `window`-char gram is ≡ 0 (mod `divisor`) — expected
+    * chunk length ≈ `divisor` chars — plus a forced boundary at
+    * end-of-doc. md5 over the gram (not a true gear hash) keeps the
+    * whole construction engine-portable, so the oracle reproduces every
+    * boundary bit-for-bit.
+    *
+    * Plan: one per-position explode (the rolling scan — O(total chars),
+    * embarrassingly parallel, no shuffle), a per-doc lag window for
+    * chunk starts (partitioned by doc — never global), then ONE
+    * corpus-wide chunk-hash aggregate for occurrence counts. Per-doc
+    * output: chunk count, total chunked chars, and how many chunks /
+    * chars are corpus-duplicated (hash seen in >1 chunk instance) — the
+    * dedup-savings ledger. All-integer output → fully hash-oracled.
+    *
+    * At 100 TB: the explode is scan-shaped (prunes to the text column),
+    * the occurrence aggregate shuffles chunk hashes (16-byte keys, not
+    * text), and docs shorter than `window` drop out (documented filter).
+    */
+  def cdcChunkStats(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, divisor: Int): DataFrame = {
+    require(window >= 4 && divisor >= 2,
+      s"need window >= 4, divisor >= 2; got $window, $divisor")
+    val base = docs
+      .select(col(idCol).as("__id"), trim(col(textCol)).as("__t"))
+      .withColumn("__n", length(col("__t")))
+      .where(col("__n") >= window)
+    val bnd = base
+      .select(col("__id"), col("__t"), col("__n"),
+        explode(sequence(lit(window), col("__n"))).as("__i"))
+      .where(col("__i") === col("__n") ||
+        pmod(md5Hash56(
+          col("__t").substr(col("__i") - (window - 1), lit(window))),
+          lit(divisor)) === 0)
+    val w = Window.partitionBy(col("__id")).orderBy(col("__i"))
+    val chunks = bnd
+      .withColumn("__start",
+        coalesce(lag(col("__i"), 1).over(w), lit(0L)) + 1)
+      .select(col("__id"),
+        (col("__i") - col("__start") + 1).as("__len"),
+        md5(col("__t").substr(col("__start").cast("int"),
+          (col("__i") - col("__start") + 1).cast("int"))).as("__ch"))
+    val occ = chunks.groupBy(col("__ch")).agg(count(lit(1)).as("__occ"))
+    chunks.join(occ, "__ch")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("__len")).as("total_chars"),
+        sum(when(col("__occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("__occ") > 1, col("__len")).otherwise(0L))
+          .as("dup_chars"))
+  }
 }

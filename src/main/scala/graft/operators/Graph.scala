@@ -320,4 +320,54 @@ object Graph {
     }
     perHop.reduce(_ unionByName _)
   }
+
+  /** Multi-source BFS shortest-hop distance: every node's minimum hop
+    * count from the `seeds` set over the symmetrized edge list, up to
+    * `maxHops` (unreached nodes → hop = -1).
+    *
+    * Textbook frontier expansion, one round per hop:
+    *  - the frontier (nodes first reached last round) joins the edge
+    *    list (equi-join on src — ONE shuffle against the pre-partitioned,
+    *    localCheckpoint'ed edge frame),
+    *  - already-settled nodes drop via an anti-join against the settled
+    *    set, so each vertex is expanded EXACTLY ONCE over the whole run —
+    *    total work O(|E|) across all rounds, not O(|E|·hops).
+    * Per-round state is the settled frame (≤ |V| thin rows) plus the
+    * shrinking frontier; `localCheckpoint` holds plan depth at O(1). At
+    * 100 TB the frontier join inherits the edge frame's hash
+    * partitioning round over round — the same Pregel shape as
+    * [[pageRank]] / [[neighborhoodFunction]].
+    *
+    * Oracle note: hop levels are set arithmetic (membership in the h-th
+    * reach set but not the (h−1)-th), so a SQL oracle reproduces them
+    * exactly by unrolling the reach CTEs — no tolerance gate needed.
+    */
+  def bfsHops(nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, seeds: Column,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"need maxHops >= 1; got $maxHops")
+    val e0 = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    val sym = e0.union(e0.select(col("__d"), col("__s")))
+      .distinct().localCheckpoint(true)
+    val ids = nodes.select(col(idCol).as("__v"), seeds.as("__seed"))
+      .localCheckpoint(true)
+    var settled = ids.where(col("__seed"))
+      .select(col("__v"), lit(0).as("hop")).localCheckpoint(true)
+    var frontier = settled
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(sym, col("__v") === col("__s"))
+        .select(col("__d").as("__v")).distinct()
+        .join(settled.select(col("__v")), Seq("__v"), "left_anti")
+        .select(col("__v"), lit(h).as("hop"))
+        .localCheckpoint(true)
+      settled = settled.union(next).localCheckpoint(true)
+      frontier = next
+      h += 1
+    }
+    ids.select(col("__v"))
+      .join(settled, Seq("__v"), "left")
+      .select(col("__v").as(idCol),
+        coalesce(col("hop"), lit(-1)).as("hop"))
+  }
 }

@@ -759,4 +759,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine") + lit(1e-9), 6).as("cosine"))
   }
+
+  /** Retrieval-quality metrics — Precision@k, MRR, and binary-relevance
+    * nDCG@k — for ANY ranked run frame (`query_id`, `neighbor_id`,
+    * `rank`): the evaluation harness every ANN/search operator in this
+    * family ([[bruteForceTopKFor]], [[lshTopKAuto]], [[ivfTopK]],
+    * ann9's PQ scan) plugs into unchanged. Relevance is label equality
+    * against `labels` (query's own label; self never appears in a run).
+    *
+    * Per query: n_rel = corpus same-label count minus self (the ideal-
+    * ranking denominator), P@k = hits/k, MRR = 1/first-relevant-rank
+    * (0 if none), nDCG@k = Σ rel_i/log2(i+1) over the run divided by
+    * the ideal Σ_{i≤min(n_rel,k)} 1/log2(i+1) — the ideal prefix
+    * computed per row with a higher-order `aggregate`, no join.
+    *
+    * Plan: two broadcast-shaped label joins + one groupBy(query) —
+    * metrics cost O(|run|) regardless of corpus size; the run frame
+    * itself carries whatever cost its retriever paid. Deterministic
+    * given a deterministic run (every retriever here breaks cosine ties
+    * by neighbor id) → fully hash-oracled.
+    */
+  def retrievalMetrics(run: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1; got $k")
+    val lbl = labels.select(col(idCol).cast("long").as("__id"),
+      col(labelCol).cast("long").as("__lbl")).localCheckpoint(true)
+    val q = lbl.join(lbl.groupBy(col("__lbl")).agg(count(lit(1)).as("__lsz")),
+        "__lbl")
+      .select(col("__id").as("query_id"), col("__lbl").as("__qlbl"),
+        (col("__lsz") - 1).as("n_rel"))
+    val judged = run.where(col("rank") <= k)
+      .join(lbl.select(col("__id").as("neighbor_id"),
+        col("__lbl").as("__nlbl")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("__rel",
+        (col("__nlbl") === col("__qlbl")).cast("double"))
+    judged.groupBy(col("query_id"), col("n_rel"))
+      .agg(sum(col("__rel")).as("__hits"),
+        min(when(col("__rel") === 1.0, col("rank"))).as("__r1"),
+        sum(col("__rel") / log2(col("rank") + 1)).as("__dcg"))
+      .withColumn("__idcg", expr(
+        s"aggregate(sequence(1, int(least(n_rel, $k))), 0D, " +
+          "(acc, i) -> acc + 1.0 / log2(i + 1))"))
+      .select(col("query_id"), col("n_rel"),
+        round(col("__hits") / k + lit(1e-9), 6).as("p_at_k"),
+        round(coalesce(lit(1.0) / col("__r1"), lit(0.0)) + lit(1e-9), 6)
+          .as("mrr"),
+        round(when(col("n_rel") === 0, lit(0.0))
+          .otherwise(col("__dcg") / col("__idcg")) + lit(1e-9), 6)
+          .as("ndcg_at_k"))
+  }
 }

@@ -398,4 +398,123 @@ object Stats {
         round(percentile(col("__m"), lit(hi)) + lit(1e-9), 6).as("ci_hi"))
     point.join(ci, Seq(groupCol))
   }
+
+  /** k-fold cross-validated simple OLS via COMPLEMENT aggregates: fold
+    * assignment is the engine-portable 56-bit md5 of the row id (mod k),
+    * per-fold sufficient statistics (n, Σx, Σy, Σx², Σxy) are ONE
+    * map-combinable aggregate, and each fold's TRAINING coefficients
+    * come from total−fold arithmetic on the k-row frame — no k
+    * re-scans of the data, no per-fold training jobs. The held-out
+    * evaluation joins the k-row coefficient frame back (broadcast) and
+    * reduces per fold. Two shuffles total at any k and any table size;
+    * this is why closed-form learners cross-validate for free on an
+    * engine while iterative ones don't.
+    *
+    * Returns per fold: (fold, n_train, n_test, slope, intercept, rmse,
+    * mae), floats rounded 6dp.
+    */
+  def kFoldOlsCv(df: DataFrame, idCol: Column, xCol: Column, yCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds; got $k")
+    val base = df.select(idCol.as("__rid"), xCol.cast("double").as("__x"),
+        yCol.cast("double").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .withColumn("fold", pmod(ThetaSketch.hash56(col("__rid")), lit(k)))
+    val folds = base.groupBy(col("fold"))
+      .agg(count(lit(1)).cast("double").as("fn"),
+        sum(col("__x")).as("fx"), sum(col("__y")).as("fy"),
+        sum(col("__x") * col("__x")).as("fxx"),
+        sum(col("__x") * col("__y")).as("fxy"))
+      .localCheckpoint(true) // feeds both the total and the per-fold side
+    val tot = folds.agg(sum(col("fn")).as("tn"), sum(col("fx")).as("tx"),
+      sum(col("fy")).as("ty"), sum(col("fxx")).as("txx"),
+      sum(col("fxy")).as("txy"))
+    val n = col("tn") - col("fn")
+    val sx = col("tx") - col("fx")
+    val sy = col("ty") - col("fy")
+    val sxx = col("txx") - col("fxx")
+    val sxy = col("txy") - col("fxy")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val coef = folds.crossJoin(tot) // k rows × 1 scalar row
+      .select(col("fold"), n.cast("long").as("n_train"),
+        slope.as("__b"), ((sy - slope * sx) / n).as("__a"))
+    val res = col("__y") - (col("__a") + col("__b") * col("__x"))
+    base.join(broadcast(coef), Seq("fold"))
+      .groupBy(col("fold"))
+      .agg(max(col("n_train")).as("n_train"),
+        count(lit(1)).as("n_test"),
+        round(max(col("__b")) + lit(1e-9), 6).as("slope"),
+        round(max(col("__a")) + lit(1e-9), 6).as("intercept"),
+        round(sqrt(avg(res * res)) + lit(1e-9), 6).as("rmse"),
+        round(avg(abs(res)) + lit(1e-9), 6).as("mae"))
+  }
+
+  /** Split-conformal prediction intervals (Papadopoulos et al., ECML'02;
+    * Lei et al., JASA'18) for simple OLS: a deterministic hash split
+    * into train / calibration / test, closed-form fit on train, the
+    * ⌈(n_cal+1)(1−α)⌉-th smallest absolute calibration residual as the
+    * interval half-width q̂, and empirical coverage of ŷ ± q̂ measured
+    * on the held-out test rows — the distribution-free guarantee
+    * (coverage ≥ 1−α in expectation) audited on the same row.
+    *
+    * The order statistic comes from [[rangePrefixSum]] ranks (range
+    * partition + per-partition window + subtotal offsets), never a
+    * global sort or an unpartitioned data-sized window; the fit and q̂
+    * are 1-row scalar broadcasts. Fully deterministic → hash-oracled.
+    *
+    * Returns one row: (n_train, n_cal, n_test, alpha, q_hat, coverage,
+    * mean_width).
+    */
+  def splitConformal(df: DataFrame, idCol: Column, xCol: Column,
+      yCol: Column, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1; got $alpha")
+    val base = df.select(idCol.as("__rid"), xCol.cast("double").as("__x"),
+        yCol.cast("double").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .withColumn("__bucket", pmod(ThetaSketch.hash56(col("__rid")), lit(10)))
+      .withColumn("__split",
+        when(col("__bucket") <= 5, "train")
+          .when(col("__bucket") <= 7, "cal").otherwise("test"))
+      .localCheckpoint(true)
+    val fit = base.where(col("__split") === "train")
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("__x")).as("sx"),
+        sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__x") * col("__y")).as("sxy"))
+      .select(col("n").as("__n_train"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("__b"),
+        col("sx"), col("sy"), col("n"))
+      .select(col("__n_train"), col("__b"),
+        ((col("sy") - col("__b") * col("sx")) / col("n")).as("__a"))
+    val scored = base.crossJoin(broadcast(fit)) // 1-row scalar fit
+      .withColumn("__absres",
+        abs(col("__y") - (col("__a") + col("__b") * col("__x"))))
+      .localCheckpoint(true)
+    val calRanked = rangePrefixSum(
+      scored.where(col("__split") === "cal")
+        .select(col("__rid"), col("__absres"), lit(1L).as("__one")),
+      orderCols = Seq("__absres", "__rid"), sums = Seq(("__one", "rk")))
+    val qHat = calRanked
+      .where(col("rk") ===
+        least(ceil((col("rk_total") + 1) * lit(1.0 - alpha)),
+          col("rk_total")))
+      .agg(max(col("__absres")).as("__q"),
+        max(col("rk_total")).as("__n_cal"))
+    scored.where(col("__split") === "test")
+      .crossJoin(broadcast(qHat)) // 1-row scalar q̂
+      .groupBy(col("__n_cal"))
+      .agg(max(col("__n_train")).cast("long").as("n_train"),
+        count(lit(1)).as("n_test"),
+        round(max(col("__q")) + lit(1e-9), 6).as("q_hat"),
+        round(avg(when(col("__absres") <= col("__q"), 1.0).otherwise(0.0))
+          + lit(1e-9), 6).as("coverage"),
+        // width doubles the RAW order statistic (doubling the rounded
+        // q_hat composes two roundings and can land one 6dp grid cell
+        // off the oracle's round(2·q_raw))
+        round(lit(2.0) * max(col("__q")) + lit(1e-9), 6).as("mean_width"))
+      .select(col("n_train"), col("__n_cal").as("n_cal"), col("n_test"),
+        lit(alpha).as("alpha"), col("q_hat"), col("coverage"),
+        col("mean_width"))
+  }
 }

@@ -769,4 +769,51 @@ object TextAnalysis {
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens") + lit(1e-9), 6))
   }
+
+  /** Zipf rank–frequency fit: OLS of ln(count) on ln(rank) over the
+    * corpus's `topN` most frequent tokens — the standard power-law
+    * diagnostic for corpus health (a natural-language corpus fits slope
+    * ≈ −1; templated/boilerplate-heavy corpora flatten, spam steepens).
+    *
+    * Plan: one token-count aggregate (map-combinable), a global
+    * top-`topN` cut via orderBy+limit (TakeOrderedAndProject — per
+    * partition heaps, no full sort), then the rank window and the OLS
+    * closed form run on the ≤ `topN`-row frame. The only unpartitioned
+    * window is over that post-limit frame — bounded by the `topN`
+    * constant regardless of corpus size (WindowAuditSpec allowlist).
+    * Ties in count break by token ascending on BOTH the cut and the
+    * rank, so the fitted points are engine-reproducible exactly.
+    *
+    * Returns one row: (n_ranks, slope, intercept, r2), rounded 6dp.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 3, s"need topN >= 3 for a meaningful fit; got $topN")
+    val freq = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topN)
+    val pts = freq
+      .withColumn("__rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+      .select(log(col("__rank")).as("x"), log(col("cnt")).as("y"))
+    pts.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").cast("long").as("n_ranks"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) + lit(1e-9), 6)
+          .as("slope"),
+        round((col("sy") - col("sx") *
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) / col("n")
+          + lit(1e-9), 6).as("intercept"),
+        round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+           (col("n") * col("syy") - col("sy") * col("sy"))) + lit(1e-9), 6)
+          .as("r2"))
+  }
 }

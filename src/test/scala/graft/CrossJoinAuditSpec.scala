@@ -88,7 +88,11 @@ class CrossJoinAuditSpec extends SparkSpecBase {
       "truth) + two bounded broadcasts: the m·ksub codebook against " +
       "vectors (PQ encoding IS the centroid-assignment loop, ann2's " +
       "argument) and the |Q|·m·ksub ADC lookup table; the candidate " +
-      "scan itself is a (sub, code) equi-join"))
+      "scan itself is a (sub, code) equi-join"),
+    "ann10_retrieval_metrics" -> ("exact-oracle baseline: the evaluated " +
+      "run is the Q×N brute-force ground-truth ranking (m34's argument); " +
+      "the product twin scores the same metrics over lshTopKAuto " +
+      "candidates with no pair loop"))
 
   /** True when the plan subtree is a global aggregate (no grouping
     * keys) possibly wrapped in exchanges/projections — a 1-row scalar.

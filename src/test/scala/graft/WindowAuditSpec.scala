@@ -33,6 +33,10 @@ class WindowAuditSpec extends SparkSpecBase {
     "m24_auc_score" -> "rangePrefixSum subtotal frame, <= numParts rows",
     "m27_spearman_corr" -> "rangePrefixSum subtotal frame, <= numParts rows",
     "m51_mann_whitney" -> "rangePrefixSum subtotal frame, <= numParts rows",
+    "m55_conformal" -> ("rangePrefixSum subtotal frame, <= numParts rows " +
+      "(the calibration-residual rank that picks the conformal quantile)"),
+    "t64_zipf_fit" -> ("rank over the top-N token frame — post-limit, " +
+      "bounded by the topN constant (100 rows) regardless of corpus size"),
     "m22b_ks_test_window" -> ("documented bounded-cardinality twin of " +
       "m22 (distinct discretized values); m22's range-partitioned shape " +
       "is the scale path"),

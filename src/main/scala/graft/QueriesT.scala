@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
 import graft.ml.Clustering
-import graft.operators.{Dedup, Graph, Similarity, Stats, TextAnalysis}
+import graft.operators.{Association, Dedup, Graph, Similarity, Stats,
+  TextAnalysis}
 
 /** Catalog part T (round 11): graph shortest-hop distance, corpus
   * power-law diagnostics, content-defined chunking, density clustering
@@ -18,6 +19,18 @@ object QueriesT {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** Deterministically re-scaled embeddings for the MIPS family: norms
+    * carry per-id signal ((id mod 5 + 1)/3 ∈ {2/3 … 5/3}), so
+    * max-inner-product and cosine rankings genuinely diverge — on the
+    * unit-norm fixture vectors MIPS would degenerate to cosine.
+    */
+  private def scaledEmb(s: SparkSession, d: String) =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") *
+        ((pmod(col("vec_id"), lit(5)) + 1).cast("double") / lit(3.0)))
+        .as("svec"))
 
   // G9 — multi-source BFS shortest-hop distance over the customer ↔
   // supplier interaction graph (hop = data lineage / influence radius
@@ -292,5 +305,131 @@ object QueriesT {
       Similarity.retrievalMetrics(run, emb, "vec_id", "label", k = 10)
     }))
 
-  val all: Seq[Q] = Seq(g9, t64, t65, m53, m54, m55, ann10)
+  // M56 — per-segment chi-square uniformity battery with Benjamini–
+  // Hochberg FDR control: each event type's weekday distribution tested
+  // against uniform, p-values in-plan (ChiSquareCdf), BH step-up across
+  // the battery. The χ² statistics are hash-oracled exactly (zero-cell-
+  // safe algebraic form); the BH DECISIONS are bracket-oracled against
+  // a literal commons-math3 critical-value table at dof 6 and the
+  // rank-dependent thresholds 0.05·i/5 (the m4b/m11b discipline) — a
+  // changed test count empties the rank join and fails loudly on rows.
+  val m56 = Q("m56_bh_fdr",
+    (s, d) => Stats.chiSquareUniformityBH(ev(s, d), "event_type",
+      dayofweek(col("ts")), nCats = 7, q = 0.05),
+    Some("""WITH c AS (SELECT event_type, dayofweek(CAST(ts AS DATE)) AS wd,
+        count(*)::DOUBLE AS o FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+        7 * sum(o*o) / sum(o) - sum(o) AS chi2 FROM c GROUP BY 1),
+      r AS (SELECT event_type, n, chi2,
+        row_number() OVER (ORDER BY chi2 DESC, event_type) AS p_rank,
+        count(*) OVER () AS m FROM t),
+      -- chi-square critical values, dof 6, at the BH rank thresholds
+      -- 0.05*i/5 (commons-math3 ChiSquaredDistribution(6).icdf(1-a))
+      crit(p_rank, c) AS (VALUES
+        (1, 16.8118938302), (2, 15.0332077512), (3, 13.9676169268),
+        (4, 13.1978146460), (5, 12.5915872438)),
+      j AS (SELECT r.*, crit.c, r.chi2 > crit.c AS ok
+        FROM r JOIN crit USING (p_rank)),
+      mx AS (SELECT coalesce(max(CASE WHEN ok THEN p_rank END), 0)
+        AS max_ok FROM j)
+      SELECT event_type, n, round(chi2 + 1e-9, 6) AS chi2,
+        CAST(6 AS BIGINT) AS dof, p_rank,
+        round(CAST(0.05 AS DOUBLE) * p_rank / m + 1e-9, 6) AS bh_threshold,
+        p_rank <= mx.max_ok AS rejected_bh,
+        chi2 > 12.5915872438 AS sig_unadjusted
+      FROM j, mx"""))
+
+  // ANN11 — exact maximum-inner-product top-5 over deterministically
+  // re-scaled embeddings (norm = popularity signal): the ground-truth
+  // MIPS ranking, hash-oracled row-for-row (j12's idiom, raw inner
+  // products — no normalization). The Q×N loop is the documented exact
+  // baseline (CrossJoinAuditSpec allowlist); ann11b's SIMPLE-LSH
+  // reduction is the sublinear path.
+  val ann11 = Q("ann11_mips_topk",
+    (s, d) => {
+      val emb = scaledEmb(s, d)
+      Similarity.mipsTopK(emb,
+        emb.where(pmod(col("vec_id"), lit(29)) === 0).select(col("vec_id")),
+        "vec_id", "svec", k = 5)
+    },
+    Some("""WITH v AS (SELECT vec_id,
+        list_transform(embedding::DOUBLE[],
+          x -> x * ((vec_id % 5 + 1) / CAST(3.0 AS DOUBLE))) AS sv
+        FROM embeddings),
+      p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        list_inner_product(a.sv, b.sv) AS ip
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id WHERE a.vec_id % 29 = 0),
+      r AS (SELECT query_id, neighbor_id, ip, row_number()
+        OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id)
+        AS mips_rank FROM p)
+      SELECT query_id, neighbor_id, mips_rank, round(ip + 1e-9, 6) AS ip
+      FROM r WHERE mips_rank <= 5"""))
+
+  // ANN11B — the SIMPLE-LSH MIPS reduction (Neyshabur & Srebro ICML'15)
+  // driver-gated as a RECALL AUDIT (ann1's shape): corpus augmented to
+  // the sphere, queries asymmetrically, hyperplane buckets in the
+  // augmented space, candidates re-scored by TRUE inner product.
+  // Hash-seeded planes → recall is a fixed number per corpus; floor
+  // pinned below the min measured across fixtures. Product twin = the
+  // LSH-MIPS path alone (what a deployment runs).
+  val ann11b = Q("ann11b_mips_lsh",
+    (s, d) => {
+      val emb = scaledEmb(s, d)
+      val queries = emb.where(pmod(col("vec_id"), lit(29)) === 0)
+        .select(col("vec_id"))
+      val exact = Similarity.mipsTopK(emb, queries, "vec_id", "svec", 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val lsh = Similarity.mipsTopKLsh(emb, queries, "vec_id", "svec",
+          k = 5, numPlanes = 4, numTables = 8, dim = Tables.embeddingDim)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(lsh, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .agg(count(lit(1)).as("__hits"))
+      exact.agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"))
+        .crossJoin(hits)
+        .select(col("n_queries"), col("n_exact"),
+          (col("__hits").cast("double") / col("n_exact") >= 0.6)
+            .as("recall_ok"))
+    },
+    Some("""SELECT count(*) AS n_queries, 5 * count(*) AS n_exact,
+      true AS recall_ok FROM embeddings WHERE vec_id % 29 = 0"""),
+    product = Some((s, d) => {
+      val emb = scaledEmb(s, d)
+      Similarity.mipsTopKLsh(emb,
+        emb.where(pmod(col("vec_id"), lit(29)) === 0).select(col("vec_id")),
+        "vec_id", "svec", k = 5, numPlanes = 4, numTables = 8,
+        dim = Tables.embeddingDim)
+    }))
+
+  // M57 — 1→1 association rules (Apriori support/confidence/lift) over
+  // order baskets of part-name adjectives: the market-basket frame —
+  // co-consumption lift beyond chance — as one distinct projection, one
+  // per-basket self-join, two broadcast support joins, and a scalar
+  // basket count. Integer counts + single-division ratios → fully
+  // hash-oracled, thresholds applied to the RAW ratios on both sides.
+  val m57 = Q("m57_assoc_rules",
+    (s, d) => Association.rules(
+      li(s, d).join(Tables.part(s, d),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"),
+          split(col("p_name"), " ").getItem(0).as("item")),
+      "basket", "item", minSupport = 0.1, minConfidence = 0.4),
+    Some("""WITH it AS (SELECT DISTINCT l_orderkey AS b,
+        string_split(p_name, ' ')[1] AS i
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      n AS (SELECT count(DISTINCT b)::DOUBLE AS n FROM it),
+      s AS (SELECT i, count(*) AS ni FROM it GROUP BY 1),
+      p AS (SELECT a.i AS antecedent, b.i AS consequent, count(*) AS n_both
+        FROM it a JOIN it b ON a.b = b.b AND a.i <> b.i GROUP BY 1, 2)
+      SELECT antecedent, consequent, n_both,
+        round(n_both / n.n + 1e-9, 6) AS support,
+        round(n_both::DOUBLE / sa.ni + 1e-9, 6) AS confidence,
+        round((n_both::DOUBLE / sa.ni) * n.n / sb.ni + 1e-9, 6) AS lift
+      FROM p JOIN s sa ON p.antecedent = sa.i
+        JOIN s sb ON p.consequent = sb.i, n
+      WHERE n_both / n.n >= 0.1 AND n_both::DOUBLE / sa.ni >= 0.4"""))
+
+  val all: Seq[Q] = Seq(g9, t64, t65, m53, m54, m55, ann10, m56, ann11,
+    ann11b, m57)
 }

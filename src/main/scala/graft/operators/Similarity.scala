@@ -760,6 +760,98 @@ object Similarity {
         round(col("cosine") + lit(1e-9), 6).as("cosine"))
   }
 
+  /** Exact maximum-inner-product top-k (MIPS): the recommendation/
+    * scoring retrieval problem where vector NORMS carry signal (item
+    * popularity, document importance) so cosine search — which erases
+    * them — returns the wrong ranking. Brute-force Q×N inner products:
+    * the oracle-checkable ground truth; [[mipsTopKLsh]] is the
+    * sublinear path. No normalization anywhere — `ip` is the raw dot
+    * product; ties break by neighbor id.
+    */
+  def mipsTopK(corpus: DataFrame, queryIds: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .localCheckpoint(true)
+    val q = base.join(queryIds.select(col(idCol).cast("long").as("id")),
+        Seq("id"), "left_semi")
+      .select(col("id").as("query_id"), col("vec").as("vec_a"))
+    val r = base.select(col("id").as("neighbor_id"), col("vec").as("vec_b"))
+    val pairs = q.crossJoin(r)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        fastDot(col("vec_a"), col("vec_b")).as("ip"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    pairs.withColumn("mips_rank", row_number().over(w))
+      .where(col("mips_rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("mips_rank"),
+        round(col("ip") + lit(1e-9), 6).as("ip"))
+  }
+
+  /** Sublinear MIPS via the SIMPLE-LSH reduction (Neyshabur & Srebro,
+    * ICML'15, arXiv:1410.5518): augment corpus vectors to the unit
+    * sphere — x ↦ [x/M, √(1−‖x‖²/M²)] with M the max corpus norm — and
+    * queries asymmetrically — q ↦ [q/‖q‖, 0] — so that
+    * cos(q̂, x̂) ∝ ⟨q, x⟩: hyperplane-LSH bucketing in the augmented
+    * space is a valid MIPS index. Candidates come from `numTables`
+    * bucket equi-joins (the [[lshTopK]] machinery over d+1 dims,
+    * asymmetric: query buckets probe corpus buckets); survivors are
+    * scored by their TRUE inner product over the raw vectors, so the
+    * transform only steers candidate generation — scores and tie-breaks
+    * are identical to [[mipsTopK]]'s on whatever the index surfaces.
+    * M is an in-plan 1-row scalar broadcast (an index-build statistic,
+    * like lshTopKAuto's count). Zero-norm queries drop (MIPS undefined).
+    * At 100 TB: same occupancy/recall sizing knobs as the cosine family
+    * ([[planesForCorpus]] / [[tablesForRecall]]) — the reduction rides
+    * the existing index shape.
+    */
+  def mipsTopKLsh(corpus: DataFrame, queryIds: DataFrame, idCol: String,
+      vecCol: String, k: Int, numPlanes: Int, numTables: Int,
+      dim: Int): DataFrame = {
+    val raw = corpus.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("rawvec"))
+      .withColumn("norm",
+        sqrt(aggregate(col("rawvec"), lit(0.0), (a, x) => a + x * x)))
+      .localCheckpoint(true)
+    val mMax = raw.agg(max(col("norm")).as("__mmax"))
+    val corpusAug = raw.crossJoin(broadcast(mMax)) // 1-row scalar
+      .select(col("id"),
+        concat(transform(col("rawvec"), x => x / col("__mmax")),
+          array(sqrt(greatest(lit(0.0),
+            lit(1.0) - (col("norm") / col("__mmax"))
+              * (col("norm") / col("__mmax")))))).as("vec"))
+    val qIds = queryIds.select(col(idCol).cast("long").as("id"))
+    val queryAug = raw.join(qIds, Seq("id"), "left_semi")
+      .where(col("norm") > 0)
+      .select(col("id"),
+        concat(transform(col("rawvec"), x => x / col("norm")),
+          array(lit(0.0))).as("vec"))
+    val d = dim + 1
+    val cands = (0 until numTables).map { t =>
+      val cb = corpusAug.withColumn("bucket", bucketKey(t, numPlanes, d))
+        .select(col("id").as("neighbor_id"), col("bucket"))
+      val qb = queryAug.withColumn("bucket", bucketKey(t, numPlanes, d))
+        .select(col("id").as("query_id"), col("bucket"))
+      qb.join(cb, Seq("bucket"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionAll _).distinct()
+    val scored = cands
+      .join(raw.select(col("id").as("query_id"), col("rawvec").as("va")),
+        Seq("query_id"))
+      .join(raw.select(col("id").as("neighbor_id"),
+        col("rawvec").as("vb")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        fastDot(col("va"), col("vb")).as("ip"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    scored.withColumn("mips_rank", row_number().over(w))
+      .where(col("mips_rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("mips_rank"),
+        round(col("ip") + lit(1e-9), 6).as("ip"))
+  }
+
   /** Retrieval-quality metrics — Precision@k, MRR, and binary-relevance
     * nDCG@k — for ANY ranked run frame (`query_id`, `neighbor_id`,
     * `rank`): the evaluation harness every ANN/search operator in this

@@ -449,6 +449,61 @@ object Stats {
         round(avg(abs(res)) + lit(1e-9), 6).as("mae"))
   }
 
+  /** Per-group chi-square uniformity tests with Benjamini–Hochberg FDR
+    * control (Benjamini & Hochberg, JRSS-B'95) — the multiple-testing
+    * correction a battery of per-segment drift/uniformity gates needs:
+    * at 50 segments, unadjusted α=0.05 expects 2.5 false alarms per
+    * healthy snapshot; BH bounds the FALSE DISCOVERY RATE at q across
+    * however many segments the data has.
+    *
+    * Stage 1 (per group): χ² against a uniform distribution over
+    * `nCats` categories via the zero-cell-safe algebraic form
+    * Σ(o−e)²/e = nCats·Σo²/N − N (absent categories contribute 0 to
+    * Σo², exactly their (0−e)²/e = e term after expansion) — one
+    * (group, cat) count aggregate + one per-group reduce, no category
+    * scaffold join. Stage 2: p-values in-plan via [[graft.expressions.ChiSquareCdf]],
+    * BH step-up on the TEST frame (one row per group — the only window
+    * is over that bounded frame, m11's allowlisted shape): reject all
+    * ranks ≤ max{i : p₍ᵢ₎ < q·i/m}. Decisions are oracle-checkable as
+    * critical-value brackets (p₍ᵢ₎ < q·i/m ⇔ stat₍ᵢ₎ > crit(q·i/m; dof),
+    * the m4b/m11b pattern).
+    *
+    * Returns per group: (groupCol, n, chi2, dof, p_rank, bh_threshold,
+    * rejected_bh, sig_unadjusted).
+    */
+  def chiSquareUniformityBH(df: DataFrame, groupCol: String,
+      catCol: Column, nCats: Int, q: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nCats >= 2 && q > 0 && q < 1, s"need nCats >= 2, 0 < q < 1")
+    val counts = df.groupBy(col(groupCol), catCol.as("__cat"))
+      .agg(count(lit(1)).cast("double").as("__o"))
+    val tests = counts.groupBy(col(groupCol))
+      .agg(sum(col("__o")).as("__n"),
+        (lit(nCats) * sum(col("__o") * col("__o")) / sum(col("__o"))
+          - sum(col("__o"))).as("__chi2"))
+      .withColumn("__p", graft.expressions.ChiSquareCdf.chi2PValue(
+        col("__chi2"), lit((nCats - 1).toDouble)))
+    // bounded frame: one row per GROUP (the tests, not the facts) —
+    // the BH sort is over segment count, never data size
+    val wAll = Window.orderBy(col("__p").asc, col(groupCol).asc)
+    val wSet = Window.partitionBy()
+    val ranked = tests
+      .withColumn("p_rank", row_number().over(wAll))
+      .withColumn("__m", count(lit(1)).over(wSet))
+      .withColumn("__thr", lit(q) * col("p_rank") / col("__m"))
+      .withColumn("__ok", col("__p") < col("__thr"))
+    ranked
+      .withColumn("__max_ok",
+        max(when(col("__ok"), col("p_rank"))).over(wSet))
+      .select(col(groupCol), col("__n").cast("long").as("n"),
+        round(col("__chi2") + lit(1e-9), 6).as("chi2"),
+        lit((nCats - 1).toLong).as("dof"), col("p_rank"),
+        round(col("__thr") + lit(1e-9), 6).as("bh_threshold"),
+        (col("p_rank") <= coalesce(col("__max_ok"), lit(0)))
+          .as("rejected_bh"),
+        (col("__p") < 0.05).as("sig_unadjusted"))
+  }
+
   /** Split-conformal prediction intervals (Papadopoulos et al., ECML'02;
     * Lei et al., JASA'18) for simple OLS: a deterministic hash split
     * into train / calibration / test, closed-form fit on train, the

@@ -92,7 +92,11 @@ class CrossJoinAuditSpec extends SparkSpecBase {
     "ann10_retrieval_metrics" -> ("exact-oracle baseline: the evaluated " +
       "run is the Q×N brute-force ground-truth ranking (m34's argument); " +
       "the product twin scores the same metrics over lshTopKAuto " +
-      "candidates with no pair loop"))
+      "candidates with no pair loop"),
+    "ann11_mips_topk" -> ("exact-oracle baseline: brute-force Q×N inner " +
+      "products are the MIPS ground truth; ann11b's SIMPLE-LSH " +
+      "augmented-bucket path is the sublinear twin (its exact audit " +
+      "side is plan-truncated by localCheckpoint)"))
 
   /** True when the plan subtree is a global aggregate (no grouping
     * keys) possibly wrapped in exchanges/projections — a 1-row scalar.

@@ -35,6 +35,9 @@ class WindowAuditSpec extends SparkSpecBase {
     "m51_mann_whitney" -> "rangePrefixSum subtotal frame, <= numParts rows",
     "m55_conformal" -> ("rangePrefixSum subtotal frame, <= numParts rows " +
       "(the calibration-residual rank that picks the conformal quantile)"),
+    "m56_bh_fdr" -> ("BH step-up runs on the TEST frame — one row per " +
+      "group/segment (facts reduced first by the chi-square aggregate); " +
+      "the rank/threshold windows ride segment count, never data size"),
     "t64_zipf_fit" -> ("rank over the top-N token frame — post-limit, " +
       "bounded by the topN constant (100 rows) regardless of corpus size"),
     "m22b_ks_test_window" -> ("documented bounded-cardinality twin of " +

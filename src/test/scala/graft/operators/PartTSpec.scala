@@ -260,4 +260,124 @@ class PartTSpec extends SparkSpecBase {
     assert(r.getAs[Double]("mrr") < 1e-6)
     assert(r.getAs[Double]("ndcg_at_k") < 1e-6)
   }
+
+  // -------------------------------------------- Stats.chiSquareUniformityBH
+
+  test("chiSquareUniformityBH: matches a commons-math3 scalar BH replay " +
+      "on skewed-vs-uniform groups") {
+    // group A: all mass on one category (hugely significant);
+    // B: mildly skewed; C: near-uniform
+    val rows =
+      (1 to 70).map(_ => ("A", 1)) ++
+      (1 to 70).map(i => ("B", if (i <= 30) 1 else i % 7)) ++
+      (1 to 70).map(i => ("C", i % 7))
+    val df = rows.toDF("grp", "cat")
+    val out = Stats.chiSquareUniformityBH(df, "grp", col("cat"),
+      nCats = 7, q = 0.05).collect()
+      .map(r => r.getAs[String]("grp") ->
+        (r.getAs[Double]("chi2"), r.getAs[Int]("p_rank"),
+          r.getAs[Boolean]("rejected_bh"))).toMap
+    // scalar replay
+    val chi2 = rows.groupBy(_._1).map { case (g, rs) =>
+      val n = rs.size.toDouble
+      val s2 = rs.groupBy(_._2).values.map(c => c.size.toDouble *
+        c.size).sum
+      g -> (7 * s2 / n - n)
+    }
+    val dist = new org.apache.commons.math3.distribution
+      .ChiSquaredDistribution(6.0)
+    val ps = chi2.map { case (g, s) =>
+      g -> (1.0 - dist.cumulativeProbability(s))
+    }.toSeq.sortBy { case (g, p) => (p, g) }
+    val m = ps.size
+    val maxOk = ps.zipWithIndex
+      .filter { case ((_, p), i) => p < 0.05 * (i + 1) / m }
+      .map(_._2 + 1).:+(0).max
+    ps.zipWithIndex.foreach { case ((g, _), i) =>
+      assert(math.abs(out(g)._1 - chi2(g)) < 1e-4,
+        s"$g chi2: ${out(g)._1} vs ${chi2(g)}")
+      assert(out(g)._2 === i + 1, s"$g rank")
+      assert(out(g)._3 === (i + 1 <= maxOk), s"$g rejected")
+    }
+    assert(out("A")._3, "the fully-skewed group must be rejected")
+    assert(!out("C")._3, "the uniform group must survive")
+  }
+
+  // ------------------------------------------------- Similarity MIPS family
+
+  test("mipsTopK: norms drive the ranking — MIPS top-1 differs from " +
+      "cosine top-1 when a far-but-long vector dominates") {
+    // q=[1,0]: cosine prefers a=[0.9,0.1] (cos .994), MIPS prefers
+    // b=[5,5] (ip 5 vs 0.9)
+    val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(5.0f, 5.0f))).toDF("id", "v")
+    val qIds = Seq(Tuple1(1L)).toDF("id")
+    val mips = Similarity.mipsTopK(vecs, qIds, "id", "v", k = 2).collect()
+    assert(mips.head.getAs[Long]("neighbor_id") === 3L)
+    val cos = Similarity.bruteForceTopKFor(vecs, qIds, "id", "v", k = 2)
+      .collect()
+    assert(cos.head.getAs[Long]("neighbor_id") === 2L)
+  }
+
+  test("mipsTopKLsh: surfaced pairs carry the TRUE inner product and " +
+      "recall is high on a small corpus at a generous config") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(d =>
+        (math.sin(i * 0.7 + d) * ((i % 4) + 1)).toFloat))
+    }.toDF("id", "v")
+    val qIds = Seq(0L, 7L, 31L).map(Tuple1(_)).toDF("id")
+    val exact = Similarity.mipsTopK(vecs, qIds, "id", "v", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.mipsTopKLsh(vecs, qIds, "id", "v", k = 3,
+        numPlanes = 2, numTables = 12, dim = 8)
+      .collect()
+    // true-ip property: every surfaced pair's ip equals the exact dot
+    val raw = (0 until 60).map { i =>
+      i.toLong -> Seq.tabulate(8)(d => (math.sin(i * 0.7 + d) *
+        ((i % 4) + 1)).toFloat.toDouble)
+    }.toMap
+    lsh.foreach { r =>
+      val want = raw(r.getAs[Long]("query_id"))
+        .zip(raw(r.getAs[Long]("neighbor_id"))).map { case (a, b) => a * b }
+        .sum
+      assert(math.abs(r.getAs[Double]("ip") - want) < 1e-6)
+    }
+    val hits = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(exact).size
+    assert(hits >= (exact.size * 0.6).toInt,
+      s"recall ${hits.toDouble / exact.size} too low")
+  }
+
+  // ------------------------------------------------------ Association.rules
+
+  test("Association.rules: hand-computed support/confidence/lift") {
+    val baskets = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "y"), (1L, "x") /* dup row ignored */)
+      .toDF("b", "i")
+    val out = Association.rules(baskets, "b", "i",
+        minSupport = 0.0, minConfidence = 0.0)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Double]("support"),
+          r.getAs[Double]("confidence"), r.getAs[Double]("lift"))).toMap
+    // N=4 baskets; n(x)=3, n(y)=3, n(z)=1, n(x∧y)=2, n(x∧z)=1
+    val xy = out(("x", "y"))
+    assert(xy._1 === 2L)
+    assert(math.abs(xy._2 - 0.5) < 1e-6)
+    assert(math.abs(xy._3 - 2.0 / 3) < 1e-6)
+    assert(math.abs(xy._4 - (2.0 / 3) / (3.0 / 4)) < 1e-6)
+    val xz = out(("x", "z"))
+    assert(math.abs(xz._4 - (1.0 / 3) / (1.0 / 4)) < 1e-6) // lift > 1
+    assert(!out.contains(("y", "z"))) // never co-occur
+  }
+
+  test("Association.rules: thresholds filter on the raw ratios") {
+    val baskets = Seq((1L, "x"), (1L, "y"), (2L, "x"), (3L, "x"))
+      .toDF("b", "i")
+    // x→y: support 1/3, conf 1/3; y→x: support 1/3, conf 1
+    val out = Association.rules(baskets, "b", "i",
+        minSupport = 0.3, minConfidence = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq === Seq(("y", "x")))
+  }
 }

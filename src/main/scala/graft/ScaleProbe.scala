@@ -271,7 +271,67 @@ object ScaleProbe {
     }
 
     entries.mkString("{", ",", "") + ccAb + dedup30x(spark, docs) +
-      semdedup10x(spark, emb, embBig, factor) + kmvAb(spark, sfDir) + "}"
+      semdedup10x(spark, emb, embBig, factor) + kmvAb(spark, sfDir) +
+      dbscan10x(spark, emb, factor) + "}"
+  }
+
+  /** Grid-blocked DBSCAN scale probe (round 11, m53): 10x the points
+    * under CONSTANT LOCAL DENSITY — copies shifted +10·c in x (≫ ε, so
+    * copies never interact) — because that is the regime the grid
+    * blocking targets: ε-join cost is Σ|cell|·|3×3 block|, linear in N
+    * at fixed density. (Adding points to the SAME region instead grows
+    * true neighbor pairs ~quadratically — that is the data's geometry,
+    * not the plan's; ε is the density knob, the way planes are LSH's.)
+    * The copy construction makes the expected output EXACT: core /
+    * cluster / noise counts must replicate ×factor bit-for-bit, so
+    * `replicated_ok` is a structural correctness gate at scale riding
+    * the same probe — a wall ratio that only held because labels
+    * collapsed cannot pass it. SPARK_GRAFT_DBSCAN10X=0 skips with an
+    * explicit marker.
+    */
+  private def dbscan10x(spark: SparkSession, emb: DataFrame,
+      factor: Int): String = try {
+    if (sys.env.getOrElse("SPARK_GRAFT_DBSCAN10X", "1") == "0")
+      return ""","m53_dbscan_10x":{"skipped":true}"""
+    import graft.ml.Clustering
+    val pts = emb.select(col("vec_id"),
+        col("embedding")(0).cast("double").as("x"),
+        col("embedding")(1).cast("double").as("y"))
+      .localCheckpoint(true)
+    val ptsBig = pts
+      .select(explode(sequence(lit(0), lit(factor - 1))).as("c"),
+        col("vec_id"), col("x"), col("y"))
+      .select((col("vec_id") * factor + col("c")).as("vec_id"),
+        (col("x") + col("c").cast("double") * lit(10.0)).as("x"),
+        col("y"))
+      .localCheckpoint(true)
+    def run(p: DataFrame) =
+      Clustering.dbscanGrid(p, "vec_id", "x", "y", eps = 0.02, minPts = 5)
+    def stats(p: DataFrame): (Long, Long, Long) = {
+      val r = run(p).agg(
+        sum(when(col("is_core"), 1L).otherwise(0L)).as("core"),
+        countDistinct(when(col("cluster") >= 0, col("cluster")))
+          .as("clusters"),
+        sum(when(col("cluster") === -1, 1L).otherwise(0L)).as("noise"))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (coreB, clB, nzB) = stats(pts)
+    val (coreS, clS, nzS) = stats(ptsBig)
+    val replicated = coreS == coreB * factor && clS == clB * factor &&
+      nzS == nzB * factor
+    val (baseS, baseN) = timeCount(() => run(pts))
+    val (bigS, bigN) = timeCount(() => run(ptsBig))
+    val ratio = bigS / math.max(baseS, 1e-9)
+    s""","m53_dbscan_10x":{"factor":$factor,"base_s":${f"$baseS%.3f"}""" +
+      s""","scaled_s":${f"$bigS%.3f"},"wall_ratio":${f"$ratio%.2f"}""" +
+      s""","base_rows":$baseN,"scaled_rows":$bigN""" +
+      s""","base_core":$coreB,"base_clusters":$clB,"base_noise":$nzB""" +
+      s""","scaled_core":$coreS,"scaled_clusters":$clS""" +
+      s""","scaled_noise":$nzS,"replicated_ok":$replicated}"""
+  } catch {
+    case e: Throwable =>
+      s""","m53_dbscan_10x":{"err":${jsonStr(e.toString)}}"""
   }
 
   /** SemDeDup block-index scale probe (VERDICT r9 #1): the t5_minhash_30x

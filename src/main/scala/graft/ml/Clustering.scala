@@ -203,7 +203,14 @@ object Clustering {
         "left_semi")
       .join(coreIds.withColumnRenamed("__id", "__idb"), Seq("__idb"),
         "left_semi")
-    val cc = graft.operators.Dedup.connectedComponents(
+    // Star contraction, NOT label propagation: an ε-neighborhood graph
+    // is a random geometric graph whose hop diameter grows like
+    // O(extent/ε) — a dense blob spanning the domain at sf0.1 measures
+    // diameter > 40, so propagation exhausts its round budget and THEN
+    // falls back (paying both algorithms: 13.7 s vs 4.9 s measured at
+    // 2000 points). Contraction converges in O(log² n) rounds
+    // regardless of diameter — the right default for spatial clusters.
+    val cc = graft.operators.Dedup.connectedComponentsStarContraction(
       coreIds, "__id", coreEdges, "__ida", "__idb")
     val borderLbl = nbrs
       .join(cc.select(col("__id").as("__idb"),

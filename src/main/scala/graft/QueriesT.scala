@@ -430,6 +430,151 @@ object QueriesT {
         JOIN s sb ON p.consequent = sb.i, n
       WHERE n_both / n.n >= 0.1 AND n_both::DOUBLE / sa.ni >= 0.4"""))
 
+  // G10 — hop-bounded weighted shortest paths (Bellman–Ford frontier
+  // relaxation): cheapest quantity-weighted route from the seed cohort
+  // within 3 edges. Frontier-only re-expansion (a node relaxes again
+  // only when its cost improved), one equi-join + min-combine shuffle
+  // per round against the once-materialized min-weight symmetric edge
+  // frame. INTEGER weights → exact costs → the unrolled min-plus oracle
+  // reproduces every cost bit-for-bit; unreached = -1.
+  val g10 = Q("g10_weighted_paths",
+    (s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (-(col("l_suppkey") + 1)).as("dst"),
+          col("l_quantity").cast("long").as("w"))
+      val nodes = Tables.customer(s, d).select(col("c_custkey").as("id"))
+        .union(Tables.supplier(s, d)
+          .select((-(col("s_suppkey") + 1)).as("id")))
+      Graph.shortestPathsBounded(nodes, "id", edges, "src", "dst", "w",
+        seeds = col("id").between(1, 20), maxHops = 3)
+    },
+    Some("""WITH e0 AS (SELECT o_custkey AS s, -(l_suppkey + 1) AS d,
+        CAST(l_quantity AS BIGINT) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      sym0 AS (SELECT s, d, w FROM e0 UNION ALL SELECT d, s, w FROM e0),
+      sym AS (SELECT s, d, min(w) AS w FROM sym0 GROUP BY 1, 2),
+      n AS (SELECT c_custkey AS id FROM customer
+        UNION ALL SELECT -(s_suppkey + 1) FROM supplier),
+      d0 AS (SELECT id AS v, CAST(0 AS BIGINT) AS c FROM n
+        WHERE id BETWEEN 1 AND 20),
+      d1 AS (SELECT v, min(c) AS c FROM (SELECT v, c FROM d0
+        UNION ALL SELECT sym.d, d0.c + sym.w FROM d0 JOIN sym
+          ON d0.v = sym.s) GROUP BY 1),
+      d2 AS (SELECT v, min(c) AS c FROM (SELECT v, c FROM d1
+        UNION ALL SELECT sym.d, d1.c + sym.w FROM d1 JOIN sym
+          ON d1.v = sym.s) GROUP BY 1),
+      d3 AS (SELECT v, min(c) AS c FROM (SELECT v, c FROM d2
+        UNION ALL SELECT sym.d, d2.c + sym.w FROM d2 JOIN sym
+          ON d2.v = sym.s) GROUP BY 1)
+      SELECT n.id, coalesce(d3.c, -1) AS cost
+      FROM n LEFT JOIN d3 ON n.id = d3.v"""))
+
+  // V13 — referential-integrity audit across the star schema: orphan
+  // counts per FK edge (one anti-join each; NULL FKs counted separately
+  // so they can't hide behind a zero orphan count). Five real edges
+  // plus one deliberately-broken edge (events.user_id → supplier) so
+  // both verdicts of the audit are proven on the record — v11's
+  // within-table FD contract, extended BETWEEN tables.
+  val v13 = Q("v13_ref_integrity",
+    (s, d) => {
+      import graft.etl.DataValidator.refIntegrity
+      Seq(
+        refIntegrity("lineitem.l_orderkey->orders", li(s, d),
+          "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+        refIntegrity("lineitem.l_partkey->part", li(s, d),
+          "l_partkey", Tables.part(s, d), "p_partkey"),
+        refIntegrity("lineitem.l_suppkey->supplier", li(s, d),
+          "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+        refIntegrity("orders.o_custkey->customer", Tables.orders(s, d),
+          "o_custkey", Tables.customer(s, d), "c_custkey"),
+        refIntegrity("customer.c_nationkey->nation", Tables.customer(s, d),
+          "c_nationkey", Tables.nation(s, d), "n_nationkey"),
+        refIntegrity("events.user_id->supplier (expected broken)",
+          ev(s, d), "user_id", Tables.supplier(s, d), "s_suppkey"))
+        .reduce(_ unionByName _)
+    },
+    Some("""WITH edges AS (
+        SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+          (SELECT count(*) FROM lineitem) AS n_child_rows,
+          (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+            AS n_null_fk,
+          (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+            AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            AS n_orphan_rows,
+          (SELECT count(DISTINCT l_orderkey) FROM lineitem
+            WHERE l_orderkey IS NOT NULL
+            AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            AS n_orphan_keys
+        UNION ALL SELECT 'lineitem.l_partkey->part',
+          (SELECT count(*) FROM lineitem),
+          (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+          (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+            AND l_partkey NOT IN (SELECT p_partkey FROM part)),
+          (SELECT count(DISTINCT l_partkey) FROM lineitem
+            WHERE l_partkey IS NOT NULL
+            AND l_partkey NOT IN (SELECT p_partkey FROM part))
+        UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+          (SELECT count(*) FROM lineitem),
+          (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL),
+          (SELECT count(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+          (SELECT count(DISTINCT l_suppkey) FROM lineitem
+            WHERE l_suppkey IS NOT NULL
+            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        UNION ALL SELECT 'orders.o_custkey->customer',
+          (SELECT count(*) FROM orders),
+          (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+          (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+          (SELECT count(DISTINCT o_custkey) FROM orders
+            WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        UNION ALL SELECT 'customer.c_nationkey->nation',
+          (SELECT count(*) FROM customer),
+          (SELECT count(*) FROM customer WHERE c_nationkey IS NULL),
+          (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL
+            AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+          (SELECT count(DISTINCT c_nationkey) FROM customer
+            WHERE c_nationkey IS NOT NULL
+            AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        UNION ALL SELECT 'events.user_id->supplier (expected broken)',
+          (SELECT count(*) FROM events),
+          (SELECT count(*) FROM events WHERE user_id IS NULL),
+          (SELECT count(*) FROM events WHERE user_id IS NOT NULL
+            AND user_id NOT IN (SELECT s_suppkey FROM supplier)),
+          (SELECT count(DISTINCT user_id) FROM events
+            WHERE user_id IS NOT NULL
+            AND user_id NOT IN (SELECT s_suppkey FROM supplier)))
+      SELECT fk_edge, n_child_rows, n_null_fk, n_orphan_rows,
+        n_orphan_keys, n_orphan_rows = 0 AS intact
+      FROM edges"""))
+
+  // T66 — deterministic source-interleaved training order: per-source
+  // md5-rank (seeded permutation) striped across the source index, so
+  // reading by `interleave_pos` round-robins sources — the ordering
+  // guard against source-correlated gradient drift, as a pure column
+  // computation (no physical rewrite). The only unpartitioned window
+  // rides the |sources|-row index frame. Fully hash-oracled.
+  val t66 = Q("t66_interleaved_order",
+    (s, d) => graft.operators.Sampling.interleaveBySource(
+        docs(s, d).select(col("doc_id"), col("source")),
+        "source", "doc_id")
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        col("interleave_pos")),
+    Some("""WITH r AS (SELECT doc_id, source, row_number() OVER (
+        PARTITION BY source
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS src_rank
+        FROM documents),
+      si AS (SELECT source, row_number() OVER (ORDER BY source) AS idx
+        FROM (SELECT DISTINCT source FROM documents)),
+      ns AS (SELECT count(*) AS n_src FROM si)
+      SELECT r.doc_id, r.source, r.src_rank,
+        CAST((r.src_rank - 1) AS BIGINT) * ns.n_src + (si.idx - 1)
+          AS interleave_pos
+      FROM r JOIN si USING (source), ns"""))
+
   val all: Seq[Q] = Seq(g9, t64, t65, m53, m54, m55, ann10, m56, ann11,
-    ann11b, m57)
+    ann11b, m57, g10, v13, t66)
 }

@@ -343,4 +343,34 @@ object DataValidator {
       "transactions_with_price" ->
         agg.getAs[Long]("transactions_with_price"))
   }
+
+  /** One referential-integrity edge of a star schema: child rows whose
+    * FK has no matching parent key. The v11 FD audit checks contracts
+    * WITHIN a table; this checks the contracts BETWEEN tables — the
+    * audit that catches a partial dimension load or an orphaning
+    * delete before a join silently drops facts (inner joins eat
+    * orphans; this makes them a number on a report instead).
+    *
+    * One row per edge: total child rows, orphan rows (left-anti join on
+    * the key — one shuffle, or a broadcast when the parent is a dim),
+    * and distinct orphan key values. NULL FKs are not orphans (SQL FK
+    * semantics) — they're counted separately so a null-heavy column
+    * can't hide behind a zero orphan count.
+    */
+  def refIntegrity(label: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keys = parent.select(col(parentKey).as("__pk")).distinct()
+    val base = child.select(col(childKey).as("__fk"))
+    val orphans = base.where(col("__fk").isNotNull)
+      .join(keys, col("__fk") === col("__pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_rows"),
+        countDistinct(col("__fk")).as("n_orphan_keys"))
+    base.agg(count(lit(1)).as("n_child_rows"),
+        sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("n_null_fk"))
+      .crossJoin(orphans) // 1 row × 1 row
+      .select(lit(label).as("fk_edge"), col("n_child_rows"),
+        col("n_null_fk"), col("n_orphan_rows"), col("n_orphan_keys"),
+        (col("n_orphan_rows") === 0).as("intact"))
+  }
 }

@@ -370,4 +370,60 @@ object Graph {
       .select(col("__v").as(idCol),
         coalesce(col("hop"), lit(-1)).as("hop"))
   }
+
+  /** Hop-bounded single/multi-source shortest WEIGHTED paths (the
+    * Bellman–Ford relaxation, frontier form): after round h every node
+    * carries the cheapest cost reachable from the `seeds` set using at
+    * most h edges; `maxHops` bounds the rounds (the streaming/iterative
+    * engines' standard contract — unbounded negative-cycle-safe BF is
+    * |V| rounds, which no 100 TB graph runs).
+    *
+    * Frontier relaxation, one equi-join shuffle per round against the
+    * once-materialized symmetric weighted edge frame: only nodes whose
+    * cost IMPROVED last round re-expand (the textbook queue pruning —
+    * a settled interior re-expands zero times on metric-like weights),
+    * then a min-combine against the running costs. INTEGER weights in,
+    * integer costs out — path costs are exact sums, so an unrolled
+    * min-plus oracle reproduces every cost bit-for-bit (no float
+    * accumulation question). Unreached nodes → cost -1.
+    */
+  def shortestPathsBounded(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      seeds: Column, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"need maxHops >= 1; got $maxHops")
+    val e0 = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
+      col(weightCol).cast("long").as("__w"))
+    // parallel edges keep only the cheapest; mirrored for undirected
+    val sym = e0.union(e0.select(col("__d").as("__s"),
+        col("__s").as("__d"), col("__w")))
+      .groupBy(col("__s"), col("__d")).agg(min(col("__w")).as("__w"))
+      .localCheckpoint(true)
+    val ids = nodes.select(col(idCol).as("__v"), seeds.as("__seed"))
+      .localCheckpoint(true)
+    var dist = ids.where(col("__seed"))
+      .select(col("__v"), lit(0L).as("cost")).localCheckpoint(true)
+    var frontier = dist
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val relaxed = frontier.join(sym, col("__v") === col("__s"))
+        .groupBy(col("__d").as("__v"))
+        .agg(min(col("cost") + col("__w")).as("__cand"))
+      val next = relaxed.join(dist, Seq("__v"), "left")
+        .where(col("cost").isNull || col("__cand") < col("cost"))
+        .select(col("__v"), col("__cand").as("cost"))
+        .localCheckpoint(true)
+      dist = dist.join(next.select(col("__v"), col("cost").as("__new")),
+          Seq("__v"), "full_outer")
+        .select(col("__v"),
+          least(coalesce(col("cost"), col("__new")),
+            coalesce(col("__new"), col("cost"))).as("cost"))
+        .localCheckpoint(true)
+      frontier = next
+      h += 1
+    }
+    ids.select(col("__v"))
+      .join(dist, Seq("__v"), "left")
+      .select(col("__v").as(idCol),
+        coalesce(col("cost"), lit(-1L)).as("cost"))
+  }
 }

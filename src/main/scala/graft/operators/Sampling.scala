@@ -131,4 +131,41 @@ object Sampling {
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
     df.withColumn("rn", row_number().over(w)).where(col("rn") <= cap)
   }
+
+  /** Deterministic source-interleaved training order: every document
+    * gets a sortable `interleave_pos` such that reading the corpus in
+    * that order round-robins across sources — the ordering guard
+    * against source-correlated gradient drift (a corpus written
+    * source-by-source trains on months of one distribution at a time;
+    * training-order interleaving is the standard fix, done here as a
+    * pure column computation instead of a physical shuffle-rewrite).
+    *
+    * Construction: within each source, docs rank by the engine-portable
+    * md5 of their key (a seeded permutation, uncorrelated with ingest
+    * order — `withShard`'s hash discipline); sources get a dense index
+    * from the tiny distinct-source frame; then
+    * `interleave_pos = (src_rank−1)·n_sources + (source_idx−1)` —
+    * injective, and consecutive positions cycle through sources until
+    * a source exhausts (positions of exhausted sources simply skip:
+    * it's an ORDER, not a contiguous enumeration). Per-source windows
+    * partition by source; the only unpartitioned structure is the
+    * |sources|-row index frame. Fully deterministic → hash-oracled.
+    */
+  def interleaveBySource(df: DataFrame, sourceCol: String,
+      keyCol: String): DataFrame = {
+    val wSrc = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    // bounded frame: one row per distinct source
+    val wIdx = Window.orderBy(col(sourceCol))
+    val srcIdx = df.select(col(sourceCol)).distinct()
+      .withColumn("__src_idx", row_number().over(wIdx))
+      .withColumn("__n_src", count(lit(1)).over(
+        Window.partitionBy()))
+    df.withColumn("src_rank", row_number().over(wSrc))
+      .join(broadcast(srcIdx), Seq(sourceCol))
+      .withColumn("interleave_pos",
+        (col("src_rank") - 1).cast("long") * col("__n_src")
+          + (col("__src_idx") - 1))
+      .drop("__src_idx", "__n_src")
+  }
 }

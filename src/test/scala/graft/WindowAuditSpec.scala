@@ -40,6 +40,9 @@ class WindowAuditSpec extends SparkSpecBase {
       "the rank/threshold windows ride segment count, never data size"),
     "t64_zipf_fit" -> ("rank over the top-N token frame — post-limit, " +
       "bounded by the topN constant (100 rows) regardless of corpus size"),
+    "t66_interleaved_order" -> ("source-index rank + count over the " +
+      "DISTINCT-source frame (|sources| rows); per-doc ranks partition " +
+      "by source"),
     "m22b_ks_test_window" -> ("documented bounded-cardinality twin of " +
       "m22 (distinct discretized values); m22's range-partitioned shape " +
       "is the scale path"),

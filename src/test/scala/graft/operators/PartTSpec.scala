@@ -380,4 +380,74 @@ class PartTSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(out.toSeq === Seq(("y", "x")))
   }
+
+  // ------------------------------------------- Graph.shortestPathsBounded
+
+  test("shortestPathsBounded: weighted relaxation beats the hop-greedy " +
+      "route and respects the hop bound") {
+    // 1→2 cost 10 direct, but 1→3→2 costs 2+3=5 (two hops);
+    // 4 reachable only via 3 hops (1→3→2→4)
+    val nodes = (1L to 5L).toDF("id")
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L),
+      (2L, 4L, 1L)).toDF("s", "d", "w")
+    val at3 = Graph.shortestPathsBounded(nodes, "id", edges, "s", "d",
+        "w", seeds = col("id") === 1, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at3 === Map(1L -> 0, 2L -> 5, 3L -> 2, 4L -> 6, 5L -> -1))
+    // hop bound 1: only direct edges, no relaxation through 3
+    val at1 = Graph.shortestPathsBounded(nodes, "id", edges, "s", "d",
+        "w", seeds = col("id") === 1, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at1(2L) === 10L && at1(3L) === 2L && at1(4L) === -1L)
+  }
+
+  test("shortestPathsBounded: parallel edges keep the cheapest; " +
+      "symmetric traversal") {
+    val nodes = (1L to 2L).toDF("id")
+    val edges = Seq((1L, 2L, 7L), (2L, 1L, 3L)).toDF("s", "d", "w")
+    val out = Graph.shortestPathsBounded(nodes, "id", edges, "s", "d",
+        "w", seeds = col("id") === 2, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3, 2L -> 0))
+  }
+
+  // --------------------------------------------- DataValidator.refIntegrity
+
+  test("refIntegrity: orphans, null FKs, and the intact verdict") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), Some(8L),
+      None).toDF("fk")
+    val r = graft.etl.DataValidator.refIntegrity("c->p", child, "fk",
+      parent, "pk").collect().head
+    assert(r.getAs[Long]("n_child_rows") === 6L)
+    assert(r.getAs[Long]("n_null_fk") === 1L)
+    assert(r.getAs[Long]("n_orphan_rows") === 3L)
+    assert(r.getAs[Long]("n_orphan_keys") === 2L)
+    assert(!r.getAs[Boolean]("intact"))
+    val ok = graft.etl.DataValidator.refIntegrity("ok", parent, "pk",
+      parent, "pk").collect().head
+    assert(ok.getAs[Boolean]("intact"))
+  }
+
+  // ------------------------------------------- Sampling.interleaveBySource
+
+  test("interleaveBySource: positions are unique, sortable, and " +
+      "round-robin across sources") {
+    val docs = (1 to 30).map(i => (i.toLong, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val out = graft.operators.Sampling.interleaveBySource(docs,
+        "source", "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Int]("src_rank"),
+        r.getAs[Long]("interleave_pos")))
+    assert(out.map(_._4).distinct.length === 30) // injective
+    // reading in interleave order cycles sources while all survive
+    val firstSix = out.sortBy(_._4).take(6).map(_._2)
+    assert(firstSix === Seq("src0", "src1", "src2", "src0", "src1",
+      "src2"))
+    // per-source ranks are a permutation of 1..n_source_docs
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1 to rs.length))
+    }
+  }
 }

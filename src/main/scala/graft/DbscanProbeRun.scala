@@ -19,18 +19,14 @@ object DbscanProbeRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // reflectively reuse the private probe via the public run? No —
-    // keep it honest: call the probe through ScaleProbe.run would pay
-    // every probe. The dev runner duplicates only the two-line call.
-    val m = classOf[ScaleProbe.type].getDeclaredMethods
-      .find(_.getName.endsWith("dbscan10x")).get
-    m.setAccessible(true)
+    // direct package-private call (ADVICE r11: the old reflective lookup
+    // compiled through renames and crashed at startup instead) — still
+    // avoids paying every other probe that ScaleProbe.run bundles.
     val emb = Tables.embeddings(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("vec_id").cast("long")
         .as("vec_id"), org.apache.spark.sql.functions.col("embedding"))
       .localCheckpoint(true)
-    println(m.invoke(ScaleProbe, spark, emb,
-      Integer.valueOf(factor)).asInstanceOf[String])
+    println(ScaleProbe.dbscan10x(spark, emb, factor))
     spark.stop()
   }
 }

@@ -289,7 +289,7 @@ object ScaleProbe {
     * collapsed cannot pass it. SPARK_GRAFT_DBSCAN10X=0 skips with an
     * explicit marker.
     */
-  private def dbscan10x(spark: SparkSession, emb: DataFrame,
+  private[graft] def dbscan10x(spark: SparkSession, emb: DataFrame,
       factor: Int): String = try {
     if (sys.env.getOrElse("SPARK_GRAFT_DBSCAN10X", "1") == "0")
       return ""","m53_dbscan_10x":{"skipped":true}"""

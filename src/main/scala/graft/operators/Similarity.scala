@@ -890,8 +890,12 @@ object Similarity {
       .agg(sum(col("__rel")).as("__hits"),
         min(when(col("__rel") === 1.0, col("rank"))).as("__r1"),
         sum(col("__rel") / log2(col("rank") + 1)).as("__dcg"))
+      // greatest(..., 1): at n_rel = 0, sequence(1, 0) is the DESCENDING
+      // [1, 0] and the i = 0 term divides by log2(1) = 0 → Infinity.
+      // The n_rel = 0 guard below masks it today, but the expression
+      // itself must never produce Infinity (ADVICE r11).
       .withColumn("__idcg", expr(
-        s"aggregate(sequence(1, int(least(n_rel, $k))), 0D, " +
+        s"aggregate(sequence(1, greatest(int(least(n_rel, $k)), 1)), 0D, " +
           "(acc, i) -> acc + 1.0 / log2(i + 1))"))
       .select(col("query_id"), col("n_rel"),
         round(col("__hits") / k + lit(1e-9), 6).as("p_at_k"),

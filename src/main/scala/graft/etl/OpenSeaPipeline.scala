@@ -188,19 +188,41 @@ object OpenSeaPipeline {
       if (sys.env.getOrElse("SPARK_GRAFT_POOL_SCHEME", "per-agg") == "grouped")
         _ => "agg"
       else name => s"agg_$name"
-    val aggFutures = aggWrites.map { case (name, write) =>
-      Future(inPool(aggPoolOf(name))(phase(s"agg $name")(write())))
+    val aggFutures: Map[String, Future[Unit]] = aggWrites.map {
+      case (name, write) =>
+        name -> Future(inPool(aggPoolOf(name))(phase(s"agg $name")(write())))
+    }.toMap
+    // total_tokens rides the WRITTEN token grain (|tokens| rows, not
+    // |events|) and starts the moment that one write lands — overlapping
+    // the slower aggregates' tails instead of serializing after them.
+    val totalTokensF: Future[Long] = aggFutures("tokens").map { _ =>
+      inPool("metrics")(spark.read
+        .parquet(s"$outDir/token_stats.parquet")
+        .agg(org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("token_id")))
+        .head().getLong(0))
     }
-    val metricsF = Future(inPool("metrics")(phase("metrics")(
-      DataValidator.qualityMetrics(clean))))
+    // 5b. metrics (round 12 — VERDICT r11 anchor task): only the
+    // (collection, event_type) count grain still reads the fact frame;
+    // every global field is assembled AFTER the aggregate wave from the
+    // persisted summary grain plus one distinct over the written
+    // token-stats grain (|tokens| rows). The r11 metrics job re-scanned
+    // the 1.5M-row cache twice — incl. a two-countDistinct expand — for
+    // numbers the fan-out already computes, and that subtree raced
+    // everything else for the same 32 cores.
+    val pairsF = Future(inPool("metrics")(phase("metrics pairs")(
+      DataValidator.metricsPairs(clean))))
 
     // 6. join everything + run log
     val (rowLocal, dupKeys, invalidTypes) = Await.result(auditsF, Duration.Inf)
     val report = DataValidator.reportFrom(raw, rowLocal, dupKeys,
       invalidTypes)
     Await.result(writeF, Duration.Inf)
-    aggFutures.foreach(Await.result(_, Duration.Inf))
-    val metrics = Await.result(metricsF, Duration.Inf)
+    aggFutures.values.foreach(Await.result(_, Duration.Inf))
+    val metrics = phase("metrics final")(
+      DataValidator.qualityMetricsFromParts(
+        Await.result(pairsF, Duration.Inf), summaryBase.collect(),
+        Await.result(totalTokensF, Duration.Inf)))
     summaryBase.unpersist(blocking = false)
     cleanDf.unpersist(blocking = false)
     Writers.writeMetricsJson(metrics, s"$outDir/metrics.json")

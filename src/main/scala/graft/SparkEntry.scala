@@ -22,7 +22,8 @@ object SparkEntry {
       QueriesE.all ++ QueriesF.all ++ QueriesG.all ++ QueriesH.all ++
       QueriesI.all ++ QueriesJ.all ++ QueriesK.all ++ QueriesL.all ++
       QueriesM.all ++ QueriesN.all ++ QueriesO.all ++ QueriesP.all ++
-      QueriesQ.all ++ QueriesR.all ++ QueriesS.all ++ QueriesT.all
+      QueriesQ.all ++ QueriesR.all ++ QueriesS.all ++ QueriesT.all ++
+      QueriesU.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

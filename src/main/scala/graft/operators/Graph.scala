@@ -93,6 +93,61 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** Per-node LOCAL clustering coefficient — the node-grain refinement
+    * of [[triangleStats]]'s global census: cc(v) = 2·tri(v)/(d(v)·(d(v)−1)),
+    * the fraction of v's neighbor pairs that are themselves connected.
+    * The node-level signal matters where the global coefficient
+    * averages it away: community cores (cc→1) vs brokers/bridges (cc→0)
+    * at the same degree — the stratification a graph-aware sampler or
+    * spam screen keys on.
+    *
+    * Same degree-orientation plan as the census (each triangle
+    * enumerated exactly ONCE as (u, a, b) — O(m^1.5) bound, equi-joins
+    * only); the per-node counts are one explode of the three roles +
+    * one groupBy, then a broadcast-shaped left join back onto the
+    * degree frame so zero-triangle nodes keep their row. d < 2 nodes
+    * have no neighbor pair: cc defined 0. All-integer inputs → fully
+    * hash-oracled against a naive three-way self-join oracle (different
+    * enumeration, same triangles — the g3 discipline).
+    */
+  def localClustering(edges: DataFrame, s1: String = "s1",
+      s2: String = "s2"): DataFrame = {
+    val e = edges.select(col(s1), col(s2)).localCheckpoint()
+    val deg = e.select(col(s1).as("v"))
+      .unionAll(e.select(col(s2).as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(broadcast(deg.withColumnRenamed("v", s1)
+        .withColumnRenamed("d", "d1")), s1)
+      .join(broadcast(deg.withColumnRenamed("v", s2)
+        .withColumnRenamed("d", "d2")), s2)
+    val oriented = withDeg.select(
+      when(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col(s1) < col(s2)), col(s1))
+        .otherwise(col(s2)).as("u"),
+      when(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col(s1) < col(s2)),
+        struct(col("d2").as("d"), col(s2).as("id")))
+        .otherwise(struct(col("d1").as("d"), col(s1).as("id"))).as("hi"))
+      .select(col("u"), col("hi.id").as("v"), col("hi").as("vrank"))
+      .localCheckpoint()
+    val w1 = oriented.select(col("u"), col("v").as("a"), col("vrank").as("ar"))
+    val w2 = oriented.select(col("u"), col("v").as("b"), col("vrank").as("br"))
+    val triples = w1.join(w2, "u").where(col("ar") < col("br"))
+      .join(oriented.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"))
+      .select(col("u"), col("a"), col("b"))
+    val perNode = triples
+      .select(explode(array(col("u"), col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("v"), "left")
+      .na.fill(0L, Seq("t"))
+      .select(col("v").as("node"), col("d").as("degree"),
+        col("t").as("n_triangles"),
+        round(when(col("d") >= 2,
+          lit(2.0) * col("t") / (col("d") * (col("d") - 1)))
+          .otherwise(lit(0.0)) + lit(1e-9), 6).as("local_cc"))
+  }
+
   /** Bounded k-core peel: `rounds` iterations of "drop every node with
     * degree < k, keep edges whose endpoints both survive". The true
     * k-core is this peel run to fixpoint; a FIXED round count keeps the

@@ -84,6 +84,38 @@ object Similarity {
         round(col("cosine") + lit(1e-9), 6).as("cosine"))
   }
 
+  /** Matryoshka prefix-truncation recall audit (Kusupati et al.,
+    * NeurIPS'22): retrieval over only the FIRST `dims` dimensions of the
+    * embedding versus the full vector — the storage/latency knob
+    * MRL-trained embedding stacks actually ship (a 16-of-64 prefix is a
+    * 4× smaller index and a 4× cheaper dot product). Per query:
+    * |top-k(full) ∩ top-k(prefix)| / k. Both rankings are EXACT
+    * (bruteForceTopK, ties broken by neighbor id), so unlike the
+    * LSH/IVF/PQ recall gates this one is deterministic end to end and
+    * fully hash-oracled — the audit measures what truncation loses, not
+    * what an index approximates. Zero-overlap queries keep their row
+    * (left join onto the id frame). At scale the audit runs on a sample
+    * of queries; the TRUNCATED search itself is the production side.
+    */
+  def truncationRecall(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dims: Int): DataFrame = {
+    require(k >= 1 && dims >= 1, s"need k >= 1, dims >= 1; got $k, $dims")
+    val full = bruteForceTopK(df, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val trunc = bruteForceTopK(
+      df.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol)),
+      idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val common = full.join(trunc, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    df.select(col(idCol).cast("long").as("query_id"))
+      .join(common, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .select(col("query_id"), col("n_common"),
+        round(col("n_common") / lit(k.toDouble) + lit(1e-9), 6)
+          .as("recall_at_k"))
+  }
+
   /** Int8 scalar quantization of an embedding column — the memory-scale
     * path a 100 TB ANN index actually ships: per-DIMENSION affine codes
     * (code = round 0..255 of the dimension's min..max range) shrink a

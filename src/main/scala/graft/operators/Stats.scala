@@ -577,4 +577,48 @@ object Stats {
         lit(alpha).as("alpha"), col("q_hat"), col("coverage"),
         col("mean_width"))
   }
+
+  /** Cohen's kappa (Cohen, EPM'60) — chance-corrected agreement between
+    * two categorical raters over the same items: κ = (p_o − p_e)/(1 − p_e)
+    * with p_o the observed agreement rate and p_e the agreement expected
+    * from the raters' marginal distributions alone. THE labeled-data QA
+    * statistic: raw agreement between two annotators (or two heuristic
+    * quality classifiers) reads high whenever one class dominates; κ
+    * strips that illusion (κ≈0 = no better than chance), which is what
+    * an annotation-pipeline gate has to threshold on.
+    *
+    * Plan: ONE hash aggregate to the k×k contingency grid (map-side
+    * combined — the only pass over the items), then marginals, the
+    * diagonal, and p_e are bounded-frame algebra over ≤k² rows; the two
+    * scalar frames meet in a 1-row crossJoin (broadcast, allowlisted
+    * shape). Exact rational arithmetic until the final rounding → fully
+    * hash-oracled. Returns one row:
+    * (n_items, n_agree, p_o, p_e, kappa).
+    */
+  def cohensKappa(df: DataFrame, rater1: Column, rater2: Column)
+      : DataFrame = {
+    val cells = df.select(rater1.cast("long").as("__a"),
+        rater2.cast("long").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint(true) // ≤ k² rows; 3 consumers below
+    val totals = cells.agg(sum(col("__c")).as("__n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0.0))
+        .as("__agree"))
+    val m1 = cells.groupBy(col("__a")).agg(sum(col("__c")).as("__ca"))
+    val m2 = cells.groupBy(col("__b")).agg(sum(col("__c")).as("__cb"))
+    val peNum = m1.join(m2, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0.0)).as("__pen2"))
+    totals.crossJoin(broadcast(peNum)) // 1-row scalar
+      .select(col("__n").cast("long").as("n_items"),
+        col("__agree").cast("long").as("n_agree"),
+        round(col("__agree") / col("__n") + lit(1e-9), 6).as("p_o"),
+        round(col("__pen2") / (col("__n") * col("__n")) + lit(1e-9), 6)
+          .as("p_e"),
+        round((col("__agree") / col("__n") -
+          col("__pen2") / (col("__n") * col("__n"))) /
+          (lit(1.0) - col("__pen2") / (col("__n") * col("__n")))
+          + lit(1e-9), 6).as("kappa"))
+  }
 }

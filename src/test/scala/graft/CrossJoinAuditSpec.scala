@@ -96,7 +96,14 @@ class CrossJoinAuditSpec extends SparkSpecBase {
     "ann11_mips_topk" -> ("exact-oracle baseline: brute-force Q×N inner " +
       "products are the MIPS ground truth; ann11b's SIMPLE-LSH " +
       "augmented-bucket path is the sublinear twin (its exact audit " +
-      "side is plan-truncated by localCheckpoint)"))
+      "side is plan-truncated by localCheckpoint)"),
+    "ann12_matryoshka_recall" -> ("exact-oracle baseline, BOTH sides by " +
+      "design: the audit compares two exact brute-force rankings (full " +
+      "vs prefix-truncated) to measure what truncation itself loses — " +
+      "an approximate side would conflate index recall with truncation " +
+      "recall. At corpus scale the audit runs on a query sample; the " +
+      "product twin is lshTopKAuto over the truncated vectors (bucketed " +
+      "equi-join, no pair loop)"))
 
   /** True when the plan subtree is a global aggregate (no grouping
     * keys) possibly wrapped in exchanges/projections — a 1-row scalar.

@@ -597,8 +597,26 @@ object Bench {
       val skippedPart = s""","skipped":[${
         skipped.map("\"" + _ + "\"").mkString(",")}]""" +
         s""","budget_s":$budgetS,"spent_s":${f"$elapsedS%.1f"}"""
+      // ANCHOR_ONLY runs measure just the E1/10x anchors — the cheap
+      // ratchet path for catching a quiet host window. With incremental
+      // writes a plain overwrite would CLOBBER the committed suite /
+      // corpus / atScale sections with empty ones, so anchor-only mode
+      // MERGES instead: the committed record's fields are kept verbatim
+      // except the keys this run actually re-measured (the anchor part,
+      // which itself folded against the record under the fingerprint
+      // rule) plus the run bookkeeping.
       val fullJson =
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"reps_per_query":3,"warmup_reps":1,"queries":$qs,"product":$ps$pfpPart,"isolated":$iso,"isolated_rejected":$isoRej$atScalePart$anchorPart$corpusPart$skippedPart}"""
+        if (anchorOnly && recordJ.isDefined) {
+          val newPart = org.json4s.jackson.JsonMethods.parse(
+            "{" + (anchorPart + skippedPart).stripPrefix(",") + "}")
+          val newKeys = newPart.asInstanceOf[JObject].obj.map(_._1).toSet
+          val keptFields = recordJ.get.asInstanceOf[JObject].obj
+            .filterNot { case (k, _) => newKeys.contains(k) }
+          org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(
+              JObject(keptFields ++ newPart.asInstanceOf[JObject].obj)))
+        } else
+          s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"reps_per_query":3,"warmup_reps":1,"queries":$qs,"product":$ps$pfpPart,"isolated":$iso,"isolated_rejected":$isoRej$atScalePart$anchorPart$corpusPart$skippedPart}"""
       try {
         val w = new java.io.PrintWriter(fullOut, "UTF-8")
         try w.println(fullJson) finally w.close()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
-import graft.operators.{Graph, Similarity, Stats}
+import graft.operators.{Graph, Sampling, Similarity, Stats}
 import graft.sources.Writers
 
 /** Catalog part U (round 12): oracle coverage for the two sink operators
@@ -190,5 +190,140 @@ object QueriesU {
         slice(col("embedding"), 1, 16).as("embedding")),
       "vec_id", "embedding", k = 10, dim = 16)))
 
-  val all: Seq[Q] = Seq(o15, o16, m58, g11, ann12)
+  // M60 — average precision (the area under the precision-recall curve,
+  // computed exactly): AP = (1/n₊) Σ_{positives} precision@rank. Where
+  // m24's AUC-ROC weighs positives against negatives symmetrically, AP
+  // is the class-imbalance-honest metric a curation threshold is tuned
+  // on (a 2%-positive corpus can score AUC 0.95 while the top of the
+  // ranking is junk). Ranks come from ONE range-partitioned prefix sum
+  // over (score desc, id) — m24's rank-free discipline, never an
+  // unpartitioned data-sized window.
+  val m60 = Q("m60_average_precision",
+    (s, d) => {
+      val e = ev(s, d).where(col("value").isNotNull &&
+        col("event_type").isin("purchase", "view"))
+        .select((-col("value")).as("__nv"), col("event_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("rel"),
+          lit(1L).as("one"))
+      Stats.rangePrefixSum(e, Seq("__nv", "event_id"),
+        Seq("one" -> "rk", "rel" -> "cum_p"))
+        .agg(max(col("cum_p_total")).cast("long").as("n_pos"),
+          max(col("rk_total")).cast("long").as("n"),
+          round(sum(when(col("rel") === 1L,
+            col("cum_p").cast("double") / col("rk")))
+            / max(col("cum_p_total")) + lit(1e-9), 6)
+            .as("average_precision"))
+    },
+    Some("""WITH e AS (SELECT event_id, value,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+        FROM events WHERE value IS NOT NULL
+          AND event_type IN ('purchase', 'view')),
+      r AS (SELECT rel,
+        row_number() OVER (ORDER BY value DESC, event_id) AS rk,
+        sum(rel) OVER (ORDER BY value DESC, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p
+        FROM e)
+      SELECT CAST(sum(rel) AS BIGINT) AS n_pos,
+        CAST(count(*) AS BIGINT) AS n,
+        round(sum(CASE WHEN rel = 1
+            THEN CAST(cum_p AS DOUBLE) / rk END) / sum(rel) + 1e-9, 6)
+          AS average_precision
+      FROM r"""))
+
+  // T67 — rendezvous (highest-random-weight) shard assignment audit:
+  // assign every document under 8 shards and under 9, and ledger the
+  // movement per shard. The property on trial is consistent hashing's
+  // minimal disruption — growing 8 → 9 must move ONLY the keys the new
+  // shard wins (~1/9 of the corpus), where hash-mod-N would move ~8/9
+  // and force every per-shard artifact to rebuild. The oracle
+  // recomputes both assignments from the same md5 argmax, so every
+  // n_stayed is checked, not just the aggregate fraction.
+  val t67 = Q("t67_rendezvous_shards",
+    (s, d) => {
+      val assigned = Sampling.rendezvousShard(
+        Sampling.rendezvousShard(docs(s, d).select(col("doc_id")),
+          "doc_id", 8, "shard8"),
+        "doc_id", 9, "shard")
+      val before = assigned.groupBy(col("shard8").as("shard"))
+        .agg(count(lit(1)).as("n_before"))
+      val after = assigned.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(when(col("shard8") === col("shard"), 1L).otherwise(0L))
+            .as("n_stayed"))
+      after.join(before, Seq("shard"), "full_outer")
+        .na.fill(0L, Seq("n_before", "n_after", "n_stayed"))
+        .select(col("shard").cast("long").as("shard"), col("n_before"),
+          col("n_after"), col("n_stayed"))
+    },
+    Some("""WITH d AS (SELECT doc_id FROM documents),
+      c8 AS (SELECT doc_id, s,
+        CAST(('0x' || substr(md5(doc_id || ':' || s), 1, 14)) AS BIGINT) AS h
+        FROM d, unnest(generate_series(0, 7)) AS g(s)),
+      r8 AS (SELECT doc_id, s AS shard8 FROM (SELECT doc_id, s,
+        row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC)
+          AS rn FROM c8) WHERE rn = 1),
+      c9 AS (SELECT doc_id, s,
+        CAST(('0x' || substr(md5(doc_id || ':' || s), 1, 14)) AS BIGINT) AS h
+        FROM d, unnest(generate_series(0, 8)) AS g(s)),
+      r9 AS (SELECT doc_id, s AS shard9 FROM (SELECT doc_id, s,
+        row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC)
+          AS rn FROM c9) WHERE rn = 1),
+      j AS (SELECT r9.doc_id, shard9, shard8 FROM r9 JOIN r8 USING (doc_id)),
+      b AS (SELECT shard8 AS shard, count(*) AS n_before FROM j GROUP BY 1),
+      a AS (SELECT shard9 AS shard, count(*) AS n_after,
+        sum(CASE WHEN shard8 = shard9 THEN 1 ELSE 0 END) AS n_stayed
+        FROM j GROUP BY 1)
+      SELECT CAST(coalesce(a.shard, b.shard) AS BIGINT) AS shard,
+        CAST(coalesce(b.n_before, 0) AS BIGINT) AS n_before,
+        CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
+        CAST(coalesce(a.n_stayed, 0) AS BIGINT) AS n_stayed
+      FROM a FULL OUTER JOIN b ON a.shard = b.shard"""))
+
+  // ANN13 — rank-biased overlap (p = 0.9, depth 10) between the full
+  // and the 16-dim-prefix rankings: ann12's recall counts SET overlap;
+  // RBO scores ORDER agreement with geometric top-weighting — the
+  // ranking-similarity judge for "is the cheap ranker faithful where it
+  // matters". The per-item weight table is computed once at plan time
+  // and interpolated verbatim into the oracle, so both engines sum
+  // bit-identical constants.
+  val ann13 = {
+    val k = 10
+    val ws = Similarity.rboWeights(k, p = 0.9)
+    val wValues = ws.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    Q("ann13_rank_biased_overlap",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val full = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k)
+        val trunc = Similarity.bruteForceTopK(
+          emb.select(col("vec_id"),
+            slice(col("embedding"), 1, 16).as("embedding")),
+          "vec_id", "embedding", k)
+        Similarity.rankBiasedOverlap(full, trunc, k, p = 0.9)
+      },
+      Some(s"""WITH fullr AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              DESC, b.vec_id) AS r
+          FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+        tr AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_cosine_similarity(a.embedding[1:16]::DOUBLE[],
+              b.embedding[1:16]::DOUBLE[]) DESC, b.vec_id) AS r
+          FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+        w(m, wt) AS (VALUES $wValues),
+        j AS (SELECT f.query_id, greatest(f.r, t.r) AS m
+          FROM (SELECT query_id, neighbor_id, r FROM fullr WHERE r <= $k) f
+          JOIN (SELECT query_id, neighbor_id, r FROM tr WHERE r <= $k) t
+            USING (query_id, neighbor_id)),
+        q AS (SELECT j.query_id, count(*) AS n_common, sum(w.wt) AS rbo
+          FROM j JOIN w ON w.m = j.m GROUP BY 1)
+        SELECT e.vec_id AS query_id,
+          CAST(coalesce(q.n_common, 0) AS BIGINT) AS n_common,
+          round(coalesce(q.rbo, 0) + 1e-9, 6) AS rbo
+        FROM embeddings e LEFT JOIN q ON q.query_id = e.vec_id"""))
+  }
+
+  val all: Seq[Q] = Seq(o15, o16, m58, g11, ann12, m60, t67, ann13)
 }

@@ -168,4 +168,35 @@ object Sampling {
           + (col("__src_idx") - 1))
       .drop("__src_idx", "__n_src")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar, ToN'98) — the shard function an INCREMENTALLY GROWN
+    * corpus store needs: with plain `hash(key) mod N`, going N → N+1
+    * reassigns ~N/(N+1) of all keys (nearly everything moves, every
+    * derived per-shard artifact rebuilds); with rendezvous hashing each
+    * key goes to argmax_s h(key, s), so adding shard N+1 moves ONLY the
+    * ~1/(N+1) of keys whose new hash wins — the minimal-disruption
+    * property consistent hashing promises, in a stateless column form
+    * (no ring metadata to store or look up).
+    *
+    * h = the engine-portable 56-bit md5 of "key:shard"; the argmax is a
+    * plan-time `greatest` over N (hash, shard) structs — pure column
+    * algebra, no join, no shuffle, embarrassingly parallel at any
+    * scale. Ties (2⁻⁵⁶ each) break toward the higher shard id
+    * (`greatest` on the struct), mirrored exactly in the oracle.
+    */
+  def rendezvousShard(df: DataFrame, keyCol: String, numShards: Int,
+      shardName: String = "shard"): DataFrame = {
+    require(numShards >= 1, s"need numShards >= 1; got $numShards")
+    val candidates = (0 until numShards).map { s =>
+      struct(
+        conv(substring(md5(concat(col(keyCol).cast("string"),
+          lit(s":$s"))), 1, 14), 16, 10).cast("long").as("h"),
+        lit(s).as("s"))
+    }
+    val best =
+      if (candidates.size == 1) candidates.head
+      else greatest(candidates: _*)
+    df.withColumn(shardName, best.getField("s"))
+  }
 }

@@ -116,6 +116,62 @@ object Similarity {
           .as("recall_at_k"))
   }
 
+  /** Per-item RBO weight table for [[rankBiasedOverlap]]: an item whose
+    * worse rank across the two lists is m contributes to every depth
+    * d ≥ m, so its total weight is Σ_{d=m..k} (1−p)·p^(d−1)/d,
+    * NORMALIZED by the depth-k mass (1−p^k) so two identical rankings
+    * score exactly 1 (the truncated-RBO convention without the
+    * extrapolation term). Precomputed ONCE at plan time (k doubles) and
+    * shared verbatim with the SQL oracle, so both engines sum identical
+    * constants.
+    */
+  def rboWeights(k: Int, p: Double): Seq[Double] = {
+    val norm = 1 - math.pow(p, k)
+    (1 to k).map { m =>
+      (m to k).map(d => (1 - p) * math.pow(p, d - 1) / d).sum / norm
+    }
+  }
+
+  /** Rank-biased overlap at depth k (Webber, Moffat & Zobel, TOIS'10) —
+    * the top-weighted similarity of two RANKINGS: RBO@k =
+    * Σ_{d=1..k} (1−p)·p^(d−1)·|A₁..d ∩ B₁..d|/d. Where ann12's recall
+    * asks "how many of the same neighbors", RBO asks "in how similar an
+    * ORDER", geometrically discounting depth (p = persistence; 0.9 puts
+    * ~86% of the weight in the top 5) — the standard metric for
+    * comparing a cheap ranker against the reference ranking it
+    * approximates.
+    *
+    * Plan: the prefix-overlap sum telescopes per ITEM — an item whose
+    * worse rank is m = max(rank_A, rank_B) appears in every prefix
+    * d ≥ m, so RBO = Σ_items weight(m) with weight the k-entry literal
+    * table from [[rboWeights]]. One equi-join of the two run frames +
+    * one groupBy(query): no depth explode, no window. Zero-overlap
+    * queries keep their row (left join onto the query frame).
+    * Deterministic given deterministic runs → fully hash-oracled.
+    */
+  def rankBiasedOverlap(runA: DataFrame, runB: DataFrame, k: Int,
+      p: Double): DataFrame = {
+    require(k >= 1 && p > 0 && p < 1, s"need k >= 1, 0 < p < 1; got $k, $p")
+    val ws = rboWeights(k, p)
+    val a = runA.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("__ra"))
+    val b = runB.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("__rb"))
+    val weight = (1 to k).foldLeft(lit(0.0)) { case (acc, m) =>
+      when(greatest(col("__ra"), col("__rb")) === m, lit(ws(m - 1)))
+        .otherwise(acc)
+    }
+    val perQuery = a.join(b, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), weight.as("__w"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("__rbo"))
+    runA.select(col("query_id")).distinct()
+      .join(perQuery, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .select(col("query_id"), col("n_common"),
+        round(coalesce(col("__rbo"), lit(0.0)) + lit(1e-9), 6).as("rbo"))
+  }
+
   /** Int8 scalar quantization of an embedding column — the memory-scale
     * path a 100 TB ANN index actually ships: per-DIMENSION affine codes
     * (code = round 0..255 of the dimension's min..max range) shrink a

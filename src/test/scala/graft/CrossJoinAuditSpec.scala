@@ -103,7 +103,11 @@ class CrossJoinAuditSpec extends SparkSpecBase {
       "an approximate side would conflate index recall with truncation " +
       "recall. At corpus scale the audit runs on a query sample; the " +
       "product twin is lshTopKAuto over the truncated vectors (bucketed " +
-      "equi-join, no pair loop)"))
+      "equi-join, no pair loop)"),
+    "ann13_rank_biased_overlap" -> ("exact-oracle baseline, both sides " +
+      "by design (ann12's argument applied to ORDER agreement): RBO " +
+      "compares two exact rankings; the rankBiasedOverlap operator " +
+      "itself is one equi-join over the run frames"))
 
   /** True when the plan subtree is a global aggregate (no grouping
     * keys) possibly wrapped in exchanges/projections — a 1-row scalar.

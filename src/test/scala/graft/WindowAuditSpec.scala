@@ -31,6 +31,8 @@ class WindowAuditSpec extends SparkSpecBase {
     "m22_ks_test" -> ("rangePrefixSum second pass: frame is per-partition " +
       "subtotals, <= spark.sql.shuffle.partitions rows (Stats.scala)"),
     "m24_auc_score" -> "rangePrefixSum subtotal frame, <= numParts rows",
+    "m60_average_precision" ->
+      "rangePrefixSum subtotal frame, <= numParts rows",
     "m27_spearman_corr" -> "rangePrefixSum subtotal frame, <= numParts rows",
     "m51_mann_whitney" -> "rangePrefixSum subtotal frame, <= numParts rows",
     "m55_conformal" -> ("rangePrefixSum subtotal frame, <= numParts rows " +

@@ -73,4 +73,65 @@ class PartUSpec extends SparkSpecBase {
 
   private def Tables_embeddings() =
     graft.Tables.embeddings(spark, sf("sf0.001"))
+
+  test("rendezvousShard: deterministic, in range, and minimally disruptive 8->9") {
+    val keys = (1L to 5000L).toDF("k")
+    val a = Sampling.rendezvousShard(
+      Sampling.rendezvousShard(keys, "k", 8, "s8"), "k", 9, "s9")
+      .localCheckpoint(true)
+    // every shard in range, both configs
+    assert(a.where(col("s8") < 0 || col("s8") > 7 ||
+      col("s9") < 0 || col("s9") > 8).count() == 0)
+    // keys that stay out of shard 8's way keep their assignment: only
+    // keys won by the NEW shard may move. Expected moved ≈ 1/9 ≈ 11%;
+    // assert well under the ~8/9 a mod-N rehash would move.
+    val moved = a.where(col("s8") =!= col("s9")).count().toDouble / 5000
+    assert(moved > 0.05 && moved < 0.20, s"moved fraction $moved")
+    // and every mover went TO the new shard (rendezvous property:
+    // existing shards' win sets only shrink when a shard is added)
+    assert(a.where(col("s8") =!= col("s9") && col("s9") =!= 8).count() == 0)
+    // determinism
+    val b = Sampling.rendezvousShard(keys, "k", 9, "s9b")
+    assert(a.join(b, "k").where(col("s9") =!= col("s9b")).count() == 0)
+  }
+
+  test("rboWeights: identical rankings score exactly 1; disjoint score 0") {
+    val ws = Similarity.rboWeights(10, 0.9)
+    // identical lists: item at rank r has worse-rank m = r, so the sum
+    // of all k weights is the full normalized mass
+    assert(math.abs(ws.sum - 1.0) < 1e-12)
+    // weights are positive and decreasing in m (deeper-only items
+    // contribute less)
+    assert(ws.zip(ws.tail).forall { case (a, b) => a > b && b > 0 })
+
+    val runA = (1 to 10).map(r => (1L, r.toLong, r)).toDF(
+      "query_id", "neighbor_id", "rank")
+    val same = Similarity.rankBiasedOverlap(runA, runA, 10, 0.9).head()
+    assert(same.getAs[Long]("n_common") == 10L)
+    assert(math.abs(same.getAs[Double]("rbo") - 1.0) < 1e-5)
+    val runB = (1 to 10).map(r => (1L, 100L + r, r)).toDF(
+      "query_id", "neighbor_id", "rank")
+    val disj = Similarity.rankBiasedOverlap(runA, runB, 10, 0.9).head()
+    assert(disj.getAs[Long]("n_common") == 0L &&
+      disj.getAs[Double]("rbo") < 1e-6)
+  }
+
+  test("rankBiasedOverlap: top-weighting — agreement at the top beats " +
+      "the same agreement at the bottom") {
+    val base = (1 to 10).map(r => (1L, r.toLong, r)).toDF(
+      "query_id", "neighbor_id", "rank")
+    // B agrees with A on ranks 1-5, disagrees 6-10
+    val topAgree = ((1 to 5).map(r => (1L, r.toLong, r)) ++
+      (6 to 10).map(r => (1L, 100L + r, r))).toDF(
+      "query_id", "neighbor_id", "rank")
+    // C agrees on items 6-10 AT ranks 1-5 (bottom items promoted)
+    val botAgree = ((1 to 5).map(r => (1L, (r + 5).toLong, r)) ++
+      (6 to 10).map(r => (1L, 100L + r, r))).toDF(
+      "query_id", "neighbor_id", "rank")
+    val top = Similarity.rankBiasedOverlap(base, topAgree, 10, 0.9)
+      .head().getAs[Double]("rbo")
+    val bot = Similarity.rankBiasedOverlap(base, botAgree, 10, 0.9)
+      .head().getAs[Double]("rbo")
+    assert(top > bot && top > 0.5 && bot > 0.0)
+  }
 }

@@ -481,4 +481,88 @@ object Graph {
       .select(col("__v").as(idCol),
         coalesce(col("cost"), lit(-1L)).as("cost"))
   }
+
+  /** Adamic–Adar link prediction over an undirected edge list: for every
+    * non-adjacent pair (x, y) sharing at least `minCommon` neighbors,
+    * score Σ_z 1/ln(deg z) over the shared neighbors z — the classic
+    * "friends-of-friends, discounted by hub promiscuity" recommender
+    * prior. Plan: one wedge equi-join on the CENTER node (never a pair
+    * cross product — candidate pairs exist only where a 2-hop path
+    * does), degrees broadcast (|V| rows), existing edges removed by an
+    * anti-join. deg(z) ≥ 2 for every wedge center by construction, so
+    * ln(deg z) never hits zero. The integer `minCommon` floor keeps the
+    * output deterministic cross-engine (no fp-boundary LIMIT). Wedge
+    * fan-out is Σ_z deg(z)² — at crawl scale cap or sample the
+    * neighbor lists of extreme hubs before the self-join (the standard
+    * AA approximation; the backbone graphs here are degree-bounded
+    * already).
+    */
+  def adamicAdar(edges: DataFrame, s1: String = "s1", s2: String = "s2",
+      minCommon: Int = 2): DataFrame = {
+    val e = edges.select(col(s1), col(s2)).localCheckpoint(true)
+    val adj = e.select(col(s1).as("z"), col(s2).as("nb"))
+      .unionAll(e.select(col(s2).as("z"), col(s1).as("nb")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("d"))
+    val w1 = adj.select(col("z"), col("nb").as("x"))
+    val w2 = adj.select(col("z"), col("nb").as("y"))
+    val wedges = w1.join(w2, "z").where(col("x") < col("y"))
+      .join(broadcast(deg), "z")
+    // direction-normalized existing-edge set, so the anti-join holds for
+    // arbitrary undirected input (not just s1 < s2 edge lists)
+    val eNorm = e.select(least(col(s1), col(s2)).as("x"),
+      greatest(col(s1), col(s2)).as("y"))
+    wedges
+      .join(eNorm, Seq("x", "y"), "left_anti")
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(lit(1.0) / log(col("d").cast("double"))).as("__aa"))
+      .where(col("n_common") >= minCommon)
+      .select(col("x"), col("y"), col("n_common"),
+        round(col("__aa") + lit(1e-9), 6).as("aa_score"))
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg '99) over a directed edge
+    * list, fixed `iters` mutual-reinforcement rounds with L2
+    * normalization after every update: a(v) ← Σ_{(u,v)} h(u),
+    * h(u) ← Σ_{(u,v)} a(v). On a bipartite buyer→supplier graph the
+    * authority side ranks suppliers by the strength of the buyers
+    * backing them — degree-adjusted, unlike a raw count. Each
+    * half-round is one equi-join + one groupBy on an edge endpoint
+    * (thin |V|-row score frames — AQE broadcasts them when they fit,
+    * shuffle-joins when they don't), the L2 norm
+    * is a 1-row scalar broadcast, and scores are `localCheckpoint`ed
+    * per round so plan depth stays O(iters). Fixed rounds keep it
+    * oracle-checkable; convergence at scale is the same loop with a
+    * driver check on the (scalar) score delta.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int)
+      : DataFrame = {
+    require(iters >= 1, s"need iters >= 1; got $iters")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__t"))
+      .localCheckpoint(true)
+    def l2Normalize(scores: DataFrame, sc: String): DataFrame = {
+      val nrm = scores.agg(sqrt(sum(col(sc) * col(sc))).as("__nrm"))
+      scores.crossJoin(broadcast(nrm)) // 1-row scalar
+        .select(col("__v"), (col(sc) / col("__nrm")).as(sc))
+        .localCheckpoint(true)
+    }
+    var hub = e.select(col("__s").as("__v")).distinct()
+      .withColumn("__h", lit(1.0)).localCheckpoint(true)
+    var auth: DataFrame = null
+    (1 to iters).foreach { _ =>
+      auth = l2Normalize(
+        e.join(hub.withColumnRenamed("__v", "__s"), "__s")
+          .groupBy(col("__t").as("__v")).agg(sum(col("__h")).as("__a")),
+        "__a")
+      hub = l2Normalize(
+        e.join(auth.withColumnRenamed("__v", "__t"), "__t")
+          .groupBy(col("__s").as("__v")).agg(sum(col("__a")).as("__h")),
+        "__h")
+    }
+    hub.select(lit("hub").as("side"), col("__v").as("node"),
+        round(col("__h") + lit(1e-9), 6).as("score"))
+      .unionAll(auth.select(lit("authority").as("side"),
+        col("__v").as("node"),
+        round(col("__a") + lit(1e-9), 6).as("score")))
+  }
 }

@@ -199,4 +199,50 @@ object Sampling {
       else greatest(candidates: _*)
     df.withColumn(shardName, best.getField("s"))
   }
+
+  /** Neyman-allocation stratified sampling: split a total budget of
+    * `nTotal` rows across strata proportional to N_h·σ_h (population
+    * size × population stddev of `valueCol`) — the allocation that
+    * minimizes the variance of the stratified mean estimator at fixed
+    * budget, vs plain proportional allocation that over-samples large
+    * homogeneous strata. Draws are deterministic: rank by
+    * md5(key) within each stratum (the t9 hash-sample convention) and
+    * keep the top n_h, so two runs — or two engines — pick byte-identical
+    * samples. Plan: one stats aggregate (|strata| rows), one 1-row
+    * scalar broadcast for the denominator, one stratum-partitioned rank
+    * window over the data, one ledger aggregate. Zero-variance or
+    * singleton strata get allocation 0 and keep their ledger row.
+    * Returns the per-stratum ledger: population size, σ, allocated and
+    * actually-sampled counts, and the sampled-id checksum the oracle
+    * re-derives.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valueCol: String, keyCol: String, nTotal: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nTotal >= 1, s"need nTotal >= 1; got $nTotal")
+    val st = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_pop"),
+        coalesce(stddev_pop(col(valueCol).cast("double")), lit(0.0))
+          .as("__sigma"))
+    val denom = st.agg(sum(col("n_pop") * col("__sigma")).as("__den"))
+    val alloc = st.crossJoin(broadcast(denom)) // 1-row scalar
+      .withColumn("n_alloc", least(col("n_pop"),
+        round(lit(nTotal) * col("n_pop") * col("__sigma") / col("__den")
+          + lit(1e-9), 0).cast("long")))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    val sampled = df
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(alloc.select(col(stratumCol), col("n_alloc"))),
+        stratumCol)
+      .where(col("__rn") <= col("n_alloc"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col(keyCol).cast("long")).as("id_checksum"))
+    alloc.join(sampled, Seq(stratumCol), "left")
+      .na.fill(0L, Seq("n_sampled", "id_checksum"))
+      .select(col(stratumCol), col("n_pop"),
+        round(col("__sigma") + lit(1e-9), 6).as("sigma"),
+        col("n_alloc"), col("n_sampled"), col("id_checksum"))
+  }
 }

@@ -84,6 +84,115 @@ object Similarity {
         round(col("cosine") + lit(1e-9), 6).as("cosine"))
   }
 
+  /** Filtered (attribute-constrained) exact top-k cosine retrieval: the
+    * "vector search WHERE label = X" shape every production retrieval
+    * stack needs — RAG over one tenant's documents, hard negatives from
+    * the same class, near-dups within a language. The filter attribute
+    * IS the blocking key: candidates come from an EQUI-join on
+    * `blockCol`, so the pair space is Σ_b n_b² (per-block), never N² —
+    * post-filtering an unconstrained ANN index at low selectivity
+    * returns starved result sets; pre-blocking cannot. Exact within each
+    * block (ties broken by neighbor id); at extreme block sizes compose
+    * [[lshTopK]] WITHIN blocks by prepending the block to the bucket
+    * key — same plan shape, banded.
+    */
+  def filteredTopK(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, k: Int): DataFrame = {
+    val base = unitVectors(df, idCol, vecCol, fanOut = true)
+      .join(df.select(col(idCol).cast("long").as("id"),
+        col(blockCol).as("__blk")), "id")
+    val l = base.select(col("id").as("query_id"), col("__blk"),
+      col("vec").as("vec_a"))
+    val r = base.select(col("id").as("neighbor_id"), col("__blk"),
+      col("vec").as("vec_b"))
+    val pairs = l.join(r, "__blk")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("__blk").as("block"),
+        col("neighbor_id"),
+        fastDot(col("vec_a"), col("vec_b")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("block"), col("neighbor_id"),
+        col("rank"), round(col("cosine") + lit(1e-9), 6).as("cosine"))
+  }
+
+  /** Maximal Marginal Relevance diversified re-ranking (Carbonell &
+    * Goldstein '98): from each query's top-`poolK` exact candidates,
+    * greedily select `k` maximizing relW·rel(c) − penW·max_{s∈selected}
+    * sim(c, s) — the de-duplicating re-rank that keeps a retrieval (or
+    * a training-data sample) from spending its budget on near-copies.
+    * Determinism across engines is engineered: relevances and
+    * candidate-candidate similarities are QUANTIZED (round 6) before
+    * the greedy loop, weights are passed as literals (never computed as
+    * 1−λ, whose fp value differs from the literal), and every argmax
+    * tie-breaks by candidate id — so the selection sequence is
+    * bit-reproducible. Work per step is one bounded join on the
+    * selected set (≤ k·poolK rows per query, constants); the pool
+    * itself is the only data-sized stage and composes over
+    * [[lshTopKAuto]] at corpus scale.
+    */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      poolK: Int, relWeight: Double, penWeight: Double): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need 1 <= k <= poolK; got $k, $poolK")
+    val base = unitVectors(df, idCol, vecCol, fanOut = true)
+    val l = base.select(col("id").as("query_id"), col("vec").as("vec_q"))
+    val r = base.select(col("id").as("cand_id"), col("vec").as("vec_c"))
+    val wPool = Window.partitionBy(col("query_id"))
+      .orderBy(col("__raw").desc, col("cand_id"))
+    val pool = l.crossJoin(r)
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("vec_c"),
+        fastDot(col("vec_q"), col("vec_c")).as("__raw"))
+      .withColumn("__pr", row_number().over(wPool))
+      .where(col("__pr") <= poolK)
+      .select(col("query_id"), col("cand_id"),
+        round(col("__raw") + lit(1e-9), 6).as("rel"), col("vec_c"))
+      .localCheckpoint(true)
+    val psim = pool.select(col("query_id"), col("cand_id").as("sel_id"),
+        col("vec_c").as("vec_a"))
+      .join(pool.select(col("query_id"), col("cand_id"),
+        col("vec_c").as("vec_b")), "query_id")
+      .where(col("sel_id") =!= col("cand_id"))
+      .select(col("query_id"), col("sel_id"), col("cand_id"),
+        round(fastDot(col("vec_a"), col("vec_b")) + lit(1e-9), 6)
+          .as("sim"))
+      .localCheckpoint(true)
+    val cands = pool.select(col("query_id"), col("cand_id"), col("rel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__mmr").desc, col("cand_id"))
+    var selected = cands
+      .withColumn("__mmr", lit(relWeight) * col("rel"))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("query_id"), col("cand_id"), lit(1).as("step"),
+        col("__mmr").as("mmr_score"))
+      .localCheckpoint(true)
+    var remaining = cands.join(selected.select(col("query_id"),
+        col("cand_id")), Seq("query_id", "cand_id"), "left_anti")
+      .localCheckpoint(true)
+    (2 to k).foreach { step =>
+      val pen = psim
+        .join(selected.select(col("query_id"), col("cand_id").as("sel_id")),
+          Seq("query_id", "sel_id"))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(max(col("sim")).as("__pen"))
+      val next = remaining.join(pen, Seq("query_id", "cand_id"))
+        .withColumn("__mmr",
+          lit(relWeight) * col("rel") - lit(penWeight) * col("__pen"))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("query_id"), col("cand_id"), lit(step).as("step"),
+          col("__mmr").as("mmr_score"))
+      selected = selected.unionAll(next).localCheckpoint(true)
+      remaining = remaining.join(next.select(col("query_id"),
+          col("cand_id")), Seq("query_id", "cand_id"), "left_anti")
+        .localCheckpoint(true)
+    }
+    selected.select(col("query_id"), col("step"),
+      col("cand_id").as("neighbor_id"),
+      round(col("mmr_score") + lit(1e-9), 6).as("mmr_score"))
+  }
+
   /** Matryoshka prefix-truncation recall audit (Kusupati et al.,
     * NeurIPS'22): retrieval over only the FIRST `dims` dimensions of the
     * embedding versus the full vector — the storage/latency knob

@@ -621,4 +621,133 @@ object Stats {
           (lit(1.0) - col("__pen2") / (col("__n") * col("__n")))
           + lit(1e-9), 6).as("kappa"))
   }
+
+  /** Jarque–Bera normality screen per group: population central moments
+    * from a two-pass plan (group means broadcast back, then one moment
+    * aggregate), skewness g1 = m3/m2^1.5, kurtosis g2 = m4/m2²,
+    * JB = n/6·(g1² + (g2−3)²/4). At dof 2 the χ² survival function is
+    * EXACTLY exp(−JB/2), so unlike the F/χ²(k) batteries the p-value
+    * here is closed-form and fully cross-engine checkable — no CDF
+    * expression, no bracket oracle. Two shuffles total (means, moments),
+    * both on the group key; the broadcast is |groups| rows. The screen
+    * long-tailed value columns fail before a Gaussian-assuming monitor
+    * (z-score, CUSUM) is pointed at them.
+    */
+  def jarqueBera(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val x = col(valueCol).cast("double")
+    val means = df.where(x.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"), avg(x).as("__mu"))
+    val d = col(valueCol).cast("double") - col("__mu")
+    val m = df.where(x.isNotNull)
+      .join(broadcast(means), groupCol)
+      .groupBy(col(groupCol))
+      .agg(first(col("__n")).as("__n"),
+        avg(d * d).as("__m2"),
+        avg(d * d * d).as("__m3"),
+        avg(d * d * d * d).as("__m4"))
+    val skew = col("__m3") / pow(col("__m2"), 1.5)
+    val kurt = col("__m4") / (col("__m2") * col("__m2"))
+    val jb = col("__n") / 6.0 *
+      (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+    m.select(col(groupCol),
+      col("__n").cast("long").as("n"),
+      round(skew + lit(1e-9), 6).as("skewness"),
+      round(kurt + lit(1e-9), 6).as("kurtosis"),
+      round(jb + lit(1e-9), 4).as("jb_stat"),
+      round(exp(-jb / 2.0) + lit(1e-9), 6).as("p_value"))
+  }
+
+  /** Brown–Forsythe test (Levene's test with group MEDIANS): equality
+    * of variances across groups, robust to the non-normality jarqueBera
+    * flags. z = |x − median_g| per row, then the one-way ANOVA F on z is
+    * the W statistic. Plan: one exact-percentile aggregate per group
+    * (|groups| rows, broadcast back), one scan for deviations, then the
+    * existing [[anova]] sufficient-statistics aggregate — no row ever
+    * leaves its group's partition twice. The variance-equality verdict
+    * gates pooled-variance tests (m14 Welch vs pooled t) and
+    * homoscedastic OLS reads.
+    */
+  def leveneBrownForsythe(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val med = df.where(x.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(percentile(x, lit(0.5)).as("__med"))
+    val z = df.where(x.isNotNull)
+      .join(broadcast(med), groupCol)
+      .select(col(groupCol), abs(x - col("__med")).as("__z"))
+    anova(z, groupCol, "__z")
+      .select(col("n").cast("long").as("n"),
+        col("k").cast("long").as("k"),
+        round(col("f_stat") + lit(1e-9), 6).as("w_stat"),
+        col("df_between").cast("long").as("df_between"),
+        col("df_within").cast("long").as("df_within"))
+  }
+
+  /** First-order partial correlation r(x,y | z), closed form from the
+    * three pairwise Pearson correlations in ONE aggregate pass:
+    * (r_xy − r_xz·r_yz) / sqrt((1−r_xz²)(1−r_yz²)). The collider/
+    * confounder screen for metric dashboards — "does price still track
+    * quantity once discount is held fixed" — without materializing
+    * residuals. Scales as any corr: partial+final aggregation only.
+    */
+  def partialCorr(df: DataFrame, xCol: Column, yCol: Column, zCol: Column)
+      : DataFrame = {
+    val rxy = col("__rxy"); val rxz = col("__rxz"); val ryz = col("__ryz")
+    df.agg(count(lit(1)).as("n"),
+        corr(xCol, yCol).as("__rxy"),
+        corr(xCol, zCol).as("__rxz"),
+        corr(yCol, zCol).as("__ryz"))
+      .select(col("n"),
+        round(rxy + lit(1e-9), 6).as("r_xy"),
+        round(rxz + lit(1e-9), 6).as("r_xz"),
+        round(ryz + lit(1e-9), 6).as("r_yz"),
+        // undefined when either control correlation is ±1 (z collinear
+        // with x or y): surface null, never an ANSI divide-by-zero
+        round(when(
+          (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz) > 0.0,
+          (rxy - rxz * ryz) /
+            sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)))
+          + lit(1e-9), 6).as("r_xy_given_z"))
+  }
+
+  /** Cumulative gains / lift table over a ranked scoring: rank every row
+    * by `orderCols` (score desc first — caller negates), cut into
+    * `buckets` equal-depth bins, and report per-bin and CUMULATIVE
+    * positive capture plus lift vs the base rate. The model-free "is
+    * the top of the ranking worth paying for" read behind every
+    * curation threshold. Ranks come from [[rangePrefixSum]] — never an
+    * unpartitioned data-sized window — and the bin id is pure integer
+    * algebra ((rk·B + n − 1) div n), so both engines bin identically.
+    * Cumulative counts need no second window: within a bin the MAX of
+    * the inclusive prefix IS the cumulative count at the bin edge.
+    */
+  def cumulativeGains(df: DataFrame, orderCols: Seq[String],
+      relCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2; got $buckets")
+    val ranked = rangePrefixSum(
+      df.withColumn("__one", lit(1L))
+        .withColumn("__rel", col(relCol).cast("long")),
+      orderCols, Seq("__one" -> "__rk", "__rel" -> "__cum_pos"))
+    ranked
+      .withColumn("bucket",
+        floor((col("__rk") * buckets + col("__rk_total") - 1L)
+          .cast("double") / col("__rk_total")).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__rel")).as("n_pos"),
+        max(col("__rk")).as("cum_rows"),
+        max(col("__cum_pos")).as("cum_pos"),
+        first(col("__rk_total")).as("__n"),
+        first(col("__cum_pos_total")).as("__p"))
+      .select(col("bucket"), col("n_rows"), col("n_pos"),
+        col("cum_rows"), col("cum_pos"),
+        round(col("cum_pos").cast("double") / col("__p") + lit(1e-9), 6)
+          .as("gain"),
+        round((col("cum_pos").cast("double") / col("cum_rows")) /
+          (col("__p").cast("double") / col("__n")) + lit(1e-9), 6)
+          .as("lift"))
+  }
 }

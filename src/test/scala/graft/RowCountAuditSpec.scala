@@ -20,7 +20,12 @@ class RowCountAuditSpec extends SparkSpecBase {
   private val legitimatelyEmpty: Map[String, String] = Map(
     "g4_kcore_peel" -> ("the sf0.001 interaction graph has no k-core at " +
       "the pinned k — the oracle agrees; 21 rows at sf0.01, where the " +
-      "driver's gate runs"))
+      "driver's gate runs"),
+    "g12_adamic_adar" -> ("the sf0.001 supplier backbone is a " +
+      "near-complete graph (~10 suppliers), so every 2-hop pair is " +
+      "already an edge and link prediction has nothing to predict — " +
+      "the oracle agrees; 2729 rows at sf0.01, where the driver's " +
+      "gate runs"))
 
   test("every catalog query returns rows at sf0.001 unless its " +
       "emptiness is documented") {

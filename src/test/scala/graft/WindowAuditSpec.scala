@@ -33,6 +33,8 @@ class WindowAuditSpec extends SparkSpecBase {
     "m24_auc_score" -> "rangePrefixSum subtotal frame, <= numParts rows",
     "m60_average_precision" ->
       "rangePrefixSum subtotal frame, <= numParts rows",
+    "m64_cumulative_gains" ->
+      "rangePrefixSum subtotal frame, <= numParts rows",
     "m27_spearman_corr" -> "rangePrefixSum subtotal frame, <= numParts rows",
     "m51_mann_whitney" -> "rangePrefixSum subtotal frame, <= numParts rows",
     "m55_conformal" -> ("rangePrefixSum subtotal frame, <= numParts rows " +

@@ -1,0 +1,282 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.operators.{Changelog, Similarity, TextAnalysis}
+
+/** Catalog part W (round 12, batch 3): lead–lag cross-correlation
+  * between metric series, DAU growth accounting (new / retained /
+  * resurrected / churned), changelog (CDC) materialization — the
+  * lakehouse upsert-apply step as one window pass — MMR-diversified
+  * retrieval re-ranking, and RAKE keyword extraction.
+  */
+object QueriesW {
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  // M65 — cross-correlation function between the purchase and view
+  // daily series at lags −3..+3: ccf(k) = corr(x_t, y_{t+k}) — the
+  // lead–lag discovery read ("do views lead purchases by two days?")
+  // behind attribution and forecasting-feature decisions. m40's
+  // integer-day-index join pattern, but across TWO series and both lag
+  // directions, with a plain Pearson corr per lag group.
+  val m65 = Q("m65_ccf",
+    (s, d) => {
+      val daily = ev(s, d)
+        .where(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("dte"))
+        .agg(avg(when(col("event_type") === "purchase", col("value")))
+            .as("x"),
+          avg(when(col("event_type") === "view", col("value"))).as("y"))
+        .withColumn("i",
+          datediff(col("dte"), lit("1970-01-01").cast("date")))
+        .select(col("i"), col("x"), col("y"))
+      daily.withColumn("lag", explode(sequence(lit(-3), lit(3))))
+        .select((col("i") + col("lag")).as("ib"), col("lag"),
+          col("x").as("xa"))
+        .join(daily.select(col("i").as("ib"), col("y").as("yb")), "ib")
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(corr(col("xa"), col("yb")) + lit(1e-9), 6).as("ccf"))
+        .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+          col("ccf"))
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS dte,
+        avg(CASE WHEN event_type = 'purchase' THEN value END) AS x,
+        avg(CASE WHEN event_type = 'view' THEN value END) AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1),
+      ix AS (SELECT date_diff('day', DATE '1970-01-01', dte) AS i, x, y
+        FROM daily)
+      SELECT CAST(k AS BIGINT) AS lag, CAST(count(*) AS BIGINT)
+          AS n_pairs,
+        round(corr(a.x, b.y) + 1e-9, 6) AS ccf
+      FROM ix a, unnest(generate_series(-3, 3)) AS g(k)
+      JOIN ix b ON b.i = a.i + k
+      GROUP BY k"""))
+
+  // A45 — DAU growth accounting: every active (user, day) is exactly
+  // one of new (first day ever), retained (also active yesterday), or
+  // resurrected (back after a gap); churned(d) counts users active on
+  // d−1 whose streak ended there. The product-analytics identity
+  // DAU(d) = new + retained + resurrected, with churn closing the
+  // ledger — a44's new-vs-returning split refined to the 4-state
+  // machine. One distinct + one per-user lag/lead window + two thin
+  // day-grain aggregates.
+  val a45 = Q("a45_growth_accounting",
+    (s, d) => {
+      val act = ev(s, d).where(col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val st = act
+        .withColumn("__prev", lag(col("day"), 1).over(wU))
+        .withColumn("__next", lead(col("day"), 1).over(wU))
+        .localCheckpoint(true) // 2 consumers: status grain, churn grain
+      val daily = st.groupBy(col("day")).agg(
+        sum(when(col("__prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(datediff(col("day"), col("__prev")) === 1, 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("__prev").isNotNull &&
+          datediff(col("day"), col("__prev")) > 1, 1L).otherwise(0L))
+          .as("n_resurrected"))
+      val churn = st
+        .where(col("__next").isNull ||
+          datediff(col("__next"), col("day")) > 1)
+        .groupBy(date_add(col("day"), 1).as("day"))
+        .agg(count(lit(1)).as("n_churned"))
+      daily.join(churn, Seq("day"), "full_outer")
+        .na.fill(0L, Seq("n_new", "n_retained", "n_resurrected",
+          "n_churned"))
+    },
+    Some("""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE ts IS NOT NULL),
+      st AS (SELECT user_id, day,
+        lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+        lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+        FROM act),
+      daily AS (SELECT day,
+        sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+        sum(CASE WHEN date_diff('day', prev, day) = 1 THEN 1 ELSE 0 END)
+          AS n_retained,
+        sum(CASE WHEN prev IS NOT NULL
+          AND date_diff('day', prev, day) > 1 THEN 1 ELSE 0 END)
+          AS n_resurrected
+        FROM st GROUP BY 1),
+      churn AS (SELECT day + 1 AS day, count(*) AS n_churned FROM st
+        WHERE next IS NULL OR date_diff('day', day, next) > 1 GROUP BY 1)
+      SELECT coalesce(daily.day, churn.day) AS day,
+        CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+        CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+        CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+      FROM daily FULL OUTER JOIN churn ON daily.day = churn.day"""))
+
+  // O17 — changelog (CDC) materialization: treat the event stream as an
+  // op log per user — 'error' is a delete tombstone, everything else an
+  // upsert — and materialize the final state in ONE key-partitioned
+  // window pass (latest op wins, tombstoned keys vanish). The
+  // MERGE-loop-free upsert-apply every lakehouse ingest needs; at
+  // 100 TB it is a single shuffle on the key.
+  val o17 = Q("o17_changelog_apply",
+    (s, d) => Changelog.applyLog(
+      ev(s, d).select(col("user_id"), col("event_type"), col("value"),
+        col("event_id"), col("ts")),
+      keyCols = Seq("user_id"),
+      orderCols = Seq(col("ts"), col("event_id")),
+      opCol = "event_type", deleteOps = Seq("error"))
+      .select(col("user_id"), col("event_type").as("last_op"),
+        round(col("value") + lit(1e-9), 6).as("last_value"),
+        col("event_id").as("last_event_id")),
+    Some("""WITH r AS (SELECT user_id, event_type, value, event_id,
+        row_number() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_type AS last_op,
+        round(value + 1e-9, 6) AS last_value,
+        event_id AS last_event_id
+      FROM r WHERE rn = 1 AND event_type <> 'error'"""))
+
+  // ANN15 — MMR-diversified retrieval re-ranking: greedy maximal
+  // marginal relevance over each query's exact top-10 pool, k = 5,
+  // weights 0.7/0.3 — the de-duplicating re-rank that stops a
+  // retrieval (or a training-data draw) from spending its budget on
+  // near-copies. Relevances and pool-pair similarities are quantized
+  // before the greedy loop and every argmax tie-breaks by id, so the
+  // 5-step selection sequence is bit-reproducible — the oracle unrolls
+  // the same five steps as chained CTEs with ANTI JOINs.
+  val ann15 = Q("ann15_mmr_rerank",
+    (s, d) => Similarity.mmrSelect(Tables.embeddings(s, d), "vec_id",
+      "embedding", k = 5, poolK = 10, relWeight = 0.7, penWeight = 0.3),
+    Some("""WITH pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        list_cosine_similarity(a.embedding::DOUBLE[],
+          b.embedding::DOUBLE[]) AS raw
+        FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+      pool AS (SELECT query_id, cand_id, round(raw + 1e-9, 6) AS rel
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY raw DESC, cand_id) AS pr FROM pairs)
+        WHERE pr <= 10),
+      psim AS (SELECT p1.query_id, p1.cand_id AS sel_id,
+          p2.cand_id AS cand_id,
+          round(list_cosine_similarity(e1.embedding::DOUBLE[],
+            e2.embedding::DOUBLE[]) + 1e-9, 6) AS sim
+        FROM pool p1 JOIN pool p2 ON p1.query_id = p2.query_id
+          AND p1.cand_id <> p2.cand_id
+        JOIN embeddings e1 ON e1.vec_id = p1.cand_id
+        JOIN embeddings e2 ON e2.vec_id = p2.cand_id),
+      s1 AS (SELECT query_id, cand_id, 0.7 * rel AS mmr FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY 0.7 * rel DESC, cand_id) AS rn FROM pool)
+        WHERE rn = 1),
+      c2 AS (SELECT c.query_id, c.cand_id, c.rel, max(ps.sim) AS pen
+        FROM (SELECT p.* FROM pool p ANTI JOIN s1
+            ON s1.query_id = p.query_id AND s1.cand_id = p.cand_id) c
+        JOIN psim ps ON ps.query_id = c.query_id
+          AND ps.cand_id = c.cand_id
+        JOIN s1 sel ON sel.query_id = ps.query_id
+          AND sel.cand_id = ps.sel_id
+        GROUP BY 1, 2, 3),
+      s2 AS (SELECT query_id, cand_id, 0.7 * rel - 0.3 * pen AS mmr
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY 0.7 * rel - 0.3 * pen DESC, cand_id) AS rn FROM c2)
+        WHERE rn = 1),
+      sel2 AS (SELECT query_id, cand_id FROM s1
+        UNION ALL SELECT query_id, cand_id FROM s2),
+      c3 AS (SELECT c.query_id, c.cand_id, c.rel, max(ps.sim) AS pen
+        FROM (SELECT p.* FROM pool p ANTI JOIN sel2
+            ON sel2.query_id = p.query_id AND sel2.cand_id = p.cand_id) c
+        JOIN psim ps ON ps.query_id = c.query_id
+          AND ps.cand_id = c.cand_id
+        JOIN sel2 sel ON sel.query_id = ps.query_id
+          AND sel.cand_id = ps.sel_id
+        GROUP BY 1, 2, 3),
+      s3 AS (SELECT query_id, cand_id, 0.7 * rel - 0.3 * pen AS mmr
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY 0.7 * rel - 0.3 * pen DESC, cand_id) AS rn FROM c3)
+        WHERE rn = 1),
+      sel3 AS (SELECT query_id, cand_id FROM sel2
+        UNION ALL SELECT query_id, cand_id FROM s3),
+      c4 AS (SELECT c.query_id, c.cand_id, c.rel, max(ps.sim) AS pen
+        FROM (SELECT p.* FROM pool p ANTI JOIN sel3
+            ON sel3.query_id = p.query_id AND sel3.cand_id = p.cand_id) c
+        JOIN psim ps ON ps.query_id = c.query_id
+          AND ps.cand_id = c.cand_id
+        JOIN sel3 sel ON sel.query_id = ps.query_id
+          AND sel.cand_id = ps.sel_id
+        GROUP BY 1, 2, 3),
+      s4 AS (SELECT query_id, cand_id, 0.7 * rel - 0.3 * pen AS mmr
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY 0.7 * rel - 0.3 * pen DESC, cand_id) AS rn FROM c4)
+        WHERE rn = 1),
+      sel4 AS (SELECT query_id, cand_id FROM sel3
+        UNION ALL SELECT query_id, cand_id FROM s4),
+      c5 AS (SELECT c.query_id, c.cand_id, c.rel, max(ps.sim) AS pen
+        FROM (SELECT p.* FROM pool p ANTI JOIN sel4
+            ON sel4.query_id = p.query_id AND sel4.cand_id = p.cand_id) c
+        JOIN psim ps ON ps.query_id = c.query_id
+          AND ps.cand_id = c.cand_id
+        JOIN sel4 sel ON sel.query_id = ps.query_id
+          AND sel.cand_id = ps.sel_id
+        GROUP BY 1, 2, 3),
+      s5 AS (SELECT query_id, cand_id, 0.7 * rel - 0.3 * pen AS mmr
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY 0.7 * rel - 0.3 * pen DESC, cand_id) AS rn FROM c5)
+        WHERE rn = 1)
+      SELECT query_id, 1 AS step, cand_id AS neighbor_id,
+        round(mmr + 1e-9, 6) AS mmr_score FROM s1
+      UNION ALL SELECT query_id, 2, cand_id, round(mmr + 1e-9, 6) FROM s2
+      UNION ALL SELECT query_id, 3, cand_id, round(mmr + 1e-9, 6) FROM s3
+      UNION ALL SELECT query_id, 4, cand_id, round(mmr + 1e-9, 6) FROM s4
+      UNION ALL SELECT query_id, 5, cand_id, round(mmr + 1e-9, 6)
+        FROM s5"""))
+
+  // T69 — RAKE keyword extraction over the corpus: stopword-delimited
+  // phrase candidates, word score = degree/frequency, phrase score =
+  // Σ word scores; top-20 distinct phrases. Phrase boundaries come
+  // from a per-doc stopword prefix COUNT (not a split regex), so both
+  // engines segment byte-identically; the top-N cut orders by ROUNDED
+  // score with a phrase tie-break — deterministic cross-engine.
+  val t69 = {
+    val stops = Seq("a", "the", "and", "of", "to", "in", "is", "it")
+    val stopList = stops.map(s => s"'$s'").mkString(", ")
+    Q("t69_rake_keywords",
+      (s, d) => TextAnalysis.rakeKeywords(docs(s, d), "doc_id", "text",
+        stops, topN = 20),
+      Some(s"""WITH tok0 AS (SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term,
+          generate_subscripts(string_split_regex(lower(trim(text)),
+            '\\s+'), 1) AS pos
+          FROM documents),
+        tok AS (SELECT doc_id, term, pos,
+          CASE WHEN term IN ($stopList) THEN 1 ELSE 0 END AS stop
+          FROM tok0 WHERE term <> ''),
+        pt AS (SELECT doc_id, term, pos,
+          sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase
+          FROM tok QUALIFY stop = 0),
+        plen AS (SELECT doc_id, phrase, count(*) AS len FROM pt
+          GROUP BY 1, 2),
+        ws AS (SELECT term, count(*) AS freq, sum(len) AS deg,
+          CAST(sum(len) AS DOUBLE) / count(*) AS wscore
+          FROM pt JOIN plen USING (doc_id, phrase) GROUP BY 1),
+        ptext AS (SELECT doc_id, phrase,
+          string_agg(term, ' ' ORDER BY pos) AS phrase_text
+          FROM pt GROUP BY 1, 2),
+        scored AS (SELECT pt.doc_id, pt.phrase,
+          sum(ws.wscore) AS pscore, count(*) AS n_words
+          FROM pt JOIN ws USING (term) GROUP BY 1, 2)
+        SELECT phrase_text AS phrase,
+          CAST(count(*) AS BIGINT) AS n_occurrences,
+          CAST(max(n_words) AS BIGINT) AS n_words,
+          round(max(pscore) + 1e-9, 6) AS rake_score
+        FROM scored JOIN ptext USING (doc_id, phrase)
+        GROUP BY 1
+        ORDER BY rake_score DESC, phrase
+        LIMIT 20"""))
+  }
+
+  val all: Seq[Q] = Seq(m65, a45, o17, ann15, t69)
+}

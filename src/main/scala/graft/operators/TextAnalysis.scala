@@ -816,4 +816,57 @@ object TextAnalysis {
            (col("n") * col("syy") - col("sy") * col("sy"))) + lit(1e-9), 6)
           .as("r2"))
   }
+
+  /** RAKE keyword extraction (Rose et al. '10): candidate phrases are
+    * maximal stopword-free token runs; each word scores
+    * degree/frequency (degree = Σ length of every phrase it appears
+    * in — long-phrase words co-occur more), and a phrase scores the sum
+    * of its words' scores. Returns the corpus-wide top-`topN` distinct
+    * phrases. Phrase boundaries come from a per-document prefix count
+    * of stopword positions (a doc-length-bounded window, the standard
+    * per-doc shape), NOT a split regex — so both engines segment
+    * byte-identically. Word stats are two corpus-wide aggregates on the
+    * token grain; the final ordering is on ROUNDED scores with a phrase
+    * tie-break, so the top-N cut is deterministic cross-engine.
+    */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stopwords.nonEmpty && topN >= 1, "need stopwords and topN >= 1")
+    val tok = docs.select(col(idCol).as("__doc"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("__pos", "__term")))
+      .where(col("__term") =!= "")
+      .withColumn("__stop",
+        when(col("__term").isin(stopwords: _*), 1L).otherwise(0L))
+    val wDoc = Window.partitionBy(col("__doc")).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phraseTok = tok
+      .withColumn("__phrase", sum(col("__stop")).over(wDoc))
+      .where(col("__stop") === 0L)
+      .localCheckpoint(true) // 3 consumers: lengths, word stats, text
+    val phraseLen = phraseTok.groupBy(col("__doc"), col("__phrase"))
+      .agg(count(lit(1)).as("__len"))
+    val withLen = phraseTok.join(phraseLen, Seq("__doc", "__phrase"))
+    val wordScore = withLen.groupBy(col("__term"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .withColumn("__wscore",
+        col("__deg").cast("double") / col("__freq"))
+    val phraseText = phraseTok.groupBy(col("__doc"), col("__phrase"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__term")))),
+        x => x.getField("__term")), " ").as("phrase"))
+    val scored = withLen.join(wordScore.select(col("__term"),
+        col("__wscore")), "__term")
+      .groupBy(col("__doc"), col("__phrase"))
+      .agg(sum(col("__wscore")).as("__pscore"),
+        count(lit(1)).as("__n_words"))
+      .join(phraseText, Seq("__doc", "__phrase"))
+    scored.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("__n_words")).as("n_words"),
+        round(max(col("__pscore")) + lit(1e-9), 6).as("rake_score"))
+      .orderBy(col("rake_score").desc, col("phrase"))
+      .limit(topN)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph centrality over entity-relation edge lists.
@@ -564,5 +565,43 @@ object Graph {
       .unionAll(auth.select(lit("authority").as("side"),
         col("__v").as("node"),
         round(col("__a") + lit(1e-9), 6).as("score")))
+  }
+
+  /** Deterministic pseudo-random walks over an undirected edge list —
+    * the node2vec/DeepWalk corpus-generation step, made reproducible:
+    * one walk starts at every node, and at step t it moves to the
+    * neighbor v minimizing md5(walk:t:v) — a hash-argmin that plays the
+    * role of the RNG draw, so two runs (or two engines) emit
+    * byte-identical walks with per-step, per-walk independent choices.
+    * Each step is one adjacency equi-join + one walk-partitioned argmin
+    * window (never a data-sized unpartitioned anything); plan depth
+    * stays O(steps) via per-step checkpoints. Walks may backtrack (as
+    * unbiased DeepWalk does); dead ends cannot occur on an undirected
+    * graph. Returns (walk_id, step, node) with step 0 = the start.
+    */
+  def deterministicWalks(edges: DataFrame, s1: String = "s1",
+      s2: String = "s2", steps: Int = 4): DataFrame = {
+    require(steps >= 1, s"need steps >= 1; got $steps")
+    val e = edges.select(col(s1), col(s2)).localCheckpoint(true)
+    val adj = e.select(col(s1).as("u"), col(s2).as("v"))
+      .unionAll(e.select(col(s2).as("u"), col(s1).as("v")))
+      .localCheckpoint(true)
+    var cur = adj.select(col("u").as("walk_id")).distinct()
+      .withColumn("node", col("walk_id"))
+      .localCheckpoint(true)
+    var out = cur.withColumn("step", lit(0))
+    (1 to steps).foreach { t =>
+      val w = Window.partitionBy(col("walk_id"))
+        .orderBy(col("__h"), col("v"))
+      cur = cur.join(adj, col("node") === col("u"))
+        .withColumn("__h", md5(concat(col("walk_id").cast("string"),
+          lit(s":$t:"), col("v").cast("string"))))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("walk_id"), col("v").as("node"))
+        .localCheckpoint(true)
+      out = out.unionAll(cur.withColumn("step", lit(t)))
+    }
+    out.select(col("walk_id"), col("step"), col("node"))
   }
 }

@@ -254,4 +254,39 @@ object Multimodal {
           .as("rms"))
       .withColumn("is_silence", col("rms") < silenceRms)
   }
+
+  /** Per-channel pixel statistics over an RGB-interleaved payload
+    * prefix: byte 3k+c is channel c of pixel k — the white-balance /
+    * tint screen (and the cheapest "is this image basically one color"
+    * near-dup prefilter) a vision-data pipeline runs before any real
+    * decode. Reads exactly `nBytes` bytes per asset (explode bounded by
+    * a constant, the mm3/mm4 discipline), aggregates mean and
+    * population stddev per channel, and flags the dominant channel —
+    * channel means are exact multiples of 3/nBytes in binary, so the
+    * argmax compare is bit-identical cross-engine.
+    */
+  def channelStats(assets: DataFrame, nBytes: Int = 96): DataFrame = {
+    require(nBytes >= 3 && nBytes % 3 == 0,
+      s"need a positive multiple of 3; got $nBytes")
+    import org.apache.spark.sql.expressions.Window
+    val h = hex(col("payload"))
+    val byteVal = conv(h.substr(col("__i") * 2 + 1, lit(2)), 16, 10)
+      .cast("double")
+    val perChannel = assets.where(col("byte_len") >= nBytes)
+      .withColumn("__i", explode(sequence(lit(0), lit(nBytes - 1))))
+      .select(col("asset_id"), pmod(col("__i"), lit(3)).as("channel"),
+        byteVal.as("__b"))
+      .groupBy(col("asset_id"), col("channel"))
+      .agg(count(lit(1)).as("n_px"), avg(col("__b")).as("__mean"),
+        stddev_pop(col("__b")).as("__sd"))
+    val w = Window.partitionBy(col("asset_id"))
+      .orderBy(col("__mean").desc, col("channel"))
+    perChannel
+      .withColumn("is_dominant",
+        when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select(col("asset_id"), col("channel"), col("n_px"),
+        round(col("__mean") + lit(1e-9), 6).as("ch_mean"),
+        round(col("__sd") + lit(1e-9), 6).as("ch_std"),
+        col("is_dominant"))
+  }
 }

@@ -750,4 +750,33 @@ object Stats {
           (col("__p").cast("double") / col("__n")) + lit(1e-9), 6)
           .as("lift"))
   }
+
+  /** Odds ratio with a 95% Wald confidence interval from a 2×2
+    * exposure/outcome table — the standard A/B readout when the metric
+    * is a rate: OR = (a·d)/(b·c), CI = exp(ln OR ± 1.96·√(1/a + 1/b +
+    * 1/c + 1/d)). One conditional-aggregate pass builds the table; the
+    * interval is closed-form scalar algebra on that single row. Any
+    * empty cell makes the Wald interval undefined — those surface null
+    * (use an exact test at that point), never a divide-by-zero.
+    */
+  def oddsRatio(df: DataFrame, exposed: Column, outcome: Column)
+      : DataFrame = {
+    val cell = (e: Boolean, o: Boolean) =>
+      sum(when(exposed === e && outcome === o, 1L).otherwise(0L))
+    val a = col("__a"); val b = col("__b")
+    val c = col("__c"); val dd = col("__d")
+    val or = (a * dd) / (b * c)
+    val se = sqrt(lit(1.0) / a + lit(1.0) / b + lit(1.0) / c +
+      lit(1.0) / dd)
+    val defined = a > 0L && b > 0L && c > 0L && dd > 0L
+    df.agg(cell(true, true).as("__a"), cell(true, false).as("__b"),
+        cell(false, true).as("__c"), cell(false, false).as("__d"))
+      .select(a.as("n_exp_pos"), b.as("n_exp_neg"),
+        c.as("n_unexp_pos"), dd.as("n_unexp_neg"),
+        round(when(defined, or) + lit(1e-9), 6).as("odds_ratio"),
+        round(when(defined, exp(log(or) - lit(1.96) * se)) + lit(1e-9), 6)
+          .as("ci_low"),
+        round(when(defined, exp(log(or) + lit(1.96) * se)) + lit(1e-9), 6)
+          .as("ci_high"))
+  }
 }

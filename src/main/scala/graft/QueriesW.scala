@@ -151,7 +151,10 @@ object QueriesW {
   val ann15 = Q("ann15_mmr_rerank",
     (s, d) => Similarity.mmrSelect(Tables.embeddings(s, d), "vec_id",
       "embedding", k = 5, poolK = 10, relWeight = 0.7, penWeight = 0.3),
-    Some("""WITH pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+    product = Some((s, d) => Similarity.mmrSelectLsh(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 5, poolK = 10, relWeight = 0.7, penWeight = 0.3)),
+    oracle = Some("""WITH pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
         list_cosine_similarity(a.embedding::DOUBLE[],
           b.embedding::DOUBLE[]) AS raw
         FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),

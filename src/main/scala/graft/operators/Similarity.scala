@@ -149,7 +149,35 @@ object Similarity {
       .where(col("__pr") <= poolK)
       .select(col("query_id"), col("cand_id"),
         round(col("__raw") + lit(1e-9), 6).as("rel"), col("vec_c"))
-      .localCheckpoint(true)
+    mmrGreedy(pool, k, relWeight, penWeight)
+  }
+
+  /** The MMR production path: same greedy selection, candidate pool
+    * from [[lshTopKAuto]] instead of the exact pair loop — the shape a
+    * deployment runs at corpus scale (the greedy steps are identical
+    * bounded joins either way; only pool generation changes cost
+    * class). Diversified results inherit the index's recall, which
+    * ann1's gate audits.
+    */
+  def mmrSelectLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      poolK: Int, relWeight: Double, penWeight: Double): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need 1 <= k <= poolK; got $k, $poolK")
+    val pool = lshTopKAuto(df, idCol, vecCol, poolK)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("cosine").as("rel"))
+      .join(unitVectors(df, idCol, vecCol)
+        .select(col("id").as("cand_id"), col("vec").as("vec_c")),
+        "cand_id")
+    mmrGreedy(pool, k, relWeight, penWeight)
+  }
+
+  /** Greedy MMR over a prepared candidate pool (query_id, cand_id,
+    * rel quantized to 6, vec_c unit vector) — see [[mmrSelect]] for the
+    * determinism contract.
+    */
+  private def mmrGreedy(poolIn: DataFrame, k: Int, relWeight: Double,
+      penWeight: Double): DataFrame = {
+    val pool = poolIn.localCheckpoint(true)
     val psim = pool.select(col("query_id"), col("cand_id").as("sel_id"),
         col("vec_c").as("vec_a"))
       .join(pool.select(col("query_id"), col("cand_id"),

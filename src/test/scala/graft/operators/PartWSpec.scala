@@ -72,6 +72,20 @@ class PartWSpec extends SparkSpecBase {
       .where(col("s") =!= 3).count() == 0)
   }
 
+  test("mmrSelectLsh: the production pool path keeps the per-query " +
+      "contract (k dense steps, scores from quantized inputs)") {
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val got = Similarity.mmrSelectLsh(emb, "vec_id", "embedding",
+      k = 3, poolK = 5, relWeight = 0.7, penWeight = 0.3)
+      .localCheckpoint(true)
+    assert(got.groupBy("query_id")
+      .agg(countDistinct(col("step")).as("s"), count(lit(1)).as("n"))
+      .where(col("s") =!= col("n")).count() == 0)
+    // LSH pools can run short for isolated vectors, never over k
+    assert(got.groupBy("query_id").count()
+      .agg(max(col("count"))).head().getLong(0) <= 3L)
+  }
+
   test("rakeKeywords: degree/frequency scoring on a hand-computed corpus") {
     // doc 1: "red apple the red apple" -> phrase "red apple" twice;
     // freq(red) = 2, deg(red) = 2+2 = 4, score 2; same for apple;

@@ -80,6 +80,27 @@ object QueriesC {
       round(sum(value) + 1e-9,6) AS sum_value,
       round(avg(value) + 1e-9,6) AS avg_value FROM events GROUP BY 1"""))
 
+  // X55 — stream-static broadcast enrichment: every AvailableNow
+  // micro-batch left-joins the (re-read) embeddings label dimension,
+  // unmatched users bucketed as -1 — the streaming twin of j5, oracled
+  // against the equivalent static join. No state store, no watermark:
+  // enrichment is stateless per batch, so the batch and streaming
+  // results are identical by construction.
+  val st7 = Q("st7_stream_static_enrich",
+    (s, d) => {
+      val dim = Tables.embeddings(s, d)
+        .select(col("vec_id").as("user_id"), col("label"))
+      val agg = Streaming.staticEnrich(
+          Streaming.readEventsStream(s, d), dim, Seq("user_id"))
+        .groupBy(coalesce(col("label"), lit(-1)).as("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")) + lit(1e-9), 6).as("sum_value"))
+      Streaming.runAvailableNow(s, agg, s"st7_mem_${System.nanoTime()}")
+    },
+    Some("""SELECT coalesce(label, -1) AS label, count(*) AS n,
+      round(sum(value) + 1e-9, 6) AS sum_value
+      FROM events LEFT JOIN embeddings ON user_id = vec_id GROUP BY 1"""))
+
   // J5/J6: broadcast enrichment join (txns ⋈ cluster assignments analog)
   val j5 = Q("j5_broadcast_enrich",
     (s, d) => {
@@ -403,6 +424,6 @@ object QueriesC {
       md5(md5(text) || CAST(i AS VARCHAR)) AS patch_sig
       FROM documents, unnest(generate_series(0, 3)) AS g(i)"""))
 
-  val all: Seq[Q] = Seq(s1, s4, st1, j5, j8, j10, j10b, m6, m9,
+  val all: Seq[Q] = Seq(s1, s4, st1, st7, j5, j8, j10, j10b, m6, m9,
     t5q, t6q, t7q, t8q, ann1, ann5, mm1, mm2)
 }

@@ -90,9 +90,10 @@ object QueriesV {
         corr(l_quantity, l_discount) AS ryz FROM lineitem)
       SELECT n, round(rxy + 1e-9, 6) AS r_xy,
         round(rxz + 1e-9, 6) AS r_xz, round(ryz + 1e-9, 6) AS r_yz,
-        round((rxy - rxz * ryz) /
-          sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) + 1e-9, 6)
-          AS r_xy_given_z
+        CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0.0
+          THEN round((rxy - rxz * ryz) /
+            sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) + 1e-9, 6)
+          END AS r_xy_given_z
       FROM c"""))
 
   // M64 — cumulative gains / lift table at deciles: rank events by

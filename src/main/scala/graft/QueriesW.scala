@@ -75,6 +75,13 @@ object QueriesW {
       val st = act
         .withColumn("__prev", lag(col("day"), 1).over(wU))
         .withColumn("__next", lead(col("day"), 1).over(wU))
+        // EAGER materialization is load-bearing, not a cache hint: the
+        // status and churn grains must read the SAME materialized rows,
+        // and the lineage cut is what guarantees no recomputation
+        // divergence between the two consumers. A lazy checkpoint (or
+        // plain cache) would reintroduce that risk under eviction; the
+        // trade-off is that the cut lineage can't be replayed after an
+        // executor loss — acceptable in this bench/catalog context.
         .localCheckpoint(true) // 2 consumers: status grain, churn grain
       val daily = st.groupBy(col("day")).agg(
         sum(when(col("__prev").isNull, 1L).otherwise(0L)).as("n_new"),
@@ -158,9 +165,10 @@ object QueriesW {
         list_cosine_similarity(a.embedding::DOUBLE[],
           b.embedding::DOUBLE[]) AS raw
         FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
-      pool AS (SELECT query_id, cand_id, round(raw + 1e-9, 6) AS rel
-        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-          ORDER BY raw DESC, cand_id) AS pr FROM pairs)
+      pool AS (SELECT query_id, cand_id, rel
+        FROM (SELECT query_id, cand_id, round(raw + 1e-9, 6) AS rel,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY round(raw + 1e-9, 6) DESC, cand_id) AS pr FROM pairs)
         WHERE pr <= 10),
       psim AS (SELECT p1.query_id, p1.cand_id AS sel_id,
           p2.cand_id AS cand_id,

@@ -90,8 +90,10 @@ object QueriesX {
             AS isd
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         b AS (SELECT o_orderpriority,
-          CAST(floor(isd / 7.0) * 5 + least(isd % 7 + 1, 5) AS BIGINT)
-        - CAST(floor(io / 7.0) * 5 + least(io % 7 + 1, 5) AS BIGINT)
+          CAST(floor(isd / 7.0) * 5 + least(((isd % 7) + 7) % 7 + 1, 5)
+            AS BIGINT)
+        - CAST(floor(io / 7.0) * 5 + least(((io % 7) + 7) % 7 + 1, 5)
+            AS BIGINT)
             AS bdays FROM j)
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
           round(avg(bdays) + 1e-9, 6) AS avg_bdays,

@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   * is a §2.12 training-data extension: influence / importance scoring over
   * interaction graphs (wallet↔collection, customer↔supplier) feeds both
   * sampling weights and quality priors for corpus curation.
+  *
+  * `localCheckpoint(true)` contract (every iterative loop below): the
+  * EAGER flag is load-bearing. Per-round state (ranks, frontiers, walk
+  * heads) is consumed both by the next round and by the final readout,
+  * and eager materialization pins one set of rows for all consumers
+  * while keeping plan depth O(1) per round instead of O(branchingᶦᵗᵉʳˢ).
+  * A lazy checkpoint or cache could recompute under eviction —
+  * reintroducing fp-order (and, for hash-argmin walks, tie-order)
+  * nondeterminism between consumers. Trade-off: cut lineage cannot
+  * replay after executor loss; for long-lived cluster jobs swap in
+  * reliable `checkpoint()` against a checkpoint dir, same semantics.
   */
 object Graph {
 
@@ -493,17 +504,37 @@ object Graph {
     * anti-join. deg(z) ≥ 2 for every wedge center by construction, so
     * ln(deg z) never hits zero. The integer `minCommon` floor keeps the
     * output deterministic cross-engine (no fp-boundary LIMIT). Wedge
-    * fan-out is Σ_z deg(z)² — at crawl scale cap or sample the
-    * neighbor lists of extreme hubs before the self-join (the standard
-    * AA approximation; the backbone graphs here are degree-bounded
-    * already).
+    * fan-out is Σ_z deg(z)², so one hot hub is quadratic: the
+    * `maxDegPerCenter` guard bounds it by keeping, per center, only the
+    * `maxDegPerCenter` neighbors with the smallest md5(z‖nb) hash — a
+    * deterministic uniform sample (the standard AA hub approximation),
+    * capping wedge work at Σ_z min(deg z, cap)² ≤ |V|·cap² regardless
+    * of skew. The degree DISCOUNT (1/ln deg z) always uses the TRUE
+    * degree, so capping only subsamples which pairs a hub witnesses —
+    * it never inflates a hub's per-wedge weight. Default = no cap
+    * (exact; the backbone graphs here are degree-bounded already);
+    * at crawl scale pass a cap in the hundreds.
     */
   def adamicAdar(edges: DataFrame, s1: String = "s1", s2: String = "s2",
-      minCommon: Int = 2): DataFrame = {
+      minCommon: Int = 2, maxDegPerCenter: Int = Int.MaxValue)
+      : DataFrame = {
+    require(maxDegPerCenter >= 2,
+      s"need maxDegPerCenter >= 2; got $maxDegPerCenter")
     val e = edges.select(col(s1), col(s2)).localCheckpoint(true)
-    val adj = e.select(col(s1).as("z"), col(s2).as("nb"))
+    val adjAll = e.select(col(s1).as("z"), col(s2).as("nb"))
       .unionAll(e.select(col(s2).as("z"), col(s1).as("nb")))
-    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("d"))
+    // true degree BEFORE any cap: the discount must reflect the hub's
+    // real promiscuity even when its wedge enumeration is subsampled
+    val deg = adjAll.groupBy(col("z")).agg(count(lit(1)).as("d"))
+    val adj =
+      if (maxDegPerCenter == Int.MaxValue) adjAll
+      else {
+        val wCap = Window.partitionBy(col("z")).orderBy(
+          md5(concat_ws(":", col("z"), col("nb"))), col("nb"))
+        adjAll.withColumn("__cr", row_number().over(wCap))
+          .where(col("__cr") <= maxDegPerCenter)
+          .drop("__cr")
+      }
     val w1 = adj.select(col("z"), col("nb").as("x"))
     val w2 = adj.select(col("z"), col("nb").as("y"))
     val wedges = w1.join(w2, "z").where(col("x") < col("y"))

@@ -125,8 +125,10 @@ object Similarity {
     * a training-data sample) from spending its budget on near-copies.
     * Determinism across engines is engineered: relevances and
     * candidate-candidate similarities are QUANTIZED (round 6) before
-    * the greedy loop, weights are passed as literals (never computed as
-    * 1−λ, whose fp value differs from the literal), and every argmax
+    * the greedy loop, the top-`poolK` pool cut itself ranks on the
+    * QUANTIZED cosine (so pool membership is not fp-boundary-sensitive
+    * either), weights are passed as literals (never computed as 1−λ,
+    * whose fp value differs from the literal), and every argmax
     * tie-breaks by candidate id — so the selection sequence is
     * bit-reproducible. Work per step is one bounded join on the
     * selected set (≤ k·poolK rows per query, constants); the pool
@@ -140,15 +142,15 @@ object Similarity {
     val l = base.select(col("id").as("query_id"), col("vec").as("vec_q"))
     val r = base.select(col("id").as("cand_id"), col("vec").as("vec_c"))
     val wPool = Window.partitionBy(col("query_id"))
-      .orderBy(col("__raw").desc, col("cand_id"))
+      .orderBy(col("rel").desc, col("cand_id"))
     val pool = l.crossJoin(r)
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), col("vec_c"),
-        fastDot(col("vec_q"), col("vec_c")).as("__raw"))
+        round(fastDot(col("vec_q"), col("vec_c")) + lit(1e-9), 6)
+          .as("rel"))
       .withColumn("__pr", row_number().over(wPool))
       .where(col("__pr") <= poolK)
-      .select(col("query_id"), col("cand_id"),
-        round(col("__raw") + lit(1e-9), 6).as("rel"), col("vec_c"))
+      .select(col("query_id"), col("cand_id"), col("rel"), col("vec_c"))
     mmrGreedy(pool, k, relWeight, penWeight)
   }
 
@@ -177,6 +179,14 @@ object Similarity {
     */
   private def mmrGreedy(poolIn: DataFrame, k: Int, relWeight: Double,
       penWeight: Double): DataFrame = {
+    // localCheckpoint(true) here is a correctness contract, not a perf
+    // hint: pool/psim/selected/remaining are each consumed by MULTIPLE
+    // downstream steps across the greedy loop, and eager materialization
+    // pins one set of rows for all consumers while cutting plan depth to
+    // O(1) per step. Lazy checkpoints would allow recomputation (and
+    // with it fp-order nondeterminism) under eviction; the cost is that
+    // cut lineage can't replay after executor loss — fine for this
+    // bounded re-rank, revisit for long-lived cluster jobs.
     val pool = poolIn.localCheckpoint(true)
     val psim = pool.select(col("query_id"), col("cand_id").as("sel_id"),
         col("vec_c").as("vec_a"))

@@ -80,6 +80,22 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** Stream-static broadcast enrichment (SURVEY X55; the streaming form
+    * of the reference's broadcast dims, e.g.
+    * analyze_visual_cycles.py:50-54): join each micro-batch against a
+    * small static dimension. The static side is deliberately passed as a
+    * plain (uncached) DataFrame — Structured Streaming re-evaluates the
+    * static plan on EVERY micro-batch, so a dimension file updated
+    * between batches applies from the next batch on, which is exactly
+    * the slowly-changing-dim enrichment contract. `broadcast()` keeps it
+    * a map-side hash join in every batch (no stream-side shuffle, no
+    * state store). Left join: events without a dim row survive with
+    * nulls, to be bucketed by the caller.
+    */
+  def staticEnrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
   /** Stateful sessionization via flatMapGroupsWithState: events of one
     * user more than `gapMinutes` apart start a new session. The custom
     * per-key state machine the reference has no analogue for — included

@@ -111,6 +111,30 @@ class PartVSpec extends SparkSpecBase {
       < 1e-5)
   }
 
+  test("adamicAdar: maxDegPerCenter caps hub wedge fan-out " +
+      "deterministically and keeps the TRUE-degree discount") {
+    // Star: hub 0 — leaves 1..6. Uncapped: C(6,2)=15 pairs, each
+    // discounted by the hub's true degree, aa = 1/ln(6).
+    val star = (1 to 6).map(i => (0, i)).toDF("s1", "s2")
+    val full = Graph.adamicAdar(star, minCommon = 1).collect()
+    assert(full.length == 15)
+    full.foreach(r => assert(
+      math.abs(r.getAs[Double]("aa_score") - 1.0 / math.log(6.0)) < 1e-5))
+    // Capped at 3 neighbors per center: the hub witnesses C(3,2)=3
+    // pairs; the discount still uses deg=6 (never the capped count).
+    val capped = Graph.adamicAdar(star, minCommon = 1,
+      maxDegPerCenter = 3).collect()
+    assert(capped.length == 3)
+    capped.foreach(r => assert(
+      math.abs(r.getAs[Double]("aa_score") - 1.0 / math.log(6.0)) < 1e-5))
+    // Hash-ranked cap is deterministic: a rerun selects the same pairs.
+    val rerun = Graph.adamicAdar(star, minCommon = 1,
+      maxDegPerCenter = 3).collect()
+    def pairs(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Int]("x"), r.getAs[Int]("y"))).toSet
+    assert(pairs(capped) == pairs(rerun))
+  }
+
   test("hits: hand-unrolled two rounds on a 2x2 bipartite graph") {
     // Edges (1,10), (2,10), (1,11). Unrolling two normalized rounds:
     // hub = (8/sqrt(89), 5/sqrt(89)), auth = (5/sqrt(34), 3/sqrt(34)).

@@ -73,8 +73,10 @@ object QueriesC {
   val st1 = Q("st1_streaming_daily_stats",
     (s, d) => {
       val agg = Streaming.dailyStats(Streaming.readEventsStream(s, d))
+      // state = the daily grain (tens of rows): 8 state partitions, not
+      // one per core — see runAvailableNow's statePartitions note
       Streaming.runAvailableNow(s, agg,
-        s"st1_mem_${System.nanoTime()}")
+        s"st1_mem_${System.nanoTime()}", statePartitions = Some(8))
     },
     Some("""SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
       round(sum(value) + 1e-9,6) AS sum_value,
@@ -95,7 +97,8 @@ object QueriesC {
         .groupBy(coalesce(col("label"), lit(-1)).as("label"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")) + lit(1e-9), 6).as("sum_value"))
-      Streaming.runAvailableNow(s, agg, s"st7_mem_${System.nanoTime()}")
+      Streaming.runAvailableNow(s, agg, s"st7_mem_${System.nanoTime()}",
+        statePartitions = Some(8))
     },
     Some("""SELECT coalesce(label, -1) AS label, count(*) AS n,
       round(sum(value) + 1e-9, 6) AS sum_value

@@ -67,17 +67,38 @@ object Streaming {
   /** Run a streaming aggregation to completion over the files currently
     * present (Trigger.AvailableNow ≙ the reference's versioned batch
     * re-run) and return the materialized result.
+    *
+    * `statePartitions`: a stateful streaming agg creates one state-store
+    * provider per shuffle partition, and EVERY micro-batch pays one
+    * delta-file write + fsync per partition — a fixed cost proportional
+    * to the partition count, not the data (measured at sf0.1: 1.5 s/run
+    * at 32 partitions vs 0.8 s at 2, identical results — the r12 "st1
+    * drift" was this fixed cost riding host fsync latency). Size it to
+    * the STATE (the aggregation grain), not the CPU count: the daily
+    * grain here is tens of rows, so the catalog queries pass a small
+    * value; a job with millions of state keys should pass a large one.
+    * The session conf is restored after the run (the partition count is
+    * pinned into the query's checkpoint at first start, so this only
+    * affects the new query).
     */
   def runAvailableNow(spark: SparkSession, agg: DataFrame,
-      queryName: String): DataFrame = {
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+      queryName: String, statePartitions: Option[Int] = None): DataFrame = {
+    val prev = statePartitions.map { n =>
+      val p = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      p
+    }
+    try {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally prev.foreach(
+      spark.conf.set("spark.sql.shuffle.partitions", _))
   }
 
   /** Stream-static broadcast enrichment (SURVEY X55; the streaming form

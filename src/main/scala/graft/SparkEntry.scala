@@ -23,7 +23,8 @@ object SparkEntry {
       QueriesI.all ++ QueriesJ.all ++ QueriesK.all ++ QueriesL.all ++
       QueriesM.all ++ QueriesN.all ++ QueriesO.all ++ QueriesP.all ++
       QueriesQ.all ++ QueriesR.all ++ QueriesS.all ++ QueriesT.all ++
-      QueriesU.all ++ QueriesV.all ++ QueriesW.all ++ QueriesX.all
+      QueriesU.all ++ QueriesV.all ++ QueriesW.all ++ QueriesX.all ++
+      QueriesY.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

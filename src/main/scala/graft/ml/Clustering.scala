@@ -226,4 +226,49 @@ object Clustering {
           .otherwise(coalesce(col("__border_cluster"), lit(-1L)))
           .as("cluster"))
   }
+
+  /** Simplified (centroid-based) silhouette — the clustering-quality
+    * audit that scales: per point, a = distance to its OWN group
+    * centroid, b = min distance to any OTHER centroid,
+    * s = (b−a)/max(a,b) ∈ [−1, 1]; reported as the per-group mean plus
+    * the count of misplaced points (s < 0). The full silhouette's
+    * all-pairs mean distances are O(N²); against centroids the cost is
+    * one posexplode aggregate for the k centroid means plus an
+    * N × k bounded broadcast loop — the form every large-scale
+    * clustering eval actually runs. Determinism is engineered: centroid
+    * components and point-centroid distances are QUANTIZED (round 6)
+    * before any comparison, so a/b selection and the s sign are
+    * bit-reproducible cross-engine. Works for ANY assignment column —
+    * the catalog audits the deterministic `label` grouping; feed
+    * [[kmeansAssign]]'s output to score a learned clustering.
+    */
+  def simplifiedSilhouette(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val pts = df.select(col(idCol).cast("long").as("id"),
+      col(labelCol).as("label"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val cent = pts
+      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")) + lit(1e-9), 6).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("cvec"))
+      .select(col("label").as("clabel"), col("cvec"))
+    val dists = pts.crossJoin(broadcast(cent)) // bounded: k centroid rows
+      .select(col("id"), col("label"), col("clabel"),
+        round(sqrt(aggregate(zip_with(col("vec"), col("cvec"),
+          (x, c) => (x - c) * (x - c)), lit(0.0), (acc, v) => acc + v))
+          + lit(1e-9), 6).as("dist"))
+    val perPoint = dists.groupBy(col("id"), col("label"))
+      .agg(max(when(col("label") === col("clabel"), col("dist"))).as("a"),
+        min(when(col("label") =!= col("clabel"), col("dist"))).as("b"))
+      .select(col("label"),
+        round((col("b") - col("a")) / greatest(col("a"), col("b"))
+          + lit(1e-9), 6).as("s"))
+    perPoint.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_points"),
+        round(avg(col("s")) + lit(1e-9), 6).as("avg_silhouette"),
+        sum(when(col("s") < 0, 1L).otherwise(0L)).as("n_negative"))
+  }
 }

@@ -635,4 +635,44 @@ object Graph {
     }
     out.select(col("walk_id"), col("step"), col("node"))
   }
+
+  /** Synchronous label propagation community detection (Raghavan et al.
+    * '07) made deterministic: every node starts labeled with itself;
+    * each round, every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — so the fixed-round
+    * result is engine- and schedule-independent (async LPA's
+    * order-sensitivity is the classic reproducibility hole; synchronous
+    * + total-order tie-break closes it). Distinct from connected
+    * components: min-label propagation converges to components, while
+    * frequency-argmax carves dense regions apart inside one component.
+    * Each round is one equi-join on the neighbor key + one
+    * (node, label) count + a per-node argmax window — one shuffle wave
+    * per round, labels localCheckpoint'ed so plan depth stays O(rounds)
+    * (see the object scaladoc for the eager-checkpoint contract).
+    * Returns one row per community: (community, size, min_node).
+    */
+  def labelPropagation(edges: DataFrame, s1: String = "s1",
+      s2: String = "s2", rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1; got $rounds")
+    val e = edges.select(col(s1), col(s2)).localCheckpoint(true)
+    val adj = e.select(col(s1).as("v"), col(s2).as("nb"))
+      .unionAll(e.select(col(s2).as("v"), col(s1).as("nb")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val w = Window.partitionBy(col("v"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      labels = adj
+        .join(labels.select(col("v").as("nb"), col("label")), "nb")
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("v"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("size"), min(col("v")).as("min_node"))
+  }
 }

@@ -231,6 +231,79 @@ object Similarity {
       round(col("mmr_score") + lit(1e-9), 6).as("mmr_score"))
   }
 
+  /** Local Outlier Factor (Breunig et al., SIGMOD'00) over cosine
+    * distance: density-relative anomaly scoring for embedding spaces —
+    * the curation screen that flags points whose local density is far
+    * below their neighbors' (mislabeled scrapes, off-distribution docs)
+    * where a global z-score sees nothing. dist = 1 − cosine, QUANTIZED
+    * (round 6) before the k-NN cut with id tie-breaks, so neighborhood
+    * membership — and hence every downstream k-distance / reachability
+    * value — is bit-reproducible cross-engine (the mmr pool rule).
+    * lrd(p) = k / Σ_{o∈kNN(p)} max(kdist(o), d(p,o));
+    * LOF(p) = mean_{o∈kNN(p)} lrd(o) / lrd(p). Exact O(N²) pair side is
+    * the documented oracle baseline (j12's argument, plan-truncated by
+    * the eager checkpoint); [[lofScoresLsh]] is the production twin over
+    * [[lshTopKAuto]] candidates — identical formula, bucketed pair
+    * space.
+    */
+  def lofScores(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      topN: Int): DataFrame = {
+    val base = unitVectors(df, idCol, vecCol, fanOut = true)
+    val l = base.select(col("id").as("query_id"), col("vec").as("vec_a"))
+    val r = base.select(col("id").as("neighbor_id"), col("vec").as("vec_b"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    val knn = l.crossJoin(r)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(1.0) - round(fastDot(col("vec_a"), col("vec_b")) + lit(1e-9),
+          6)).as("dist"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dist"))
+      // eager plan cut (see mmrGreedy's contract): kdist, reachability,
+      // and the final LOF join all read ONE materialized kNN set
+      .localCheckpoint(true)
+    lofFromKnn(knn, k, topN)
+  }
+
+  /** LOF production path: same formula, kNN candidates from
+    * [[lshTopKAuto]] — scores inherit the index's recall (ann1's gate).
+    */
+  def lofScoresLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      topN: Int): DataFrame = {
+    val knn = lshTopKAuto(df, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(1.0) - col("cosine")).as("dist"))
+      .localCheckpoint(true)
+    lofFromKnn(knn, k, topN)
+  }
+
+  /** LOF algebra over a prepared (query_id, neighbor_id, dist) kNN set:
+    * three thin joins on the |N|·k frame, never the pair space.
+    */
+  private def lofFromKnn(knn: DataFrame, k: Int, topN: Int): DataFrame = {
+    val kdist = knn.groupBy(col("query_id").as("__o"))
+      .agg(max(col("dist")).as("kdist"))
+    val reach = knn.join(kdist, col("neighbor_id") === col("__o"))
+      .select(col("query_id"), col("neighbor_id"),
+        greatest(col("kdist"), col("dist")).as("reach"))
+    val lrd = reach.groupBy(col("query_id"))
+      .agg((lit(k.toDouble) / sum(col("reach"))).as("lrd"))
+      .localCheckpoint(true) // consumed as both the p-side and o-side
+    knn
+      .join(lrd.select(col("query_id").as("neighbor_id"),
+        col("lrd").as("__lrd_o")), "neighbor_id")
+      .groupBy(col("query_id"))
+      .agg((sum(col("__lrd_o")) / lit(k.toDouble)).as("__avg_lrd_o"),
+        count(lit(1)).as("n_neighbors"))
+      .join(lrd, "query_id")
+      .select(col("query_id").as("vec_id"), col("n_neighbors"),
+        round(col("lrd") + lit(1e-9), 6).as("lrd"),
+        round(col("__avg_lrd_o") / col("lrd") + lit(1e-9), 6).as("lof"))
+      .orderBy(col("lof").desc, col("vec_id")).limit(topN)
+  }
+
   /** Matryoshka prefix-truncation recall audit (Kusupati et al.,
     * NeurIPS'22): retrieval over only the FIRST `dims` dimensions of the
     * embedding versus the full vector — the storage/latency knob

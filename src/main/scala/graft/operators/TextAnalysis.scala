@@ -869,4 +869,75 @@ object TextAnalysis {
       .orderBy(col("rake_score").desc, col("phrase"))
       .limit(topN)
   }
+
+  /** Per-document character-entropy quality screen: Shannon entropy (nats)
+    * of the character distribution over a BOUNDED 27-bucket alphabet —
+    * the 26 lowercase letters plus one "other" bucket. Very low entropy
+    * flags degenerate text (repeated characters, padding, markup soup);
+    * the screen every corpus-quality stack runs next to length and
+    * stopword ratios. Engineering: each letter count is
+    * `length(t) − length(translate(t, c, ""))` — 27 substring scans of
+    * one projection, NO per-character explode (the t65 lesson: a row per
+    * character is the scale killer; per-LETTER column algebra is
+    * corpus-size-independent per row) and no shuffle at all. The entropy
+    * fold runs in fixed a→z→other order, so both engines compute
+    * bit-identical doubles.
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val low = lower(trim(col(textCol)))
+    val n = length(low).cast("double")
+    val counts: Seq[Column] = ('a' to 'z').map(c =>
+      (length(low) - length(translate(low, c.toString, ""))).cast("double"))
+    val other = n - counts.reduce(_ + _)
+    def term(cnt: Column): Column =
+      when(cnt > 0, -(cnt / n) * log(cnt / n)).otherwise(lit(0.0))
+    val h = (counts :+ other).map(term).reduce(_ + _)
+    docs.where(length(lower(trim(col(textCol)))) > 0)
+      .select(col(idCol),
+        round(h + lit(1e-9), 6).as("char_entropy"),
+        length(low).as("n_chars_norm"))
+  }
+
+  /** Positive PMI over directed skip-gram co-occurrences (the classic
+    * distributional-semantics statistic behind count-based embeddings;
+    * Church & Hanks '90, Levy & Goldberg '14): for token pairs (w1, w2)
+    * with w2 at offset +1..`window` after w1,
+    * ppmi = max(0, ln(c(w1,w2)·T / (l(w1)·r(w2)))) with T = Σ c, l/r the
+    * directed marginals. Plan: one posexplode token stream, a bounded
+    * ×window offset explode equi-joined back on (doc, pos) — never a
+    * token cross join — then one (w1, w2) count shuffle; marginals and
+    * the 1-row total ride the counted pair frame, not the corpus. The
+    * `minCount` floor kills hapax-pair noise and the top-N cut orders by
+    * ROUNDED ppmi with a (w1, w2) tie-break — deterministic
+    * cross-engine.
+    */
+  def ppmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, minCount: Long, topN: Int): DataFrame = {
+    require(window >= 1 && topN >= 1, "need window >= 1 and topN >= 1")
+    val tok = docs.select(col(idCol).as("doc"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("pos", "term")))
+      .where(length(col("term")) > 0)
+    val t1 = tok
+      .withColumn("off", explode(array((1 to window).map(lit(_)): _*)))
+      .select(col("doc"), (col("pos") + col("off")).as("pos2"),
+        col("term").as("w1"))
+    val t2 = tok.select(col("doc"), col("pos").as("pos2"),
+      col("term").as("w2"))
+    val pairCounts = t1.join(t2, Seq("doc", "pos2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // 4 consumers: total, both marginals, scores
+    val totals = pairCounts.agg(sum(col("c")).as("t")) // 1-row scalar
+    val lm = pairCounts.groupBy(col("w1")).agg(sum(col("c")).as("lc"))
+    val rm = pairCounts.groupBy(col("w2")).agg(sum(col("c")).as("rc"))
+    pairCounts.where(col("c") >= minCount)
+      .join(lm, "w1").join(rm, "w2").crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c").as("n_cooc"),
+        round(greatest(lit(0.0),
+          log(col("c").cast("double") * col("t") /
+            (col("lc").cast("double") * col("rc")))) + lit(1e-9), 6)
+          .as("ppmi"))
+      .orderBy(col("ppmi").desc, col("w1"), col("w2")).limit(topN)
+  }
 }

@@ -68,6 +68,14 @@ class CrossJoinAuditSpec extends SparkSpecBase {
     "j12b_knn_k_sweep" -> "j12's pair loop, K as a dimension column",
     "m13_nearest_centroid" -> ("bounded broadcast: label-centroid table " +
       "(|labels| rows) against vectors"),
+    "m67_silhouette" -> ("bounded broadcast: label-centroid table " +
+      "(|labels| rows) against points — the N x k loop IS the " +
+      "simplified-silhouette definition (m13's argument)"),
+    // NOTE: m68_lof_outliers' exact kNN side is the same documented
+    // exact-oracle baseline as j12, but lofScores materializes it
+    // through an eager localCheckpoint (ann15's shape), so the returned
+    // plan carries no cartesian node to allowlist; the production twin
+    // (lofScoresLsh) builds its kNN from lshTopKAuto buckets.
     "m29_mann_kendall" -> ("bounded pair space: day-pair self-join over " +
       "the calendar-bounded daily aggregate (<= 30 rows/side)"),
     "m30_kendall_tau" -> "m29's calendar-bounded day-pair argument",

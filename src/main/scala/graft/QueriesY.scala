@@ -184,5 +184,84 @@ object QueriesY {
         min(v) AS min_node
       FROM r3 GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(m67, m68, t70, t71, g16)
+  // M70 — per-label geometric median (Weiszfeld, 2 quantized
+  // iterations) over the embeddings: the robust centroid a corrupted
+  // minority can't drag. The oracle unrolls both reweighting rounds
+  // with the identical quantize-every-iteration algebra, so estimates
+  // match bit-for-bit; the readout is the mean distance to the robust
+  // center plus the estimate checksum.
+  val m70 = Q("m70_geometric_median",
+    (s, d) => graft.ml.Clustering.geometricMedian(
+      Tables.embeddings(s, d), "vec_id", "embedding", "label", iters = 2),
+    Some("""WITH p AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      x0 AS (SELECT label, vec_id, unnest(v) AS x,
+        generate_subscripts(v, 1) AS pos FROM p),
+      c0 AS (SELECT label, pos, round(avg(x) + 1e-9, 6) AS cv
+        FROM x0 GROUP BY 1, 2),
+      e0 AS (SELECT label, list(cv ORDER BY pos) AS ev FROM c0 GROUP BY 1),
+      d1 AS (SELECT p.label, p.vec_id, p.v,
+          round(list_distance(p.v, e0.ev::DOUBLE[]) + 1e-9, 6) AS d
+        FROM p JOIN e0 USING (label)),
+      c1 AS (SELECT label, pos,
+          round(sum(x * w) / sum(w) + 1e-9, 6) AS cv
+        FROM (SELECT label, 1.0 / d AS w, unnest(v) AS x,
+              generate_subscripts(v, 1) AS pos
+            FROM d1 WHERE d > 0)
+        GROUP BY 1, 2),
+      e1 AS (SELECT label, list(cv ORDER BY pos) AS ev FROM c1 GROUP BY 1),
+      d2 AS (SELECT p.label, p.vec_id, p.v,
+          round(list_distance(p.v, e1.ev::DOUBLE[]) + 1e-9, 6) AS d
+        FROM p JOIN e1 USING (label)),
+      c2 AS (SELECT label, pos,
+          round(sum(x * w) / sum(w) + 1e-9, 6) AS cv
+        FROM (SELECT label, 1.0 / d AS w, unnest(v) AS x,
+              generate_subscripts(v, 1) AS pos
+            FROM d2 WHERE d > 0)
+        GROUP BY 1, 2),
+      e2 AS (SELECT label, list(cv ORDER BY pos) AS ev FROM c2 GROUP BY 1),
+      df AS (SELECT p.label,
+          round(list_distance(p.v, e2.ev::DOUBLE[]) + 1e-9, 6) AS d
+        FROM p JOIN e2 USING (label))
+      SELECT df.label, CAST(count(*) AS BIGINT) AS n_points,
+        round(avg(d) + 1e-9, 6) AS avg_dist_gm,
+        any_value(cs) AS gm_checksum
+      FROM df JOIN (SELECT label, round(list_sum(ev) + 1e-9, 6) AS cs
+        FROM e2) c USING (label)
+      GROUP BY 1"""))
+
+  // T72 — Flesch reading-ease corpus profile per source: words,
+  // vowel-run syllables, and terminator-run sentences all counted by
+  // the collapse-to-one-char regex trick (three regex scans per row, no
+  // explode, no shuffle before the per-source aggregate) — the
+  // text-difficulty screen that complements t1's length/punct ratios.
+  val t72 = Q("t72_readability",
+    (s, d) => TextAnalysis.withReadability(docs(s, d), "text")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_words") / col("n_sentences")) + lit(1e-9), 6)
+          .as("avg_words_per_sentence"),
+        round(avg(col("n_syllables") / col("n_words")) + lit(1e-9), 6)
+          .as("avg_syllables_per_word"),
+        round(avg(col("flesch")) + lit(1e-9), 6).as("avg_flesch")),
+    Some("""WITH d0 AS (SELECT source, lower(trim(text)) AS t
+        FROM documents WHERE length(lower(trim(text))) > 0),
+      m AS (SELECT source,
+        CAST(length(regexp_replace(t, '[^\s]+', '#', 'g')) -
+             length(regexp_replace(t, '[^\s]+', '', 'g')) AS DOUBLE) AS w,
+        CAST(length(regexp_replace(t, '[aeiou]+', '#', 'g')) -
+             length(regexp_replace(t, '[aeiou]+', '', 'g')) AS DOUBLE) AS y,
+        greatest(1.0,
+          CAST(length(regexp_replace(t, '[.!?]+', '#', 'g')) -
+               length(regexp_replace(t, '[.!?]+', '', 'g')) AS DOUBLE))
+          AS sc
+        FROM d0)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        round(avg(w / sc) + 1e-9, 6) AS avg_words_per_sentence,
+        round(avg(y / w) + 1e-9, 6) AS avg_syllables_per_word,
+        round(avg(206.835 - 1.015 * (w / sc) - 84.6 * (y / w)) + 1e-9, 6)
+          AS avg_flesch
+      FROM m GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(m67, m68, t70, t71, g16, m70, t72)
 }

@@ -271,4 +271,58 @@ object Clustering {
         round(avg(col("s")) + lit(1e-9), 6).as("avg_silhouette"),
         sum(when(col("s") < 0, 1L).otherwise(0L)).as("n_negative"))
   }
+
+  /** Per-group geometric median via fixed-iteration Weiszfeld (1937):
+    * the robust centroid — minimizes Σ‖x−v‖ instead of Σ‖x−v‖², so a
+    * handful of corrupt embeddings can't drag the center the way a mean
+    * lets them. Starts from the (quantized) per-group mean; each
+    * iteration reweights points by 1/distance-to-estimate:
+    * est' = Σ x·(1/d) / Σ (1/d), zero-distance points excluded (the
+    * standard Weiszfeld guard). Plan per iteration: one broadcast join
+    * of the |groups|-row estimate onto points for distances + one
+    * posexplode aggregate for the reweighted components — never a pair
+    * space. Determinism: estimate components and distances are QUANTIZED
+    * (round 6) every iteration, so partial-sum ordering differences
+    * can't compound across iterations and a fixed-round unrolled oracle
+    * reproduces the estimates exactly. Returns per group: n_points, the
+    * mean distance to the final estimate, and the estimate checksum
+    * (in-order component sum).
+    */
+  def geometricMedian(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1; got $iters")
+    val pts = df.select(col(idCol).cast("long").as("id"),
+      col(labelCol).as("label"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .localCheckpoint(true) // read once per iteration + the readout
+    def assemble(grain: DataFrame): DataFrame = grain
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("evec"))
+    def distTo(est: DataFrame): DataFrame = pts
+      .join(broadcast(est), "label") // |groups| rows
+      .select(col("id"), col("label"), col("vec"),
+        round(sqrt(aggregate(zip_with(col("vec"), col("evec"),
+          (x, c) => (x - c) * (x - c)), lit(0.0), (acc, v) => acc + v))
+          + lit(1e-9), 6).as("d"))
+    var est = assemble(pts
+      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")) + lit(1e-9), 6).as("cv")))
+    (1 to iters).foreach { _ =>
+      est = assemble(distTo(est)
+        .where(col("d") > 0)
+        .select(col("label"), (lit(1.0) / col("d")).as("w"),
+          posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(sum(col("v") * col("w")) / sum(col("w")) + lit(1e-9), 6)
+          .as("cv")))
+    }
+    distTo(est).groupBy(col("label"))
+      .agg(count(lit(1)).as("n_points"),
+        round(avg(col("d")) + lit(1e-9), 6).as("avg_dist_gm"))
+      .join(est.select(col("label"),
+        round(aggregate(col("evec"), lit(0.0), (acc, v) => acc + v)
+          + lit(1e-9), 6).as("gm_checksum")), "label")
+  }
 }

@@ -940,4 +940,33 @@ object TextAnalysis {
           .as("ppmi"))
       .orderBy(col("ppmi").desc, col("w1"), col("w2")).limit(topN)
   }
+
+  /** Flesch reading-ease readability per document — the classic text
+    * difficulty score (206.835 − 1.015·words/sentences −
+    * 84.6·syllables/word), with syllables approximated by VOWEL RUNS
+    * (the standard cheap estimator) and sentences by terminator runs
+    * ([.!?]+, floored at 1). Every count is a RUN count computed as
+    * `len(regexp_replace(t, p, "#")) − len(regexp_replace(t, p, ""))`
+    * — each run collapses to one char vs zero chars, so the difference
+    * counts runs exactly, independent of any '#' already in the text.
+    * Three regex scans per row, no explode, no shuffle: corpus-quality
+    * screening at scan speed (t70's discipline). Appends n_words /
+    * n_syllables / n_sentences / flesch to the input frame.
+    */
+  def withReadability(df: DataFrame, textCol: String): DataFrame = {
+    val low = lower(trim(col(textCol)))
+    def runsOf(pattern: String): Column =
+      (length(regexp_replace(low, pattern, "#")) -
+        length(regexp_replace(low, pattern, ""))).cast("double")
+    val words = runsOf("[^\\s]+")
+    val syll = runsOf("[aeiou]+")
+    val sent = greatest(lit(1.0), runsOf("[.!?]+"))
+    df.where(length(lower(trim(col(textCol)))) > 0)
+      .withColumn("n_words", words)
+      .withColumn("n_syllables", syll)
+      .withColumn("n_sentences", sent)
+      .withColumn("flesch",
+        lit(206.835) - lit(1.015) * (words / sent) -
+          lit(84.6) * (syll / words))
+  }
 }

@@ -79,6 +79,43 @@ class PartYSpec extends SparkSpecBase {
     assert(math.abs(top.getAs[Double]("ppmi") - expected) < 1e-5)
   }
 
+  test("geometricMedian: an outlier drags the mean but barely moves " +
+      "the geometric median; checksum is rerun-stable") {
+    // 4 points at the origin corner, 1 far outlier. The mean moves
+    // ~1/5 of the way to the outlier; the geometric median stays by
+    // the cluster, so the average distance to it is much smaller than
+    // to the mean.
+    val pts = Seq(
+      (1L, 0, Seq(0.0f, 0.0f)), (2L, 0, Seq(0.2f, 0.0f)),
+      (3L, 0, Seq(0.0f, 0.2f)), (4L, 0, Seq(0.2f, 0.2f)),
+      (5L, 0, Seq(100.0f, 100.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val gm = graft.ml.Clustering.geometricMedian(pts, "vec_id",
+      "embedding", "label", iters = 2).head()
+    assert(gm.getAs[Long]("n_points") == 5L)
+    // mean is at (20.08, 20.08): avg dist to mean ≈ 45; the Weiszfeld
+    // estimate pulls back toward the cluster, cutting that sharply
+    assert(gm.getAs[Double]("avg_dist_gm") < 40.0)
+    val rerun = graft.ml.Clustering.geometricMedian(pts, "vec_id",
+      "embedding", "label", iters = 2).head()
+    assert(gm.getAs[Double]("gm_checksum") ==
+      rerun.getAs[Double]("gm_checksum"))
+  }
+
+  test("withReadability: run counting is exact on a hand doc and " +
+      "sentence floor guards terminator-free text") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"), // 6 words, 2 sentences
+      (2L, "no terminators here")        // 3 words, floor 1 sentence
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withReadability(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("n_words"), r.getAs[Double]("n_sentences"),
+          r.getAs[Double]("n_syllables"))).toMap
+    assert(got(1L) == ((6.0, 2.0, 6.0))) // e-a-a-e-o-a vowel runs
+    assert(got(2L)._1 == 3.0 && got(2L)._2 == 1.0)
+  }
+
   test("labelPropagation: two cliques joined by one bridge edge " +
       "resolve into two communities with min-label ids") {
     val clique1 = Seq((1L, 2L), (1L, 3L), (2L, 3L))

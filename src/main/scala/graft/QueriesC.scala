@@ -72,10 +72,10 @@ object QueriesC {
   // a1 minus distinct counts (not available in streaming aggregation).
   val st1 = Q("st1_streaming_daily_stats",
     (s, d) => {
-      val agg = Streaming.dailyStats(Streaming.readEventsStream(s, d))
       // state = the daily grain (tens of rows): 8 state partitions, not
       // one per core — see runAvailableNow's statePartitions note
-      Streaming.runAvailableNow(s, agg,
+      Streaming.runAvailableNow(s,
+        s2 => Streaming.dailyStats(Streaming.readEventsStream(s2, d)),
         s"st1_mem_${System.nanoTime()}", statePartitions = Some(8))
     },
     Some("""SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
@@ -90,15 +90,15 @@ object QueriesC {
   // results are identical by construction.
   val st7 = Q("st7_stream_static_enrich",
     (s, d) => {
-      val dim = Tables.embeddings(s, d)
-        .select(col("vec_id").as("user_id"), col("label"))
-      val agg = Streaming.staticEnrich(
-          Streaming.readEventsStream(s, d), dim, Seq("user_id"))
-        .groupBy(coalesce(col("label"), lit(-1)).as("label"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("value")) + lit(1e-9), 6).as("sum_value"))
-      Streaming.runAvailableNow(s, agg, s"st7_mem_${System.nanoTime()}",
-        statePartitions = Some(8))
+      Streaming.runAvailableNow(s, s2 => {
+        val dim = Tables.embeddings(s2, d)
+          .select(col("vec_id").as("user_id"), col("label"))
+        Streaming.staticEnrich(
+            Streaming.readEventsStream(s2, d), dim, Seq("user_id"))
+          .groupBy(coalesce(col("label"), lit(-1)).as("label"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")) + lit(1e-9), 6).as("sum_value"))
+      }, s"st7_mem_${System.nanoTime()}", statePartitions = Some(8))
     },
     Some("""SELECT coalesce(label, -1) AS label, count(*) AS n,
       round(sum(value) + 1e-9, 6) AS sum_value

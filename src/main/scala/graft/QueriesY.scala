@@ -38,8 +38,8 @@ object QueriesY {
           max(dist) FILTER (WHERE label = clabel) AS a,
           min(dist) FILTER (WHERE label <> clabel) AS b
         FROM d GROUP BY 1, 2),
-      s AS (SELECT label,
-          round((b - a) / greatest(a, b) + 1e-9, 6) AS s FROM pp)
+      s AS (SELECT label, CASE WHEN greatest(a, b) > 0
+          THEN round((b - a) / greatest(a, b) + 1e-9, 6) END AS s FROM pp)
       SELECT label, CAST(count(*) AS BIGINT) AS n_points,
         round(avg(s) + 1e-9, 6) AS avg_silhouette,
         CAST(count(*) FILTER (WHERE s < 0) AS BIGINT) AS n_negative
@@ -70,7 +70,8 @@ object QueriesY {
       kd AS (SELECT q AS o, max(dist) AS kdist FROM knn GROUP BY 1),
       reach AS (SELECT k.q, k.nb, greatest(kd.kdist, k.dist) AS reach
         FROM knn k JOIN kd ON kd.o = k.nb),
-      lrd AS (SELECT q, 5.0 / sum(reach) AS lrd FROM reach GROUP BY 1),
+      lrd AS (SELECT q, CASE WHEN sum(reach) > 0
+          THEN 5.0 / sum(reach) END AS lrd FROM reach GROUP BY 1),
       lof AS (SELECT k.q, sum(o.lrd) / 5.0 AS avg_lrd_o,
           count(*) AS n_neighbors
         FROM knn k JOIN lrd o ON o.q = k.nb GROUP BY 1)
@@ -78,7 +79,7 @@ object QueriesY {
         round(p.lrd + 1e-9, 6) AS lrd,
         round(avg_lrd_o / p.lrd + 1e-9, 6) AS lof
       FROM lof JOIN lrd p ON p.q = lof.q
-      ORDER BY round(avg_lrd_o / p.lrd + 1e-9, 6) DESC, vec_id
+      ORDER BY round(avg_lrd_o / p.lrd + 1e-9, 6) DESC NULLS LAST, vec_id
       LIMIT 20"""))
 
   // T70 — character-entropy quality screen, bucketed corpus profile:
@@ -209,7 +210,9 @@ object QueriesY {
               generate_subscripts(v, 1) AS pos
             FROM d1 WHERE d > 0)
         GROUP BY 1, 2),
-      e1 AS (SELECT label, list(cv ORDER BY pos) AS ev FROM c1 GROUP BY 1),
+      e1n AS (SELECT label, list(cv ORDER BY pos) AS ev FROM c1 GROUP BY 1),
+      e1 AS (SELECT e0.label, coalesce(e1n.ev, e0.ev) AS ev
+        FROM e0 LEFT JOIN e1n USING (label)),
       d2 AS (SELECT p.label, p.vec_id, p.v,
           round(list_distance(p.v, e1.ev::DOUBLE[]) + 1e-9, 6) AS d
         FROM p JOIN e1 USING (label)),
@@ -219,7 +222,9 @@ object QueriesY {
               generate_subscripts(v, 1) AS pos
             FROM d2 WHERE d > 0)
         GROUP BY 1, 2),
-      e2 AS (SELECT label, list(cv ORDER BY pos) AS ev FROM c2 GROUP BY 1),
+      e2n AS (SELECT label, list(cv ORDER BY pos) AS ev FROM c2 GROUP BY 1),
+      e2 AS (SELECT e1.label, coalesce(e2n.ev, e1.ev) AS ev
+        FROM e1 LEFT JOIN e2n USING (label)),
       df AS (SELECT p.label,
           round(list_distance(p.v, e2.ev::DOUBLE[]) + 1e-9, 6) AS d
         FROM p JOIN e2 USING (label))

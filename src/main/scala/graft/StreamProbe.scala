@@ -29,14 +29,14 @@ object StreamProbe {
     }
     // warmup: one full run
     Streaming.runAvailableNow(spark,
-      Streaming.dailyStats(Streaming.readEventsStream(spark, sfDir)),
+      s2 => Streaming.dailyStats(Streaming.readEventsStream(s2, sfDir)),
       s"probe_warm_${System.nanoTime()}").count()
     for (parts <- Seq(cpus, "8", "2"); rep <- 1 to 3) {
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
       val (_, tPlan) = t(Streaming.readEventsStream(spark, sfDir))
-      val agg = Streaming.dailyStats(Streaming.readEventsStream(spark, sfDir))
-      val (_, tRun) = t(Streaming.runAvailableNow(spark, agg,
-        s"probe_${parts}_${rep}_${System.nanoTime()}").count())
+      val (_, tRun) = t(Streaming.runAvailableNow(spark,
+        s2 => Streaming.dailyStats(Streaming.readEventsStream(s2, sfDir)),
+        s"probe_${parts}_${rep}_${System.nanoTime()}",
+        statePartitions = Some(parts.toInt)).count())
       println(f"[stream-probe] parts=$parts rep=$rep plan=$tPlan%.3f " +
         f"run=$tRun%.3f")
     }

@@ -264,8 +264,13 @@ object Clustering {
       .agg(max(when(col("label") === col("clabel"), col("dist"))).as("a"),
         min(when(col("label") =!= col("clabel"), col("dist"))).as("b"))
       .select(col("label"),
-        round((col("b") - col("a")) / greatest(col("a"), col("b"))
-          + lit(1e-9), 6).as("s"))
+        // a = b = 0 (a point exactly at its own AND the nearest other
+        // centroid) would make the ratio NaN in Spark but NULL in
+        // DuckDB (which avg ignores) — null it explicitly so the
+        // degenerate point is ignored identically in both engines.
+        when(greatest(col("a"), col("b")) > 0,
+          round((col("b") - col("a")) / greatest(col("a"), col("b"))
+            + lit(1e-9), 6)).as("s"))
     perPoint.groupBy(col("label"))
       .agg(count(lit(1)).as("n_points"),
         round(avg(col("s")) + lit(1e-9), 6).as("avg_silhouette"),
@@ -278,7 +283,9 @@ object Clustering {
     * lets them. Starts from the (quantized) per-group mean; each
     * iteration reweights points by 1/distance-to-estimate:
     * est' = Σ x·(1/d) / Σ (1/d), zero-distance points excluded (the
-    * standard Weiszfeld guard). Plan per iteration: one broadcast join
+    * standard Weiszfeld guard); a group whose EVERY point sits at the
+    * estimate keeps the previous estimate (the fixed point) rather than
+    * dropping out of the result. Plan per iteration: one broadcast join
     * of the |groups|-row estimate onto points for distances + one
     * posexplode aggregate for the reweighted components — never a pair
     * space. Determinism: estimate components and distances are QUANTIZED
@@ -310,13 +317,22 @@ object Clustering {
       .groupBy(col("label"), col("pos"))
       .agg(round(avg(col("v")) + lit(1e-9), 6).as("cv")))
     (1 to iters).foreach { _ =>
-      est = assemble(distTo(est)
+      val next = assemble(distTo(est)
         .where(col("d") > 0)
         .select(col("label"), (lit(1.0) / col("d")).as("w"),
           posexplode(col("vec")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
         .agg(round(sum(col("v") * col("w")) / sum(col("w")) + lit(1e-9), 6)
           .as("cv")))
+      // Weiszfeld fixed point: a group whose every point coincides with
+      // the estimate has all d = 0, so the d > 0 reweight drops the
+      // whole label from `next` — the common point IS the median, so the
+      // group keeps its previous estimate instead of vanishing.
+      est = est.select(col("label"), col("evec").as("__prev"))
+        .join(next.select(col("label"), col("evec").as("__next")),
+          Seq("label"), "left")
+        .select(col("label"), coalesce(col("__next"), col("__prev"))
+          .as("evec"))
     }
     distTo(est).groupBy(col("label"))
       .agg(count(lit(1)).as("n_points"),

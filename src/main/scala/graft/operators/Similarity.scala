@@ -288,8 +288,16 @@ object Similarity {
     val reach = knn.join(kdist, col("neighbor_id") === col("__o"))
       .select(col("query_id"), col("neighbor_id"),
         greatest(col("kdist"), col("dist")).as("reach"))
+    // sum(reach) = 0 is reachable when >= k+1 vectors quantize to
+    // pairwise distance 0 (rounded cosine = 1.0): unguarded division
+    // would yield Infinity, then lof = inf/inf = NaN, which sorts ABOVE
+    // every number in Spark desc order while DuckDB's semantics differ.
+    // Null lrd instead (the point has no measurable local density); the
+    // null propagates to lof and the nulls-last cut drops it from top-N
+    // identically in both engines.
     val lrd = reach.groupBy(col("query_id"))
-      .agg((lit(k.toDouble) / sum(col("reach"))).as("lrd"))
+      .agg(when(sum(col("reach")) > 0,
+        lit(k.toDouble) / sum(col("reach"))).as("lrd"))
       .localCheckpoint(true) // consumed as both the p-side and o-side
     knn
       .join(lrd.select(col("query_id").as("neighbor_id"),
@@ -301,7 +309,7 @@ object Similarity {
       .select(col("query_id").as("vec_id"), col("n_neighbors"),
         round(col("lrd") + lit(1e-9), 6).as("lrd"),
         round(col("__avg_lrd_o") / col("lrd") + lit(1e-9), 6).as("lof"))
-      .orderBy(col("lof").desc, col("vec_id")).limit(topN)
+      .orderBy(col("lof").desc_nulls_last, col("vec_id")).limit(topN)
   }
 
   /** Matryoshka prefix-truncation recall audit (Kusupati et al.,

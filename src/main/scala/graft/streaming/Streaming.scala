@@ -77,28 +77,29 @@ object Streaming {
     * the STATE (the aggregation grain), not the CPU count: the daily
     * grain here is tens of rows, so the catalog queries pass a small
     * value; a job with millions of state keys should pass a large one.
-    * The session conf is restored after the run (the partition count is
-    * pinned into the query's checkpoint at first start, so this only
-    * affects the new query).
+    *
+    * The stream is PLANNED AND RUN ON A CLONED SESSION
+    * (`spark.newSession()` — same SparkContext and caches, isolated SQL
+    * conf + temp catalog), so the statePartitions override can never
+    * leak into queries planned concurrently on the caller's session
+    * (the ETL pipeline plans concurrent futures from one session). The
+    * whole plan must therefore be built against the session the builder
+    * receives — hence the `SparkSession => DataFrame` shape.
     */
-  def runAvailableNow(spark: SparkSession, agg: DataFrame,
-      queryName: String, statePartitions: Option[Int] = None): DataFrame = {
-    val prev = statePartitions.map { n =>
-      val p = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", n)
-      p
-    }
-    try {
-      val q = agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(queryName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(queryName)
-    } finally prev.foreach(
-      spark.conf.set("spark.sql.shuffle.partitions", _))
+  def runAvailableNow(spark: SparkSession,
+      build: SparkSession => DataFrame, queryName: String,
+      statePartitions: Option[Int] = None): DataFrame = {
+    val s2 = spark.newSession()
+    statePartitions.foreach(n =>
+      s2.conf.set("spark.sql.shuffle.partitions", n))
+    val q = build(s2).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(queryName)
   }
 
   /** Stream-static broadcast enrichment (SURVEY X55; the streaming form

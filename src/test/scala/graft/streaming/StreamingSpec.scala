@@ -7,9 +7,9 @@ import graft.SparkSpecBase
 class StreamingSpec extends SparkSpecBase {
 
   test("AvailableNow daily stats equal the batch equivalent") {
-    val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
     val out = Streaming.runAvailableNow(spark,
-      Streaming.dailyStats(stream), "st_spec_daily")
+      s2 => Streaming.dailyStats(Streaming.readEventsStream(s2, sf("sf0.001"))),
+      "st_spec_daily")
 
     val batch = graft.Tables.events(spark, sf("sf0.001"))
       .groupBy(to_date(col("ts")).as("event_date"))
@@ -25,9 +25,10 @@ class StreamingSpec extends SparkSpecBase {
       "stream-built state equals the batch state equals a 2-way merge") {
     import graft.operators.IncrementalAgg
     import spark.implicits._
-    val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
     val streamed = Streaming.runAvailableNow(spark,
-      IncrementalAgg.state(stream, Seq("event_type"), "value"),
+      s2 => IncrementalAgg.state(
+        Streaming.readEventsStream(s2, sf("sf0.001")),
+        Seq("event_type"), "value"),
       "st_spec_incr")
       .select("event_type", "cnt", "sum", "min", "max")
       .as[(String, Long, Double, Double, Double)].collect()
@@ -65,9 +66,10 @@ class StreamingSpec extends SparkSpecBase {
       .where(col("user_id").isNotNull && col("event_type").isNotNull)
       .select(concat(col("event_type"), lit(":"),
         pmod(col("user_id"), lit(50))).as("item"))
-    val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
     val streamed = Streaming.runAvailableNow(spark,
-      CountMin.sketch(items(stream), "item", depth = 4, width = 128),
+      s2 => CountMin.sketch(
+        items(Streaming.readEventsStream(s2, sf("sf0.001"))),
+        "item", depth = 4, width = 128),
       "st_spec_cms")
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
       .toMap
@@ -80,9 +82,10 @@ class StreamingSpec extends SparkSpecBase {
   }
 
   test("windowed aggregation with watermark runs to completion") {
-    val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
     val out = Streaming.runAvailableNow(spark,
-      Streaming.windowedStats(stream, "1 day", "1 day", "1 hour"),
+      s2 => Streaming.windowedStats(
+        Streaming.readEventsStream(s2, sf("sf0.001")),
+        "1 day", "1 day", "1 hour"),
       "st_spec_windowed")
     // complete-mode windows cover the whole month × 5 event types
     assert(out.count() >= 30 * 5 - 10)
@@ -130,14 +133,16 @@ class StreamingSpec extends SparkSpecBase {
     // stream-enrichment shape: no state, no watermark, dimension re-read
     // per batch (so a dim update applies from the next batch on).
     import spark.implicits._
-    val dim = (0L until 50L).map(u => (u, if (u % 3 == 0) "gold" else "std"))
-      .toDF("dim_user", "tier")
-    val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
-    val enriched = stream.join(broadcast(dim),
-        col("user_id") === col("dim_user"), "left")
-      .groupBy(coalesce(col("tier"), lit("unknown")).as("tier"))
-      .agg(count(lit(1)).as("n"))
-    val got = Streaming.runAvailableNow(spark, enriched, "st_spec_enrich")
+    val dimRows = (0L until 50L)
+      .map(u => (u, if (u % 3 == 0) "gold" else "std"))
+    val dim = dimRows.toDF("dim_user", "tier")
+    val got = Streaming.runAvailableNow(spark, { s2 =>
+        val d2 = s2.createDataFrame(dimRows).toDF("dim_user", "tier")
+        Streaming.readEventsStream(s2, sf("sf0.001"))
+          .join(broadcast(d2), col("user_id") === col("dim_user"), "left")
+          .groupBy(coalesce(col("tier"), lit("unknown")).as("tier"))
+          .agg(count(lit(1)).as("n"))
+      }, "st_spec_enrich")
       .as[(String, Long)].collect().toMap
     val want = graft.Tables.events(spark, sf("sf0.001"))
       .join(broadcast(dim), col("user_id") === col("dim_user"), "left")
@@ -148,15 +153,68 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.keySet == Set("gold", "std") || got.contains("unknown"))
   }
 
+  test("staticEnrich re-reads the dim between micro-batches: a dim file " +
+      "updated between batches applies from the next batch on") {
+    // The scaladoc contract: the static side is re-EXECUTED per
+    // micro-batch, so overwriting the dim file between batches changes
+    // the enrichment from the next batch on (slowly-changing dim). Two
+    // AvailableNow runs over ONE checkpoint are two micro-batches of the
+    // same logical stream; the SAME dim DataFrame object (plan built
+    // once, before either run) is joined in both. The overwrite keeps
+    // the file byte-length identical so the plan's cached FileStatus
+    // stays valid — only the re-read contents differ.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_scd")
+    val evDir = base.resolve("events"); val dimDir = base.resolve("dim")
+    val outDir = s"$base/out"; val chk = s"$base/chk"
+    java.nio.file.Files.createDirectories(evDir)
+    java.nio.file.Files.createDirectories(dimDir)
+    def writeDim(tag: String): Unit =
+      java.nio.file.Files.write(dimDir.resolve("d.csv"),
+        (0L until 10L).map(u => s"$u,tier_$tag").mkString("\n").getBytes)
+    def addEvents(batch: Int): Unit = {
+      val tmp = s"$base/stage$batch"
+      (0L until 10L).map(u => (batch * 100L + u, u))
+        .toDF("event_id", "user_id").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        evDir.resolve(s"b$batch.parquet"))
+    }
+    writeDim("v1"); addEvents(0)
+    val stream = spark.readStream.schema("event_id LONG, user_id LONG")
+      .parquet(evDir.toString)
+    val dim = spark.read.schema("user_id LONG, tier STRING")
+      .csv(dimDir.toString) // built ONCE, before both batches
+    val enriched = Streaming.staticEnrich(stream, dim, Seq("user_id"))
+      .select(col("event_id"), col("tier"))
+    def runBatch(): Unit = {
+      val q = enriched.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runBatch()
+    writeDim("v2"); addEvents(1) // dim update lands BETWEEN batches
+    runBatch()
+    val got = spark.read.parquet(outDir)
+      .select((col("event_id") >= 100).as("is_second_batch"), col("tier"))
+      .distinct().as[(Boolean, String)].collect().toMap
+    assert(got === Map(false -> "tier_v1", true -> "tier_v2"))
+  }
+
   test("KmvAgg is streaming-compatible unchanged: AvailableNow daily " +
       "sketches equal the batch sketches bit-for-bit") {
     import graft.operators.ThetaSketch
     def daily(df: org.apache.spark.sql.DataFrame) = df
       .where(col("ts").isNotNull && col("user_id").isNotNull)
       .select(to_date(col("ts")).as("event_date"), col("user_id"))
-    val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
     val streamed = Streaming.runAvailableNow(spark,
-      ThetaSketch.kmvSketchAgg(daily(stream), "event_date", "user_id", 32),
+      s2 => ThetaSketch.kmvSketchAgg(
+        daily(Streaming.readEventsStream(s2, sf("sf0.001"))),
+        "event_date", "user_id", 32),
       "st_spec_kmv")
       .collect()
       .map(r => r.getDate(0).toString -> r.getSeq[Long](1).toSeq).toMap

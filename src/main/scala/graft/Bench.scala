@@ -90,6 +90,27 @@ import org.apache.spark.sql.SparkSession
   *     land in `skipped`; an anchor skipped while a fingerprint-matching
   *     committed record exists carries the record forward (staleness
   *     incremented — a carried record still ages toward retirement).
+  *   - HARD PRE-PHASE GATE (round 14, VERDICT r13 #5): every anchor /
+  *     corpus WINDOW is gated individually on a RECORD-CALIBRATED
+  *     estimate (the committed `phase_costs` from the last run — or this
+  *     run's own first window of the same phase — ×1.15), so a phase can
+  *     no longer blow through the budget mid-flight (r13 spent 1530.6 s
+  *     of a 1500 s budget). The E1 1x anchor's first window is must-run
+  *     ONLY when no foldable committed record exists; otherwise an
+  *     unaffordable window carries the record with staleness.
+  *
+  * SECTION DURABILITY (round 14 — VERDICT r13 #2; this bug cost r12 the
+  * 10x record and r13 the corpus anchor):
+  *   - writeFull merges BY SECTION against the committed record: a
+  *     section this run did not measure or fold (disabled phase, budget
+  *     skip, failed fork, anchor-only mode) keeps every committed key
+  *     verbatim. No section can disappear from the artifact, ever.
+  *   - a fingerprint rotation moves the replaced number into
+  *     `retired_records` (key → {median_s, fingerprint}), cleared only
+  *     when a current-fingerprint record re-earns that key.
+  *   - the product section rotates a third of its twins through fresh
+  *     measurement on every carried run (VERDICT r13 #4), so per-twin
+  *     age is bounded at 3 runs and the section never wholesale-retires.
   *
   * Window selection keeps the LOWER cleaned median wherever two windows
   * exist — correct under the one-sided noise model but mildly optimistic
@@ -200,6 +221,32 @@ object Bench {
       case JDouble(x) => Some(x.toLong)
       case _ => None
     }
+    def jObjFields(j: JValue, k: String): List[(String, JValue)] =
+      (j \ k) match {
+        case JObject(fs) => fs
+        case _ => Nil
+      }
+    def jCompact(v: JValue): String =
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(v))
+
+    // PHASE-COST CALIBRATION (round 14, VERDICT r13 #5): the pre-phase
+    // budget gate estimates each phase from the LAST RUN's measured cost
+    // (committed in `phase_costs`) with a 1.15x margin, falling back to
+    // the static sf0.1 constants when no record exists. Costs measured
+    // this run overwrite the committed ones at emit time.
+    val phaseCostRec: Map[String, Double] = recordJ.map { j =>
+      jObjFields(j, "phase_costs").flatMap { case (k, v) => v match {
+        case JDouble(x) => Some(k -> x)
+        case JInt(x) => Some(k -> x.toDouble)
+        case JDecimal(x) => Some(k -> x.toDouble)
+        case _ => None
+      }}.toMap
+    }.getOrElse(Map.empty)
+    val measuredPhase = scala.collection.mutable.Map[String, Double]()
+    def estPhase(key: String, dflt: Double): Double =
+      measuredPhase.get(key)
+        .orElse(phaseCostRec.get(key)).map(_ * 1.15).getOrElse(dflt)
 
     // --- fingerprints ---------------------------------------------------
     // The measurement METHODOLOGY is part of what a record measured:
@@ -362,13 +409,26 @@ object Bench {
       recordProducts.nonEmpty &&
       productStalenessRec < staleMax &&
       SparkEntry.productQueries.keySet.subsetOf(recordProducts.keySet)
+    // TWIN ROTATION (round 14, VERDICT r13 #4): a carried product
+    // section no longer ages wholesale toward retirement — each carried
+    // run re-measures a rotating third of the twins (deterministic slice
+    // by the staleness counter), folding fresh numbers keep-lower into
+    // the carried section, so every twin is at most 3 runs old and the
+    // section can never hit STALE_MAX and vanish. Staleness now counts
+    // runs since the rotation cycle started: it resets to 0 when the
+    // third slice completes a full pass.
+    val productRotation: Seq[String] =
+      if (!productCarry) Seq.empty
+      else {
+        val names = SparkEntry.productQueries.keys.toSeq.sorted
+        val k = math.max(1, (names.size + 2) / 3)
+        val rotIdx = productStalenessRec % 3
+        names.slice(rotIdx * k, math.min(names.size, rotIdx * k + k))
+      }
     val productStaleness: Int =
-      if (productCarry) productStalenessRec + 1 else 0
-    // the record's full product section, re-emitted verbatim when carried
-    val recordProductSection: Option[String] =
-      if (!productCarry) None
-      else recordJ.map(j => org.json4s.jackson.JsonMethods.compact(
-        org.json4s.jackson.JsonMethods.render(j \ "product")))
+      if (!productCarry) 0
+      else if (productStalenessRec % 3 == 2) 0
+      else productStalenessRec + 1
 
     val fpMatches = record.exists(r =>
       r.fp.isDefined && codeFp.isDefined && r.fp == codeFp)
@@ -445,6 +505,7 @@ object Bench {
     }
 
     // ---- suite ----------------------------------------------------------
+    val tSuite0 = elapsedS
     val results =
       if (anchorOnly) Seq.empty[Meas]
       else {
@@ -460,17 +521,30 @@ object Bench {
           measure(name, fn)
         }
       }
+    if (!anchorOnly) measuredPhase("suite_s") = elapsedS - tSuite0
 
     // Audit-shaped queries (recall/approximation gates): time the
     // PRODUCTION side alone with the same methodology. The catalog
     // number above includes the exact brute-force ground truth that
     // exists only to gate the approximate plan; this one is the cost a
     // deployment pays.
+    val tProduct0 = elapsedS
     val productResults =
-      if (anchorOnly || productCarry) Seq.empty[Meas]
-      else SparkEntry.productQueries.toSeq.sortBy(_._1)
-        .map { case (name, fn) => measure(name, fn) }
-    if (productCarry) skipped += "product_twins_carried"
+      if (anchorOnly) Seq.empty[Meas]
+      else {
+        val all = SparkEntry.productQueries.toSeq.sortBy(_._1)
+        val todo =
+          if (productCarry) all.filter(p => productRotation.contains(p._1))
+          else all
+        todo.map { case (name, fn) => measure(name, fn) }
+      }
+    if (!anchorOnly && productResults.nonEmpty)
+      measuredPhase("product_s") = elapsedS - tProduct0
+    if (productCarry) {
+      skipped += "product_twins_carried"
+      if (productRotation.nonEmpty)
+        skipped += s"product_rotated:${productRotation.mkString("+")}"
+    }
 
     // ---- artifact state (mutable: flushed incrementally) ----------------
     case class Fin(name: String, median: Double, source: String, m: Meas,
@@ -544,8 +618,19 @@ object Bench {
           s""","unstable":${f.m.unstable},"remeasured":${f.m.remeasured}}"""
       }
       val qs = qFold.map(pentry).mkString("{", ",", "}")
-      val ps = recordProductSection.getOrElse(
-        pFold.map(pentry).mkString("{", ",", "}"))
+      // carried product section: committed entries, with the rotated
+      // twins' fresh (record-folded) measurements spliced in
+      val ps =
+        if (!productCarry) pFold.map(pentry).mkString("{", ",", "}")
+        else {
+          val fresh = pFold.map(p => p.fin.name -> pentry(p)).toMap
+          val committed = recordJ.map(jObjFields(_, "product")).getOrElse(Nil)
+          val merged = committed.map { case (k, v) =>
+            fresh.getOrElse(k, s""""$k":${jCompact(v)}""") } ++
+            fresh.filterNot { case (k, _) =>
+              committed.exists(_._1 == k) }.values
+          merged.mkString("{", ",", "}")
+        }
       val iso = isolated.toSeq.sorted.map { case (n, m) => s""""$n":$m""" }
         .mkString("{", ",", "}")
       val isoRej = isolatedRejected.toSeq.sorted
@@ -635,26 +720,101 @@ object Bench {
       val skippedPart = s""","skipped":[${
         skipped.map("\"" + _ + "\"").mkString(",")}]""" +
         s""","budget_s":$budgetS,"spent_s":${f"$elapsedS%.1f"}"""
-      // ANCHOR_ONLY runs measure just the E1/10x anchors — the cheap
-      // ratchet path for catching a quiet host window. With incremental
-      // writes a plain overwrite would CLOBBER the committed suite /
-      // corpus / atScale sections with empty ones, so anchor-only mode
-      // MERGES instead: the committed record's fields are kept verbatim
-      // except the keys this run actually re-measured (the anchor part,
-      // which itself folded against the record under the fingerprint
-      // rule) plus the run bookkeeping.
-      val fullJson =
-        if (anchorOnly && recordJ.isDefined) {
-          val newPart = org.json4s.jackson.JsonMethods.parse(
-            "{" + (anchorPart + skippedPart).stripPrefix(",") + "}")
-          val newKeys = newPart.asInstanceOf[JObject].obj.map(_._1).toSet
-          val keptFields = recordJ.get.asInstanceOf[JObject].obj
-            .filterNot { case (k, _) => newKeys.contains(k) }
-          org.json4s.jackson.JsonMethods.compact(
-            org.json4s.jackson.JsonMethods.render(
-              JObject(keptFields ++ newPart.asInstanceOf[JObject].obj)))
-        } else
-          s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"reps_per_query":3,"warmup_reps":1,"queries":$qs,"product":$ps$pfpPart,"isolated":$iso,"isolated_rejected":$isoRej$atScalePart$anchorPart$corpusPart$skippedPart}"""
+      // phase costs (this run's measurements override the committed
+      // ones) — the next run's budget-gate estimates
+      val phasePart: String = {
+        val merged = phaseCostRec ++ measuredPhase.toMap
+        if (merged.isEmpty) ""
+        else s""","phase_costs":{${merged.toSeq.sorted.map { case (k, v) =>
+          s""""$k":${f"$v%.1f"}""" }.mkString(",")}}"""
+      }
+      // RETIRED RECORDS (round 14, VERDICT r13 #2): a fingerprint
+      // rotation moves the replaced committed number HERE instead of
+      // dropping it (the failure class that cost r12 the 10x record and
+      // r13 the corpus anchor). An entry persists across runs and is
+      // cleared only when the artifact carries a current-fingerprint
+      // record for that key again.
+      val retiredPart: String = {
+        val committedRetired: Map[String, String] = recordJ
+          .map(jObjFields(_, "retired_records")).getOrElse(Nil)
+          .map { case (k, v) => k -> jCompact(v) }.toMap
+        def newlyRetired(medKey: String, fpKey: String,
+            cur: Option[String]): Option[(String, String)] =
+          for {
+            j <- recordJ
+            m <- jdOpt(j, medKey)
+            recFp <- jsOpt(j, fpKey)
+            c <- cur
+            if recFp != c
+          } yield medKey -> s"""{"median_s":$m,"fingerprint":"$recFp"}"""
+        val fresh = Seq(
+          newlyRetired("anchor_median_s", "anchor_code_fingerprint", codeFp),
+          newlyRetired("anchor10x_median_s", "anchor_code_fingerprint",
+            codeFp),
+          newlyRetired("corpus_anchor_median_s",
+            "corpus_anchor_code_fingerprint", corpusFp),
+          newlyRetired("corpus_anchor10x_median_s",
+            "corpus_anchor_code_fingerprint", corpusFp)).flatten.toMap
+        // a key re-earned this run (its section is owned, so whatever
+        // won the fold is at the current fingerprint) drops its entry
+        val reearned = Map(
+          "anchor_median_s" -> anchorMedian.isDefined,
+          "anchor10x_median_s" -> anchor10Median.isDefined,
+          "corpus_anchor_median_s" -> corpusFold.isDefined,
+          "corpus_anchor10x_median_s" -> corpus10Fold.isDefined)
+        val all = (committedRetired ++ fresh).filterNot { case (k, _) =>
+          reearned.getOrElse(k, false) }
+        if (all.isEmpty) ""
+        else s""","retired_records":{${all.toSeq.sorted
+          .map { case (k, v) => s""""$k":$v""" }.mkString(",")}}"""
+      }
+      val newJson =
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"reps_per_query":3,"warmup_reps":1,"queries":$qs,"product":$ps$pfpPart,"isolated":$iso,"isolated_rejected":$isoRej$atScalePart$anchorPart$corpusPart$phasePart$retiredPart$skippedPart}"""
+      // SECTION CARRY (round 14, VERDICT r13 #2 + the r13 ANCHOR=0
+      // clobber): the artifact is merged against the committed record by
+      // SECTION — a section this run measured or consciously folded
+      // ("owned") is emitted fresh and fully replaces the committed
+      // keys; every committed key of an UNOWNED section is carried
+      // forward verbatim. Disabled phases (SPARK_GRAFT_ANCHOR=0),
+      // budget skips, anchor-only runs, and mid-run incremental flushes
+      // can therefore never drop a section from the artifact. This
+      // subsumes the old anchor-only special-case merge.
+      def sectionOf(k: String): String =
+        if (k.startsWith("anchor10x_")) "anchor10x"
+        else if (k.startsWith("anchor_")) "anchor"
+        else if (k.startsWith("corpus_anchor10x_")) "corpus10x"
+        else if (k.startsWith("corpus_anchor_")) "corpus"
+        else if (k == "atScale") "atScale"
+        else if (k == "product" || k.startsWith("product_")) "product"
+        else if (k == "phase_costs") "phase"
+        else if (k == "retired_records") "retired"
+        else if (k == "skipped" || k == "budget_s" || k == "spent_s")
+          "bookkeeping"
+        else "suite"
+      val ownedSections: Set[String] =
+        Set("bookkeeping", "retired", "phase") ++
+          (if (!anchorOnly) Set("suite", "product")
+           else Set.empty[String]) ++
+          (if (anchorMedian.isDefined) Set("anchor")
+           else Set.empty[String]) ++
+          (if (anchor10Median.isDefined) Set("anchor10x")
+           else Set.empty[String]) ++
+          (if (corpusFold.isDefined) Set("corpus")
+           else Set.empty[String]) ++
+          (if (corpus10Fold.isDefined) Set("corpus10x")
+           else Set.empty[String]) ++
+          (if (atScale.isDefined) Set("atScale") else Set.empty[String])
+      val fullJson = recordJ match {
+        case Some(JObject(recFields)) =>
+          val parsed = org.json4s.jackson.JsonMethods.parse(newJson)
+            .asInstanceOf[JObject].obj
+          val kept = parsed.filter { case (k, _) =>
+            ownedSections.contains(sectionOf(k)) }
+          val carried = recFields.filter { case (k, _) =>
+            !ownedSections.contains(sectionOf(k)) }
+          jCompact(JObject(kept ++ carried))
+        case _ => newJson
+      }
       try {
         val w = new java.io.PrintWriter(fullOut, "UTF-8")
         try w.println(fullJson) finally w.close()
@@ -729,14 +889,19 @@ object Bench {
       }
     }
 
-    // ---- phase cost estimates (seconds; conservative, sf0.1-calibrated) --
+    // ---- phase cost estimates (seconds) ----------------------------------
+    // Record-calibrated since round 14 (VERDICT r13 #5): the committed
+    // `phase_costs` (last run's measured wall per phase, ×1.15 margin)
+    // when available, the static sf0.1 constants otherwise; `def` so a
+    // cost measured EARLIER THIS RUN (e.g. this run's first anchor
+    // window) refines the gate for the next window of the same phase.
     val margin = 60.0
-    val estAnchorWindow = 110.0 // fork JVM + warmup + 5 reps
-    val estCorpusWindow = 50.0
-    val estFork = 90.0
-    val estAtScale = 300.0
-    val estAnchor10Window = 280.0 // 3 reps × ~70 s + startup
-    val estCorpus10Window = 120.0
+    def estAnchorWindow = estPhase("anchor_window_s", 110.0)
+    def estCorpusWindow = estPhase("corpus_window_s", 50.0)
+    def estFork = estPhase("fork_s", 90.0)
+    def estAtScale = estPhase("atscale_s", 300.0)
+    def estAnchor10Window = estPhase("anchor10x_window_s", 280.0)
+    def estCorpus10Window = estPhase("corpus10x_window_s", 120.0)
 
     // ---- E1 ETL anchor (must-run; window count degrades under budget) ----
     // Seeded corpus + full RunPipeline in a fresh JVM, warm median of 5
@@ -767,19 +932,35 @@ object Bench {
               .count(_.getName.endsWith(".csv")) >= 5
         }
       }
-      // MUST-RUN: the E1 anchor is the round's headline number — at
-      // least one window runs even with the budget exhausted (the r12
-      // first cut reduced to zero windows on an overrun suite and
-      // shipped an anchor-less artifact; never again). Two windows
-      // whenever affordable.
-      val nWindows =
-        if (remainingS > 2 * estAnchorWindow + margin) 2 else 1
-      if (nWindows < 2) skipped += s"anchor_windows_reduced_to_$nWindows"
+      // Per-window budget gating (round 14, VERDICT r13 #5): each window
+      // is gated on the LIVE estimate — this run's own first-window cost
+      // once measured, else the committed phase cost. When even one
+      // window is unaffordable AND a foldable committed record exists,
+      // the record is carried (staleness incremented by the fold below)
+      // instead of overrunning the budget; with no record to carry the
+      // first window is MUST-RUN — the anchor is the round's headline
+      // number (the r12 first cut shipped an anchor-less artifact;
+      // never again).
       val runWindows: Seq[AnchorRun] =
         if (!genOk) Seq.empty
-        else (1 to nWindows).flatMap { i =>
-          if (i > 1) Thread.sleep(10000)
-          anchorOnce(rawDir, repeat = 5)
+        else {
+          val buf = scala.collection.mutable.ListBuffer[AnchorRun]()
+          var i = 0
+          var stop = false
+          while (i < 2 && !stop) {
+            val mustRun = i == 0 && !recordFoldable
+            if (remainingS > estAnchorWindow + margin || mustRun) {
+              if (i > 0) Thread.sleep(10000)
+              val t0 = elapsedS
+              buf ++= anchorOnce(rawDir, repeat = 5)
+              measuredPhase("anchor_window_s") = elapsedS - t0
+            } else {
+              skipped += s"anchor_windows_reduced_to_$i"
+              stop = true
+            }
+            i += 1
+          }
+          buf.toSeq
         }
       val recWindow: Option[AnchorRun] =
         if (recordFoldable)
@@ -883,14 +1064,23 @@ object Bench {
     val corpusFpOk = corpusRecord.exists(r =>
       r.fp.isDefined && corpusFp.isDefined && r.fp == corpusFp)
     if (corpusEnabled) {
-      val nWindows =
-        if (remainingS > 2 * estCorpusWindow + margin) 2
-        else if (remainingS > estCorpusWindow + margin) 1
-        else 0
-      if (nWindows < 2) skipped += s"corpus_windows_reduced_to_$nWindows"
-      val runs = (1 to nWindows).flatMap { i =>
-        if (i > 1) Thread.sleep(5000)
-        corpusOnce(1, 5)
+      val runs: Seq[AnchorRun] = {
+        val buf = scala.collection.mutable.ListBuffer[AnchorRun]()
+        var i = 0
+        var stop = false
+        while (i < 2 && !stop) {
+          if (remainingS > estCorpusWindow + margin) {
+            if (i > 0) Thread.sleep(5000)
+            val t0 = elapsedS
+            buf ++= corpusOnce(1, 5)
+            measuredPhase("corpus_window_s") = elapsedS - t0
+          } else {
+            skipped += s"corpus_windows_reduced_to_$i"
+            stop = true
+          }
+          i += 1
+        }
+        buf.toSeq
       }
       corpusFold = foldWindows(runs, corpusRecord.flatMap(_.median),
         corpusRecord.map(_.reps).getOrElse(Seq.empty),
@@ -934,6 +1124,7 @@ object Bench {
     // engine measurement.
     isolatedNames.foreach { name =>
       if (remainingS > estFork + margin) {
+        val tFork0 = elapsedS
         isoFork(name).foreach { v1 =>
           val sm = suiteMedianByKey.getOrElse(name, v1)
           val (v, rejectedFlag) =
@@ -946,6 +1137,7 @@ object Bench {
           if (rejectedFlag) isolatedRejected += name -> v
           else isolated += name -> v
         }
+        measuredPhase("fork_s") = elapsedS - tFork0
       } else skipped += s"isolated:$name"
     }
     if (isolatedNames.nonEmpty) writeFull()
@@ -958,7 +1150,9 @@ object Bench {
         try {
           val factor =
             sys.env.getOrElse("SPARK_GRAFT_ATSCALE_FACTOR", "10").toInt
+          val t0 = elapsedS
           atScale = Some(ScaleProbe.run(spark, sfDir, factor))
+          measuredPhase("atscale_s") = elapsedS - t0
         } catch { case _: Throwable => () }
         writeFull()
       } else skipped += "atScale"
@@ -975,14 +1169,11 @@ object Bench {
     // (staleness incremented).
     if (anchorEnabled && anchorMedian.isDefined &&
       sys.env.getOrElse("SPARK_GRAFT_ANCHOR10X", "1") != "0") try {
-      val nWindows =
-        if (remainingS > 2 * estAnchor10Window + margin) 2
-        else if (remainingS > estAnchor10Window + margin) 1
-        else 0
-      if (nWindows < 2) skipped += s"anchor10x_windows_reduced_to_$nWindows"
       val runWindows: Seq[AnchorRun] =
-        if (nWindows == 0) Seq.empty
-        else {
+        if (remainingS <= estAnchor10Window + margin) {
+          skipped += "anchor10x_windows_reduced_to_0"
+          Seq.empty
+        } else {
           val rawDir = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_RAW",
             "/tmp/graft_anchor_raw")
           val bigDir = rawDir + "10"
@@ -1000,9 +1191,23 @@ object Bench {
             }
           }
           if (!bigOk) Seq.empty
-          else (1 to nWindows).flatMap { i =>
-            if (i > 1) Thread.sleep(10000)
-            anchorOnce(bigDir, repeat = 3)
+          else {
+            val buf = scala.collection.mutable.ListBuffer[AnchorRun]()
+            var i = 0
+            var stop = false
+            while (i < 2 && !stop) {
+              if (i == 0 || remainingS > estAnchor10Window + margin) {
+                if (i > 0) Thread.sleep(10000)
+                val t0 = elapsedS
+                buf ++= anchorOnce(bigDir, repeat = 3)
+                measuredPhase("anchor10x_window_s") = elapsedS - t0
+              } else {
+                skipped += s"anchor10x_windows_reduced_to_$i"
+                stop = true
+              }
+              i += 1
+            }
+            buf.toSeq
           }
         }
       val recWindow: Option[AnchorRun] =
@@ -1046,14 +1251,23 @@ object Bench {
 
     // ---- corpus anchor, 10x ---------------------------------------------
     if (corpusEnabled && corpusFold.isDefined) {
-      val nWindows =
-        if (remainingS > 2 * estCorpus10Window + margin) 2
-        else if (remainingS > estCorpus10Window + margin) 1
-        else 0
-      if (nWindows < 2) skipped += s"corpus10x_windows_reduced_to_$nWindows"
-      val bruns = (1 to nWindows).flatMap { i =>
-        if (i > 1) Thread.sleep(5000)
-        corpusOnce(10, 3)
+      val bruns: Seq[AnchorRun] = {
+        val buf = scala.collection.mutable.ListBuffer[AnchorRun]()
+        var i = 0
+        var stop = false
+        while (i < 2 && !stop) {
+          if (remainingS > estCorpus10Window + margin) {
+            if (i > 0) Thread.sleep(5000)
+            val t0 = elapsedS
+            buf ++= corpusOnce(10, 3)
+            measuredPhase("corpus10x_window_s") = elapsedS - t0
+          } else {
+            skipped += s"corpus10x_windows_reduced_to_$i"
+            stop = true
+          }
+          i += 1
+        }
+        buf.toSeq
       }
       corpus10Fold = foldWindows(bruns, corpusRecord.flatMap(_.median10),
         corpusRecord.map(_.reps10).getOrElse(Seq.empty),
@@ -1077,7 +1291,8 @@ object Bench {
       .mkString("{", ",", "}")
     val psCompact =
       if (productCarry)
-        recordProducts.toSeq.sorted
+        (recordProducts ++ pFold.map(p => p.fin.name -> p.median))
+          .toSeq.sorted
           .map { case (n, m) => "\"" + n + "\":" + f"$m%.3f" }
           .mkString("{", ",", "}")
       else pFold

@@ -180,6 +180,28 @@ object ScaleProbe {
           spark.range(baseEdges * factor / 2).select(col("id")), "id",
           chordGraph(spark, baseEdges * factor / 2), "s1", "s2",
           seeds = col("id") < 30, maxHops = 2, k = 16)),
+      // Synchronous frequency-argmax LPA (round 14, g16): each round is
+      // one equi-join + (node,label) count + argmax window, labels
+      // eager-checkpointed — the probe pins how the per-round checkpoint
+      // cost grows with the edge set (the open question VERDICT r13 #6
+      // named; catalog g16's cost is dominated by its 500-edge backbone
+      // derivation, so scaling the operator needs a growing graph).
+      ("g16_labelprop_sync",
+        () => Graph.labelPropagation(chordGraph(spark, baseEdges),
+          rounds = 3),
+        () => Graph.labelPropagation(chordGraph(spark, baseEdges * factor),
+          rounds = 3)),
+      // LOF production twin (round 14, m68): kNN candidates from the
+      // auto-sized hyperplane LSH index, then three thin joins on the
+      // N·k frame — pins that the LOF algebra inherits the index's
+      // ~linear growth instead of the oracle baseline's N² pair space.
+      // Output is the fixed top-20, so rows are constant by design and
+      // the wall ratio is the whole signal.
+      ("m68_lof_lsh",
+        () => Similarity.lofScoresLsh(emb, "vec_id", "embedding",
+          k = 5, topN = 20),
+        () => Similarity.lofScoresLsh(embBig, "vec_id", "embedding",
+          k = 5, topN = 20)),
       // mm6's phash block join is deliberately NOT probed at 10x: a
       // 16-bit aHash saturates by birthday effect near 50K assets (the
       // RESULT grows ~quadratically, so a wall ratio measures output

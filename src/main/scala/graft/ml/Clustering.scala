@@ -227,6 +227,102 @@ object Clustering {
           .as("cluster"))
   }
 
+  /** HDBSCAN-style density-level clustering (Campello et al.,
+    * PAKDD'13) over a 2-D feature space: the λ-cuts of the
+    * MUTUAL-REACHABILITY single-linkage hierarchy, evaluated at a fixed
+    * ladder of λ levels — the density hierarchy [[dbscanGrid]]'s fixed ε
+    * cannot express (its known weakness: one ε cannot separate clusters
+    * of different densities; the ladder shows each cluster at the
+    * density where it is born and where it dissolves into a coarser
+    * one, and finer levels nest inside coarser ones by construction).
+    *
+    * Definitions (exact, k = minPts):
+    *  - core distance cd(p) = distance to p's minPts-th nearest OTHER
+    *    point;
+    *  - mutual reachability mr(a,b) = max(cd(a), cd(b), d(a,b));
+    *  - at level λ: points with cd(p) ≤ λ are in the level set; edges =
+    *    pairs with mr ≤ λ; clusters = connected components (min-label;
+    *    a singleton keeps its own id); cd > λ or undefined → noise −1.
+    *    Single-linkage components at threshold λ ARE the CCs of the ≤λ
+    *    edge graph, so this is exactly the HDBSCAN dendrogram level.
+    *
+    * The ε-join is grid-blocked per level (cells of side λ, 3×3 probe —
+    * EXACT, [[dbscanGrid]]'s argument), and cd comes from the SAME
+    * block: the in-block minPts-th-smallest distance equals the true
+    * core distance whenever that value ≤ λ (every candidate within λ
+    * shares an adjacent cell), and when it is > λ or missing the point
+    * is noise at this level either way — so the level-λ labeling is
+    * exact without ever materializing a global kNN. All comparisons are
+    * identical-IEEE SQUARED distances (no sqrt, no rounding), so the
+    * oracle reproduces every label from the exact N² pair set. At
+    * 100 TB: per level, one 9×-explode equi-join, one per-point rank
+    * window keyed on the point, star-contraction CC on the sparse ≤λ
+    * graph — the m53 plan with one bounded window more, linear at fixed
+    * density.
+    *
+    * Returns (level, idCol, cluster), cluster −1 = noise.
+    */
+  def hdbscanLevels(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, minPts: Int, lambdas: Seq[Double]): DataFrame = {
+    require(lambdas.nonEmpty && minPts >= 2,
+      s"need lambdas.nonEmpty, minPts >= 2; got $lambdas, $minPts")
+    lambdas.zipWithIndex.map { case (lam, i) =>
+      hdbscanLevel(points, idCol, xCol, yCol, minPts, lam)
+        .select(lit(i.toLong).as("level"), col(idCol), col("cluster"))
+    }.reduce(_.unionByName(_))
+  }
+
+  private def hdbscanLevel(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, minPts: Int, lam: Double): DataFrame = {
+    val pts = points.select(col(idCol).cast("long").as("__id"),
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .withColumn("__cx", floor(col("__x") / lam).cast("long"))
+      .withColumn("__cy", floor(col("__y") / lam).cast("long"))
+      .localCheckpoint(true)
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val probe = pts.select(col("__id").as("__ida"), col("__x").as("__xa"),
+        col("__y").as("__ya"), col("__cx"), col("__cy"),
+        explode(offsets).as("__o"))
+      .select(col("__ida"), col("__xa"), col("__ya"),
+        (col("__cx") + col("__o.dx")).as("__jcx"),
+        (col("__cy") + col("__o.dy")).as("__jcy"))
+    val home = pts.select(col("__id").as("__idb"), col("__x").as("__xb"),
+      col("__y").as("__yb"), col("__cx").as("__jcx"),
+      col("__cy").as("__jcy"))
+    val dx = col("__xa") - col("__xb")
+    val dy = col("__ya") - col("__yb")
+    val pairs = probe.join(home, Seq("__jcx", "__jcy"))
+      .where(col("__ida") =!= col("__idb") &&
+        dx * dx + dy * dy <= lit(lam * lam))
+      .select(col("__ida"), col("__idb"),
+        (dx * dx + dy * dy).as("__d2"))
+      .localCheckpoint(true) // feeds the cd window AND the edge joins
+    // cd²: the minPts-th smallest in-block squared distance; rank value
+    // is tie-independent (equal d2 → same value at rank minPts). Only
+    // kept when ≤ λ² — exactly the level-set membership test.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__ida"))
+      .orderBy(col("__d2").asc, col("__idb").asc)
+    val members = pairs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === minPts && col("__d2") <= lit(lam * lam))
+      .select(col("__ida").as("__id"))
+      .localCheckpoint(true) // both edge ends + the CC node set
+    // mr(a,b) ≤ λ ⟺ d ≤ λ ∧ cd(a) ≤ λ ∧ cd(b) ≤ λ
+    val edges = pairs
+      .join(members.withColumnRenamed("__id", "__ida"), Seq("__ida"),
+        "left_semi")
+      .join(members.withColumnRenamed("__id", "__idb"), Seq("__idb"),
+        "left_semi")
+      .select(col("__ida"), col("__idb"))
+    val cc = graft.operators.Dedup.connectedComponentsStarContraction(
+      members, "__id", edges, "__ida", "__idb")
+    pts.join(cc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("cluster_id"), lit(-1L)).as("cluster"))
+  }
+
   /** Simplified (centroid-based) silhouette — the clustering-quality
     * audit that scales: per point, a = distance to its OWN group
     * centroid, b = min distance to any OTHER centroid,

@@ -969,4 +969,76 @@ object TextAnalysis {
         lit(206.835) - lit(1.015) * (words / sent) -
           lit(84.6) * (syll / words))
   }
+
+  /** Suffix-structure repeated-span profile via PREFIX DOUBLING
+    * (Manber–Myers, SODA'90 — the suffix-array construction reduced to
+    * rank equivalence): per token position, the largest
+    * h ∈ {1, 2, 4, …, 2^maxPow} such that the h-token window starting
+    * there occurs at least twice anywhere in the corpus (same or
+    * another document). This is [[crossDocSpanScrub]]/t59's at-scale
+    * twin (VERDICT r13 #7): the gram-ladder form re-shuffles the full
+    * token stream once per LENGTH with ever-wider string keys (the
+    * DuckDB oracle runs exactly that as the baseline), while prefix
+    * doubling reaches window length 2^maxPow in maxPow self-join
+    * rounds over FIXED-WIDTH md5 rank keys — O(log L) shuffle waves,
+    * each a (doc, pos) equi-join — which is what survives a 100 TB
+    * corpus where 16-token grams as raw shuffle keys do not.
+    *
+    * rank_1(p) = the token at p; rank_{2h}(p) = md5(rank_h(p) ‖ ':' ‖
+    * rank_h(p+h)), defined only where the full 2h window fits inside
+    * the document (suffix windows never cross documents; CROSS-doc
+    * repeats are found through rank VALUE equality, not adjacency, so
+    * no sentinel plumbing is needed). Two positions share rank_h iff
+    * their h-token windows are equal, up to md5 collision — 128-bit,
+    * deterministic, and computed over window-injective inputs (tokens
+    * carry no whitespace, ranks are fixed-width hex), so the oracle's
+    * real-gram comparison agrees.
+    *
+    * Returns per (non-blank) doc: n_tokens, max_rep_bucket (largest h
+    * with a repeated window starting in this doc; 0 if none),
+    * n_pos_rep4 / n_pos_rep16 (positions whose 4-/16-token windows
+    * repeat) — the profile a scrub pass (t59/t42) uses to size k and
+    * to rank documents by boilerplate load.
+    */
+  def repeatedPrefixBuckets(df: DataFrame, idCol: String, textCol: String,
+      maxPow: Int = 4): DataFrame = {
+    require(maxPow >= 1 && maxPow <= 6,
+      s"need 1 <= maxPow <= 6; got $maxPow")
+    val (base, toks) = positionedTokens(df, idCol, textCol)
+    val id = col(idCol)
+    var rank = toks.select(id, col("p"), col("tok").as("r"))
+      .localCheckpoint(true) // each level feeds the next + its rep count
+    val levels = scala.collection.mutable.ListBuffer[(Long, DataFrame)]()
+    levels += 1L -> rank
+    (1 to maxPow).foreach { j =>
+      val h = 1L << (j - 1)
+      val a = rank.select(id, col("p"), col("r").as("__ra"))
+      val b = rank.select(id, (col("p") - h).as("p"), col("r").as("__rb"))
+      rank = a.join(b, Seq(idCol, "p"))
+        .select(id, col("p"),
+          md5(concat(col("__ra"), lit(":"), col("__rb"))).as("r"))
+        .localCheckpoint(true)
+      levels += (1L << j) -> rank
+    }
+    // a position repeats at level h iff its rank value occurs >= 2
+    // times globally — one count shuffle on the fixed-width rank key
+    def repPositions(lvl: DataFrame, h: Long): DataFrame = {
+      val dup = lvl.groupBy(col("r")).agg(count(lit(1)).as("__c"))
+        .where(col("__c") >= 2).select(col("r"))
+      lvl.join(dup, Seq("r"), "left_semi")
+        .select(id, col("p"), lit(h).as("h"))
+    }
+    val reps = levels.toSeq.map { case (h, lvl) => repPositions(lvl, h) }
+      .reduce(_.unionByName(_))
+    val perDoc = reps.groupBy(id).agg(
+      max(col("h")).as("__max_bucket"),
+      sum(when(col("h") === 4L, 1L).otherwise(0L)).as("__rep4"),
+      sum(when(col("h") === 16L, 1L).otherwise(0L)).as("__rep16"))
+    base.select(id, size(col("tk")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(id, col("n_tokens"),
+        coalesce(col("__max_bucket"), lit(0L)).as("max_rep_bucket"),
+        coalesce(col("__rep4"), lit(0L)).as("n_pos_rep4"),
+        coalesce(col("__rep16"), lit(0L)).as("n_pos_rep16"))
+  }
 }

@@ -88,12 +88,13 @@ object Streaming {
     */
   def runAvailableNow(spark: SparkSession,
       build: SparkSession => DataFrame, queryName: String,
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      mode: String = "complete"): DataFrame = {
     val s2 = spark.newSession()
     statePartitions.foreach(n =>
       s2.conf.set("spark.sql.shuffle.partitions", n))
     val q = build(s2).writeStream
-      .outputMode("complete")
+      .outputMode(mode) // "append" for stream-stream joins
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
@@ -235,6 +236,36 @@ object Streaming {
       s"""l.$keyCol = r.$keyCol AND
           l.$tsCol >= r.$tsCol - interval $maxDelayMinutes minutes AND
           l.$tsCol < r.$tsCol"""))
+  }
+
+  /** Stream-stream LEFT OUTER interval join (SURVEY X191; the
+    * late-data-audit shape [[intervalJoin]]'s inner form cannot give):
+    * every `left` event survives — joined to the `right` events of the
+    * same key within the trailing `maxDelayMinutes`, or null-padded
+    * when none arrived. Both sides watermarked, the join condition
+    * time-bounded on both ends, so the state store evicts as the
+    * watermarks advance; an unmatched LEFT row is emitted (null-padded)
+    * only once the watermark passes its joinable range — which is why
+    * the batch-parity contract needs a cutoff: under
+    * Trigger.AvailableNow the final no-data batch advances the GLOBAL
+    * watermark to the MIN over both watermark nodes of
+    * (max event time − delay), so left rows with ts < that cutoff are
+    * fully resolved (matched rows emitted eagerly, unmatched
+    * null-padded on eviction) while rows at or above it remain withheld
+    * in state. Callers compare against batch by filtering both engines
+    * to ts < cutoff; with `watermark = "0 seconds"` the cutoff is
+    * least(max left ts, max right ts) — the st8 catalog query's oracle
+    * rule.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, maxDelayMinutes: Int,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r, expr(
+      s"""l.$keyCol = r.$keyCol AND
+          r.$tsCol >= l.$tsCol - interval $maxDelayMinutes minutes AND
+          r.$tsCol < l.$tsCol"""), "leftOuter")
   }
 
   /** Sliding-window stats with a watermark — the continuous-ingestion

@@ -153,6 +153,48 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.keySet == Set("gold", "std") || got.contains("unknown"))
   }
 
+  test("stream-stream LEFT OUTER interval join equals the batch left " +
+      "join below the min-watermark cutoff, including unmatched rows") {
+    import spark.implicits._
+    val raw = Streaming.readEventsStream(spark, sf("sf0.001"))
+    val purchases = raw.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = raw.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"))
+    val joined = Streaming.intervalJoinLeftOuter(purchases, views,
+      "user_id", "ts", maxDelayMinutes = 60, watermark = "0 seconds")
+    val q = joined.select(col("l.event_id").as("event_id"),
+        col("l.ts").as("p_ts"), col("r.ts").as("v_ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st_spec_ssljoin")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+    // cutoff = global watermark at termination = min over both sides'
+    // max event time (0-second delay)
+    val cutTs = ev.agg(least(
+      max(when(col("event_type") === "purchase", col("ts"))),
+      max(when(col("event_type") === "view", col("ts"))))).head().getTimestamp(0)
+    val got = spark.table("st_spec_ssljoin")
+      .where(col("p_ts") < lit(cutTs))
+      .groupBy(col("event_id"))
+      .agg(count(col("v_ts")).as("n_views"))
+      .as[(Long, Long)].collect().toMap
+    val p = ev.where(col("event_type") === "purchase" && col("ts") < lit(cutTs))
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val want = p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("interval 60 minutes") &&
+        col("v_ts") < col("p_ts"), "left")
+      .groupBy(col("event_id")).agg(count(col("v_ts")).as("n_views"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // non-vacuous both ways: some purchases matched, some null-padded
+    assert(want.values.exists(_ > 0) && want.values.exists(_ == 0))
+  }
+
   test("staticEnrich re-reads the dim between micro-batches: a dim file " +
       "updated between batches applies from the next batch on") {
     // The scaladoc contract: the static side is re-EXECUTED per

@@ -8,9 +8,11 @@ import graft.operators.TextAnalysis
 import graft.streaming.Streaming
 
 /** Catalog part Z (round 14): HDBSCAN-style density-level clustering,
-  * suffix-structure repeated-span profiling via prefix doubling, and the
-  * watermarked stream-stream LEFT OUTER interval join — SURVEY §2.12
-  * X191–X193 (VERDICT r13 #7's three named candidates).
+  * suffix-structure repeated-span profiling via prefix doubling, the
+  * watermarked stream-stream LEFT OUTER interval join (VERDICT r13 #7's
+  * three named candidates), Newman modularity scoring for the LPA
+  * communities, and the Laplace-smoothed Markov transition matrix —
+  * SURVEY §2.12 X191–X195.
   */
 object QueriesZ {
 
@@ -138,5 +140,85 @@ object QueriesZ {
         AND v.ts >= p.ts - INTERVAL 60 MINUTE AND v.ts < p.ts
       GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(m71, t73, st8)
+  // G17 — Newman modularity of the g16 LPA communities over the same
+  // supplier co-purchase backbone: per community L_c/m − (d_c/2m)², the
+  // quality gate that says whether the detected communities are denser
+  // than chance. The oracle re-unrolls g16's three LPA rounds and
+  // computes the identical algebra from the exact edge set.
+  val g17 = Q("g17_modularity",
+    (s, d) => {
+      val backbone = QueriesG.backbone(s, d)
+      graft.operators.Graph.modularity(backbone, "s1", "s2",
+        graft.operators.Graph.labelPropagationAssign(backbone, rounds = 3),
+        "v", "label")
+    },
+    Some("""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      p AS (SELECT a.sp AS s1, b.sp AS s2, count(*) AS sc
+        FROM e0 a JOIN e0 b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2),
+      e AS (SELECT s1, s2 FROM p ORDER BY sc DESC, s1, s2 LIMIT 500),
+      und AS (SELECT s1 AS v, s2 AS nb FROM e
+        UNION ALL SELECT s2, s1 FROM e),
+      l0 AS (SELECT DISTINCT v, v AS label FROM und),
+      r1 AS (SELECT v, label FROM (
+          SELECT u.v, l.label, count(*) AS cnt,
+            row_number() OVER (PARTITION BY u.v
+              ORDER BY count(*) DESC, l.label) AS rn
+          FROM und u JOIN l0 l ON l.v = u.nb GROUP BY u.v, l.label)
+        WHERE rn = 1),
+      r2 AS (SELECT v, label FROM (
+          SELECT u.v, l.label, count(*) AS cnt,
+            row_number() OVER (PARTITION BY u.v
+              ORDER BY count(*) DESC, l.label) AS rn
+          FROM und u JOIN r1 l ON l.v = u.nb GROUP BY u.v, l.label)
+        WHERE rn = 1),
+      r3 AS (SELECT v, label FROM (
+          SELECT u.v, l.label, count(*) AS cnt,
+            row_number() OVER (PARTITION BY u.v
+              ORDER BY count(*) DESC, l.label) AS rn
+          FROM und u JOIN r2 l ON l.v = u.nb GROUP BY u.v, l.label)
+        WHERE rn = 1),
+      m AS (SELECT count(*) AS m FROM e),
+      deg AS (SELECT v, count(*) AS d FROM und GROUP BY 1),
+      dc AS (SELECT r3.label AS c, sum(deg.d) AS degree_sum,
+          count(*) AS n_nodes
+        FROM deg JOIN r3 ON r3.v = deg.v GROUP BY 1),
+      lc AS (SELECT a.label AS c, count(*) AS internal
+        FROM e JOIN r3 a ON a.v = e.s1 JOIN r3 b ON b.v = e.s2
+        WHERE a.label = b.label GROUP BY 1)
+      SELECT dc.c AS community, CAST(n_nodes AS BIGINT) AS n_nodes,
+        CAST(coalesce(internal, 0) AS BIGINT) AS internal_edges,
+        CAST(degree_sum AS BIGINT) AS degree_sum,
+        round(coalesce(internal, 0)::DOUBLE / m.m
+          - pow(degree_sum::DOUBLE / (2 * m.m), 2) + 1e-9, 6)
+          AS q_contribution
+      FROM dc LEFT JOIN lc ON lc.c = dc.c, m"""))
+
+  // M73 — first-order Markov transition matrix over per-user event
+  // streams with Laplace smoothing (alpha = 1 over the observed state
+  // set): the behavioral chain + the full smoothed K×K grid, unseen
+  // transitions included. Ties inside a user's stream break on
+  // event_id, so the chain is deterministic cross-engine.
+  val m73 = Q("m73_markov_transitions",
+    (s, d) => graft.operators.Sessionize.markovTransitions(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+      alpha = 1.0),
+    Some("""WITH p0 AS (SELECT event_type AS f,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS t
+        FROM events),
+      pr AS (SELECT f, t, count(*) AS n FROM p0
+        WHERE t IS NOT NULL GROUP BY 1, 2),
+      st AS (SELECT f AS s FROM pr UNION SELECT t FROM pr),
+      k AS (SELECT count(*) AS k FROM st),
+      tot AS (SELECT f, sum(n) AS tot FROM pr GROUP BY 1)
+      SELECT a.s AS from_type, b.s AS to_type,
+        CAST(coalesce(pr.n, 0) AS BIGINT) AS n_transitions,
+        round((coalesce(pr.n, 0) + 1.0)
+          / (coalesce(tot.tot, 0) + k.k) + 1e-9, 6) AS prob
+      FROM st a CROSS JOIN st b CROSS JOIN k
+      LEFT JOIN pr ON pr.f = a.s AND pr.t = b.s
+      LEFT JOIN tot ON tot.f = a.s"""))
+
+  val all: Seq[Q] = Seq(m71, t73, st8, g17, m73)
 }

@@ -652,6 +652,17 @@ object Graph {
     * Returns one row per community: (community, size, min_node).
     */
   def labelPropagation(edges: DataFrame, s1: String = "s1",
+      s2: String = "s2", rounds: Int = 3): DataFrame =
+    labelPropagationAssign(edges, s1, s2, rounds)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("size"), min(col("v")).as("min_node"))
+
+  /** Per-node form of [[labelPropagation]] — the (v, label) assignment
+    * after `rounds` synchronous rounds, for consumers that need the
+    * membership itself (modularity scoring, community-conditioned
+    * aggregates) rather than the community summary.
+    */
+  def labelPropagationAssign(edges: DataFrame, s1: String = "s1",
       s2: String = "s2", rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1; got $rounds")
     val e = edges.select(col(s1), col(s2)).localCheckpoint(true)
@@ -672,7 +683,52 @@ object Graph {
         .select(col("v"), col("label"))
         .localCheckpoint(true)
     }
-    labels.groupBy(col("label").as("community"))
-      .agg(count(lit(1)).as("size"), min(col("v")).as("min_node"))
+    labels
+  }
+
+  /** Newman modularity (Newman & Girvan '04) of a community assignment
+    * over an undirected simple edge list: per community c,
+    * Q_c = L_c/m − (d_c/2m)², where L_c = edges with both ends in c,
+    * d_c = Σ degrees of c's nodes, m = |edges|; global Q = Σ_c Q_c.
+    * THE quality gate for any community detector (LPA included): Q > 0
+    * means denser-than-chance communities, and comparing Q across
+    * round counts / algorithms is how a pipeline picks one. Plan: one
+    * degree aggregate, one label join per edge end, two grouped
+    * aggregates, the 1-row edge count broadcast onto the k-row result —
+    * every shuffle keys on node or community, nothing quadratic.
+    * Returns (community, n_nodes, internal_edges, degree_sum,
+    * q_contribution) — sum q_contribution for global Q.
+    */
+  def modularity(edges: DataFrame, s1: String, s2: String,
+      assign: DataFrame, vCol: String, labelCol: String): DataFrame = {
+    val e = edges.select(col(s1).as("__a"), col(s2).as("__b"))
+      .localCheckpoint(true) // feeds m, degrees, and the internal count
+    val m = e.agg(count(lit(1)).as("__m"))
+    val lab = assign.select(col(vCol).as("__v"), col(labelCol).as("__c"))
+      .localCheckpoint(true) // joined on both edge ends + the degree side
+    val deg = e.select(col("__a").as("__v"))
+      .unionAll(e.select(col("__b").as("__v")))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__d"))
+    val dC = deg.join(lab, Seq("__v"))
+      .groupBy(col("__c"))
+      .agg(sum(col("__d")).as("degree_sum"), count(lit(1)).as("n_nodes"))
+    val lC = e
+      .join(lab.select(col("__v").as("__a"), col("__c").as("__ca")),
+        Seq("__a"))
+      .join(lab.select(col("__v").as("__b"), col("__c").as("__cb")),
+        Seq("__b"))
+      .where(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("__c"))
+      .agg(count(lit(1)).as("internal_edges"))
+    dC.join(lC, Seq("__c"), "left")
+      .crossJoin(broadcast(m)) // 1-row scalar attach
+      .select(col("__c").as("community"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"),
+        round(coalesce(col("internal_edges"), lit(0L))
+            .cast("double") / col("__m")
+          - pow(col("degree_sum").cast("double")
+            / (lit(2.0) * col("__m")), 2) + lit(1e-9), 6)
+          .as("q_contribution"))
   }
 }

@@ -89,6 +89,10 @@ class CrossJoinAuditSpec extends SparkSpecBase {
       "per-source totals to build the |sources| x |vocab| scoring grid"),
     "m6_kmeans_clusters" -> ("bounded broadcast: k centroids against " +
       "vectors each Lloyd round — the assignment loop is the algorithm"),
+    "m73_markov_transitions" -> ("bounded broadcast: the K x K state " +
+      "grid (|event types|² rows) built from two tiny distinct frames " +
+      "so Laplace smoothing covers unseen transitions — everything " +
+      "after the (from, to) count shuffle is driver-scale algebra"),
     "t11_embedding_neardup" -> ("exact-oracle baseline: brute-force " +
       "near-dup ground truth; t11b's LSH-bucketed twin is the scale path"),
     "t57_semantic_dedup" -> ("exact-oracle baseline (brute-force pair " +

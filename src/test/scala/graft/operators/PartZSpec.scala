@@ -2,8 +2,9 @@ package graft.operators
 
 import graft.SparkSpecBase
 
-/** Round-14 operator specs: HDBSCAN-style λ-level clustering and the
-  * prefix-doubling repeated-span profile.
+/** Round-14 operator specs: HDBSCAN-style λ-level clustering, the
+  * prefix-doubling repeated-span profile, Newman modularity, and the
+  * Laplace-smoothed Markov transition matrix.
   */
 class PartZSpec extends SparkSpecBase {
 
@@ -69,6 +70,55 @@ class PartZSpec extends SparkSpecBase {
     assert(got(3L) == ((6L, 4L, 2L, 0L)), s"doc3: ${got(3L)}")
     // all-unique tokens: nothing repeats at any level
     assert(got(4L) == ((3L, 0L, 0L, 0L)), s"doc4: ${got(4L)}")
+  }
+
+  test("modularity: two clean triangles score Q = 0.5; one community " +
+      "holding everything scores 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("s1", "s2")
+    val good = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 2L), (5L, 2L), (6L, 2L)).toDF("v", "label")
+    val q = graft.operators.Graph.modularity(edges, "s1", "s2",
+        good, "v", "label")
+      .collect().map(r => r.getAs[Long]("community") ->
+        (r.getAs[Long]("internal_edges"), r.getAs[Long]("degree_sum"),
+          r.getAs[Double]("q_contribution"))).toMap
+    // per triangle: 3/6 - (6/12)^2 = 0.25
+    assert(q(1L) == ((3L, 6L, 0.25)) && q(2L) == ((3L, 6L, 0.25)))
+    val one = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("v", "label")
+    val qOne = graft.operators.Graph.modularity(edges, "s1", "s2",
+        one, "v", "label")
+      .collect().map(_.getAs[Double]("q_contribution")).sum
+    assert(math.abs(qOne) < 1e-9) // 6/6 - (12/12)^2 = 0
+  }
+
+  test("markovTransitions: counts, Laplace smoothing, and the uniform " +
+      "row for a sink state") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // user 1: a -> b -> a -> c ; user 2: a -> b. c is a sink (no out).
+    val ev = Seq(
+      (1L, t(0), 1L, "a"), (1L, t(1), 2L, "b"), (1L, t(2), 3L, "a"),
+      (1L, t(3), 4L, "c"),
+      (2L, t(0), 5L, "a"), (2L, t(1), 6L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.operators.Sessionize.markovTransitions(
+        ev, "user_id", "ts", "event_id", "event_type", alpha = 1.0)
+      .collect().map(r => (r.getAs[String]("from_type"),
+        r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n_transitions"), r.getAs[Double]("prob"))).toMap
+    assert(got.size == 9) // full 3x3 grid
+    // observed from 'a': a->b (u1 pos1), a->c (u1 pos3), a->b (u2)
+    // => n(a,b)=2, n(a,c)=1, tot(a)=3
+    assert(got(("a", "b"))._1 == 2L && got(("a", "c"))._1 == 1L)
+    assert(got(("a", "b"))._2 == math.rint((2 + 1.0) / (3 + 3) * 1e6) / 1e6)
+    // b: one outgoing b->a (u1); u2's trailing b has no successor
+    assert(got(("b", "a"))._1 == 1L)
+    // sink c: uniform smoothed row 1/3
+    Seq("a", "b", "c").foreach { to =>
+      assert(got(("c", to))._1 == 0L && got(("c", to))._2 == 0.333333)
+    }
   }
 
   test("repeatedPrefixBuckets: a shared 16-token window reaches the " +

@@ -984,15 +984,19 @@ object TextAnalysis {
     * each a (doc, pos) equi-join — which is what survives a 100 TB
     * corpus where 16-token grams as raw shuffle keys do not.
     *
-    * rank_1(p) = the token at p; rank_{2h}(p) = md5(rank_h(p) ‖ ':' ‖
+    * rank_1(p) = the token at p; rank_{2h}(p) = md5(rank_h(p) ‖ ' ' ‖
     * rank_h(p+h)), defined only where the full 2h window fits inside
     * the document (suffix windows never cross documents; CROSS-doc
     * repeats are found through rank VALUE equality, not adjacency, so
     * no sentinel plumbing is needed). Two positions share rank_h iff
     * their h-token windows are equal, up to md5 collision — 128-bit,
-    * deterministic, and computed over window-injective inputs (tokens
-    * carry no whitespace, ranks are fixed-width hex), so the oracle's
-    * real-gram comparison agrees.
+    * deterministic, and computed over window-injective inputs: the
+    * separator is a SPACE, which no operand can contain at any level
+    * (level-1 ranks are whitespace-split tokens; level-2+ ranks are
+    * fixed-width md5 hex), so the concatenation is injective and the
+    * oracle's real-gram comparison agrees. (A ':' separator — ADVICE
+    * r14 — was NOT injective at the first doubling: raw tokens may
+    * contain ':', so ('a:b','c') and ('a','b:c') collided.)
     *
     * Returns per (non-blank) doc: n_tokens, max_rep_bucket (largest h
     * with a repeated window starting in this doc; 0 if none),
@@ -1016,7 +1020,7 @@ object TextAnalysis {
       val b = rank.select(id, (col("p") - h).as("p"), col("r").as("__rb"))
       rank = a.join(b, Seq(idCol, "p"))
         .select(id, col("p"),
-          md5(concat(col("__ra"), lit(":"), col("__rb"))).as("r"))
+          md5(concat(col("__ra"), lit(" "), col("__rb"))).as("r"))
         .localCheckpoint(true)
       levels += (1L << j) -> rank
     }

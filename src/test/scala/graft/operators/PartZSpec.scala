@@ -121,6 +121,29 @@ class PartZSpec extends SparkSpecBase {
     }
   }
 
+  test("repeatedPrefixBuckets: ':' inside tokens does not forge a " +
+      "repeat (ADVICE r14 separator-injectivity regression)") {
+    // Under the old ':' separator, the level-2 keys for ("a:b","c") and
+    // ("a","b:c") both hashed md5("a:b:c") and were falsely marked
+    // repeated; with the space separator they stay distinct (tokens
+    // cannot contain whitespace after the \s+ split).
+    val docs = Seq(
+      (1L, "a:b c x"),
+      (2L, "a b:c y"),
+      // true colon-token repeat: the 2-window ("http://x","12:30")
+      // occurs in both docs 3 and 4
+      (3L, "http://x 12:30 p"),
+      (4L, "http://x 12:30 q")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .repeatedPrefixBuckets(docs, "doc_id", "text", maxPow = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("max_rep_bucket"))
+      .toMap
+    assert(got(1L) == 0L && got(2L) == 0L, s"forged repeat: $got")
+    assert(got(3L) == 2L && got(4L) == 2L, s"missed real repeat: $got")
+  }
+
   test("repeatedPrefixBuckets: a shared 16-token window reaches the " +
       "top bucket") {
     val span = (1 to 16).map(i => s"w$i").mkString(" ")

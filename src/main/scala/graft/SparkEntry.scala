@@ -24,7 +24,7 @@ object SparkEntry {
       QueriesM.all ++ QueriesN.all ++ QueriesO.all ++ QueriesP.all ++
       QueriesQ.all ++ QueriesR.all ++ QueriesS.all ++ QueriesT.all ++
       QueriesU.all ++ QueriesV.all ++ QueriesW.all ++ QueriesX.all ++
-      QueriesY.all ++ QueriesZ.all
+      QueriesY.all ++ QueriesZ.all ++ QueriesAA.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

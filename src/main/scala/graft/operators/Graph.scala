@@ -731,4 +731,74 @@ object Graph {
             / (lit(2.0) * col("__m")), 2) + lit(1e-9), 6)
           .as("q_contribution"))
   }
+
+  /** One synchronous Louvain local-move round (Blondel et al. '08
+    * phase 1, one pass): every node i evaluates, against the CURRENT
+    * assignment, the modularity gain of joining each neighboring
+    * community c (its own community is always a candidate), and adopts
+    * the argmax. The gain of placing i (removed from its community
+    * first) into c is the standard
+    * ΔQ(i→c) = k_{i,c}/m − k_i·Σ'_tot(c)/(2m²), where k_{i,c} = i's
+    * edges into c, k_i = i's degree, Σ'_tot(c) = the degree sum of c's
+    * members excluding i, m = |edges| — so "stay" scores as ΔQ(i→C(i))
+    * under the same formula and the comparison is uniform. All moves
+    * apply simultaneously (synchronous — engine- and
+    * schedule-independent, unlike the sequential sweep whose result
+    * depends on visit order), ties break to the SMALLEST candidate
+    * community id. Gains are compared UNROUNDED: every operand is an
+    * integer count, and IEEE-754 division/multiplication of identical
+    * integers is exactly rounded, so two engines order candidates
+    * identically. This is the greedy refinement step [[modularity]]
+    * scores and [[labelPropagationAssign]] seeds — one LPA pass to
+    * carve dense regions, one move round to repair locally suboptimal
+    * assignments, modularity to certify the improvement.
+    *
+    * Plan: one degree aggregate, one per-community degree sum, one
+    * (node, neighbor-community) count — each a single shuffle keyed on
+    * node or community — then a per-node argmax window. Nothing
+    * quadratic; the candidate frame is bounded by the edge count.
+    * Returns (v, label_old, label_new, n_links, delta_q) where n_links
+    * = k_{i,label_new} and delta_q is the (rounded) winning gain.
+    */
+  def louvainMoveRound(edges: DataFrame, s1: String, s2: String,
+      assign: DataFrame, vCol: String, labelCol: String): DataFrame = {
+    val e = edges.select(col(s1).as("__a"), col(s2).as("__b"))
+      .localCheckpoint(true) // feeds m, adjacency, and degrees
+    val m = e.agg(count(lit(1)).as("__m"))
+    val lab = assign.select(col(vCol).as("__v"), col(labelCol).as("__c"))
+      .localCheckpoint(true) // joined on neighbors, degrees, and sigma
+    val adj = e.select(col("__a").as("__v"), col("__b").as("__nb"))
+      .unionAll(e.select(col("__b").as("__v"), col("__a").as("__nb")))
+    val deg = adj.groupBy(col("__v")).agg(count(lit(1)).as("__k"))
+    val sigma = deg.join(lab, Seq("__v")).groupBy(col("__c"))
+      .agg(sum(col("__k")).as("__sigma"))
+      .select(col("__c").as("__cc"), col("__sigma"))
+    val kic = adj
+      .join(lab.select(col("__v").as("__nb"), col("__c").as("__cc")),
+        Seq("__nb"))
+      .groupBy(col("__v"), col("__cc")).agg(count(lit(1)).as("__kic"))
+    // candidate set: neighbor communities ∪ own (k_{i,own} may be 0)
+    val cand = kic
+      .unionByName(lab.select(col("__v"), col("__c").as("__cc"))
+        .withColumn("__kic", lit(0L)))
+      .groupBy(col("__v"), col("__cc")).agg(max(col("__kic")).as("__kic"))
+    val scored = cand
+      .join(deg, Seq("__v"))
+      .join(lab, Seq("__v")) // __c = i's current community
+      .join(sigma, Seq("__cc"))
+      .crossJoin(broadcast(m)) // 1-row scalar attach
+      .withColumn("__sigmaex", col("__sigma") -
+        when(col("__cc") === col("__c"), col("__k")).otherwise(lit(0L)))
+      .withColumn("__gain",
+        col("__kic").cast("double") / col("__m") -
+          (col("__k") * col("__sigmaex")).cast("double") /
+            (lit(2.0) * col("__m") * col("__m")))
+    val w = Window.partitionBy(col("__v"))
+      .orderBy(col("__gain").desc, col("__cc").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("__v").as("v"), col("__c").as("label_old"),
+        col("__cc").as("label_new"), col("__kic").as("n_links"),
+        round(col("__gain") + lit(1e-9), 6).as("delta_q"))
+  }
 }

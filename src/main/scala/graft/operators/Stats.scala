@@ -131,6 +131,97 @@ object Stats {
           + lit(1e-9), 6).as("q_est"))
   }
 
+  /** Mergeable RANK-sketch quantiles: a canonical q-digest (Shrivastava
+    * et al., SenSys'04; the deterministic entry in Agarwal et al.'s
+    * "Mergeable Summaries" quantile family) over values quantized to a
+    * 2^bits dyadic universe on [lo, hi). [[histogramState]]/m20 is the
+    * FIXED-BIN form — its rank error is unbounded when mass piles into
+    * one bin; the q-digest is the mergeable-rank form a 100 TB
+    * percentile actually runs: leaf resolution where the data is dense,
+    * coarse internal nodes where it is sparse, and a PROVEN rank bound.
+    *
+    * Among mergeable rank sketches this is the one with DETERMINISTIC,
+    * merge-order-invariant results — the property the oracle gate
+    * needs: KLL gets better constants but compacts by coin flip, and a
+    * t-digest's centroids depend on merge order, so neither can carry a
+    * cross-engine exact oracle. Here the sketch STATE is the exact
+    * level-0 bucket histogram (≤ 2^bits rows, sum-mergeable — the merge
+    * IS a groupBy, map-side combinable), and compression is a
+    * deterministic bottom-up pass: a sibling pair whose combined count
+    * fits under n/k rolls up into its parent; an over-threshold pair's
+    * children are retained with their residual counts. Every retained
+    * INTERNAL node therefore carries ≤ n/k mass (it was formed by a
+    * sub-threshold merge), at most one retained node straddles any
+    * query point per level, and the rank error is ≤ bits·n/k; retained
+    * leaves are exact. Retained size ≤ min(2^(bits+1), O(k·bits)) —
+    * bounded by the universe tree, independent of N.
+    *
+    * Plan: ONE data-sized shuffle (the leaf histogram groupBy); the
+    * `bits` compression waves and the quantile readout run on the
+    * ≤ 2^bits-row sketch frame (per-level localCheckpoint keeps the
+    * loop's plan depth flat). Quantile φ reads the first node with
+    * cumulative count ≥ max(1, ⌈φ·n⌉) in (upper-bound, level) order and
+    * reports that node's upper bucket edge. All arithmetic is integer
+    * counts under IEEE exactly-rounded division, so two engines agree
+    * bit-for-bit. Returns (phi, rank_target, est_value, n_retained).
+    */
+  def qDigestQuantiles(df: DataFrame, valueCol: Column, lo: Double,
+      hi: Double, bits: Int, k: Int, phis: Seq[Double]): DataFrame = {
+    require(bits >= 2 && bits <= 16, s"need 2 <= bits <= 16; got $bits")
+    require(k >= 2, s"need k >= 2; got $k")
+    require(hi > lo, s"need hi > lo; got [$lo, $hi)")
+    require(phis.nonEmpty, "need at least one quantile")
+    import org.apache.spark.sql.expressions.Window
+    val u = 1L << bits
+    val leaf = least(greatest(
+      floor((valueCol - lit(lo)) / lit(hi - lo) * lit(u.toDouble))
+        .cast("long"), lit(0L)), lit(u - 1))
+    val hist = df.groupBy(leaf.as("idx")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // the one data-sized pass; feeds every level
+    val tot = hist.agg(sum(col("cnt")).as("__n"),
+      greatest(lit(1L),
+        floor(sum(col("cnt")) / lit(k.toDouble)).cast("long")).as("__thr"))
+    var live = hist
+    var retained = Seq.empty[DataFrame]
+    (0 until bits).foreach { l =>
+      val par = live.groupBy(shiftright(col("idx"), 1).as("pidx"))
+        .agg(sum(col("cnt")).as("__s"))
+        .crossJoin(broadcast(tot.select(col("__thr")))) // 1-row scalar
+        .localCheckpoint(true) // sketch-sized; feeds both split sides
+      retained :+= live
+        .join(par.where(col("__s") > col("__thr")).select(col("pidx")),
+          shiftright(col("idx"), 1) === col("pidx"))
+        .select(col("idx"), col("cnt"), lit(l).as("lvl"),
+          ((col("idx") + 1) * lit(1L << l) - 1).as("ub"))
+      live = par.where(col("__s") <= col("__thr"))
+        .select(col("pidx").as("idx"), col("__s").as("cnt"))
+    }
+    retained :+= live.select(col("idx"), col("cnt"),
+      lit(bits).as("lvl"), ((col("idx") + 1) * lit(u) - 1).as("ub"))
+    val nodes = retained.reduce(_.unionByName(_)).localCheckpoint(true)
+    val nret = nodes.agg(count(lit(1)).as("n_retained"))
+    // postorder sweep: (ub, lvl) is a unique total order on the
+    // retained set — the unpartitioned window rides the ≤ 2^(bits+1)-row
+    // sketch frame, never the facts (WindowAuditSpec entry)
+    val wCum = Window.orderBy(col("ub"), col("lvl"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = nodes.withColumn("__cum", sum(col("cnt")).over(wCum))
+    val width = (hi - lo) / u
+    val cand = withCum
+      .crossJoin(broadcast(tot.select(col("__n")))) // 1-row scalar
+      .withColumn("phi", explode(array(phis.map(lit(_)): _*)))
+      .withColumn("__r", greatest(lit(1L), ceil(col("phi") * col("__n"))))
+      .where(col("__cum") >= col("__r"))
+    val wSel = Window.partitionBy(col("phi")).orderBy(col("ub"), col("lvl"))
+    cand.withColumn("__rn", row_number().over(wSel))
+      .where(col("__rn") === 1)
+      .crossJoin(broadcast(nret)) // 1-row scalar attach
+      .select(col("phi"), col("__r").as("rank_target"),
+        round(lit(lo) + (col("ub") + 1).cast("double") * lit(width)
+          + lit(1e-9), 6).as("est_value"),
+        col("n_retained"))
+  }
+
   /** Scalable global running sum (X57 scale form): inclusive prefix sums
     * over the frame ordered by `orderCols`, WITHOUT an unpartitioned
     * window — the plan that survives a distinct-key count ≈ N (a

@@ -268,6 +268,35 @@ object Streaming {
           r.$tsCol < l.$tsCol"""), "leftOuter")
   }
 
+  /** Stream-stream FULL OUTER interval join (SURVEY X198; closes the
+    * audit family [[intervalJoin]] (inner, st3) and
+    * [[intervalJoinLeftOuter]] (st8) leave open): every row of BOTH
+    * sides survives — matched pairs emit eagerly, an unmatched `left`
+    * row null-pads when the watermark passes its joinable range, and an
+    * unmatched `right` row null-pads when the watermark passes
+    * `ts + maxDelayMinutes` (the last instant a future left row could
+    * still pick it up). Both sides watermarked, the condition
+    * time-bounded on both ends, so state stays bounded exactly as in
+    * the one-sided forms. Batch-parity contract (the st9 catalog
+    * query's oracle rule, watermark = "0 seconds", cutoff :=
+    * least(max left ts, max right ts) after AvailableNow's final
+    * no-data batch): rows with a left side are fully resolved iff
+    * left ts < cutoff; left-null rows are fully resolved iff
+    * right ts + maxDelayMinutes < cutoff — both filters applied
+    * in-plan on both engines so state-withheld boundary rows are
+    * excluded identically.
+    */
+  def intervalJoinFullOuter(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, maxDelayMinutes: Int,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r, expr(
+      s"""l.$keyCol = r.$keyCol AND
+          r.$tsCol >= l.$tsCol - interval $maxDelayMinutes minutes AND
+          r.$tsCol < l.$tsCol"""), "fullOuter")
+  }
+
   /** Sliding-window stats with a watermark — the continuous-ingestion
     * shape (not exercised by the batch oracle, covered by unit tests).
     */

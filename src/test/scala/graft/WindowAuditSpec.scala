@@ -59,6 +59,10 @@ class WindowAuditSpec extends SparkSpecBase {
     "m44_kaplan_meier" -> ("duration grid: one row per distinct " +
       "inter-purchase gap length, calendar-bounded (<= 31 rows) after " +
       "the per-purchase window + groupBy reduction"),
+    "m74_qdigest_quantiles" -> ("postorder cumulative sweep over the " +
+      "q-digest RETAINED-NODE frame: <= 2^(bits+1) rows by construction " +
+      "(the dyadic universe tree, bits = 10 here), independent of N — " +
+      "the facts are reduced by the leaf-histogram groupBy first"),
     "w2_rolling_mean_7" -> "daily calendar frame: one row per day",
     "w3_rolling_stats" -> "daily calendar frame: one row per day",
     "w4_pct_change" -> "daily calendar frame: one row per day",

@@ -21,20 +21,9 @@ import graft.operators._
   * total-order tie-break; all vector math is upcast to double before
   * accumulation.
   */
-object Queries {
+import graft.QueryDef.Q
 
-  /** @param product for audit-shaped queries (recall/approximation gates
-    *   whose plan is dominated by an exact brute-force ground-truth side),
-    *   the PRODUCTION side alone — the plan a deployment would run, with
-    *   no exact twin anywhere in it. Bench times it separately so the
-    *   reported cost of the audit doesn't masquerade as the cost of the
-    *   operator.
-    */
-  case class Q(name: String,
-      fn: (SparkSession, String) => DataFrame,
-      oracle: Option[String],
-      headline: Boolean = false,
-      product: Option[(SparkSession, String) => DataFrame] = None)
+object Queries {
 
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Queries.Q
+import graft.QueryDef.Q
 
 /** Catalog part B: remaining SURVEY §2 aggregate rows (A3-A23), scalar /
   * string / date function rows (P, F, D), validation audits (V4-V8) and

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, LongType, MapType, StringType,
   StructField, StructType}
 
-import graft.Queries.Q
+import graft.QueryDef.Q
 import graft.operators._
 import graft.sources.{Readers, Writers}
 import graft.streaming.Streaming

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Queries.Q
+import graft.QueryDef.Q
 import graft.operators._
 
 /** Catalog part F (round 3): multi-granularity aggregates, the remaining

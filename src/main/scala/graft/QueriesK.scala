@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Queries.Q
+import graft.QueryDef.Q
 
 /** Catalog part K (round 8 continuation): gaps-and-islands streaks,
   * effect-size and robust-trend statistics, and a code-likeness screen

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Queries.Q
+import graft.QueryDef.Q
 
 /** Catalog part N (round 8 continuation): audience decomposition, graph
   * assortativity, a distribution-free randomness test, and the Markov

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.Queries.Q
+import graft.QueryDef.Q
 import graft.operators.{CountMin, Dedup, FeatureEng, Graph}
 import graft.sources.{Readers, Writers}
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Queries.Q
+import graft.QueryDef.Q
 import graft.operators.Dedup
 
 /** Catalog part Q (round 8 continuation): forecast-accuracy backtest,

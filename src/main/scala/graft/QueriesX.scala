@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Queries.Q
+import graft.QueryDef.Q
 import graft.operators.{Graph, Multimodal, Stats}
 
 /** Catalog part X (round 12, batch 4): deterministic random-walk

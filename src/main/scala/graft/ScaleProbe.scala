@@ -47,6 +47,38 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** Probe key -> fingerprint ROOT files (the operator sources whose
+    * change invalidates the probe's committed record; the transitive
+    * closure via [[CodeDeps]] picks up everything they reach).
+    * ScaleProbe.scala itself is hashed into every probe's fingerprint
+    * SALT by [[Bench]], so a harness edit retires all probe records
+    * without collapsing the per-probe grain (ScaleProbe references
+    * every operator, so using it as a closure ROOT would).
+    */
+  val probeRoots: Map[String, Seq[String]] = {
+    val d = "src/main/scala/graft/"
+    Map(
+      "g5_labelprop" -> Seq(d + "operators/Graph.scala"),
+      "t17_cc" -> Seq(d + "operators/Dedup.scala"),
+      "t7_jaccard" -> Seq(d + "operators/Dedup.scala"),
+      "t42_span_scrub" -> Seq(d + "operators/TextAnalysis.scala"),
+      "ann_lsh_topk" -> Seq(d + "operators/Similarity.scala"),
+      "m43_mg_sketch" -> Seq(d + "operators/HeavyHitters.scala"),
+      "g8_anf" -> Seq(d + "operators/Graph.scala"),
+      "g16_labelprop_sync" -> Seq(d + "operators/Graph.scala"),
+      "m68_lof_lsh" -> Seq(d + "operators/Similarity.scala"),
+      "cc_ab_10x" -> Seq(d + "operators/Dedup.scala"),
+      "t5_minhash_30x" -> Seq(d + "operators/Dedup.scala"),
+      "t57_semdedup_10x" -> Seq(d + "operators/Similarity.scala",
+        d + "ml/Clustering.scala"),
+      "kmv_ab" -> Seq(d + "KmvAb.scala"),
+      "m53_dbscan_10x" -> Seq(d + "ml/Clustering.scala"),
+      "m71_hdbscan_10x" -> Seq(d + "ml/Clustering.scala"),
+      "t73_prefix_doubling_10x" -> Seq(d + "operators/TextAnalysis.scala"),
+      "st8_state_10x" -> Seq(d + "streaming/Streaming.scala"))
+  }
+  def probeKeys: Seq[String] = probeRoots.keys.toSeq.sorted
+
   private def medianOf(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
   /** A failed probe must be VISIBLE on the artifact: with a silent
@@ -76,15 +108,24 @@ object ScaleProbe {
       .unionAll(spark.range(n)
         .select(col("id").as("s1"), ((col("id") + 7919) % n).as("s2")))
 
-  /** Runs the probes and returns the `atScale` JSON object body. */
-  def run(spark: SparkSession, sfDir: String, factor: Int): String = {
+  /** Runs the probes and returns the `atScale` JSON object body.
+    * `only` (round 15 — VERDICT r14 #1's budget rework): restrict to a
+    * subset of [[probeKeys]] so [[Bench]] can rotate probes through
+    * fresh measurement instead of paying the full ~18-minute sweep
+    * every run; None = all probes (the standalone `main` path). The
+    * replica corpora are lazy so a filtered run only materializes what
+    * its probes touch.
+    */
+  def run(spark: SparkSession, sfDir: String, factor: Int,
+      only: Option[Set[String]] = None): String = {
     import graft.operators.{Dedup, Graph, Similarity, TextAnalysis}
-    val docs = Tables.documents(spark, sfDir)
+    def sel(k: String): Boolean = only.forall(_.contains(k))
+    lazy val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .localCheckpoint(true)
     // LshAb's replication: copies are near-dups (one trailing token
     // differs) so the near-dup probes exercise verify/CC, not just scan.
-    val docsBig = docs
+    lazy val docsBig = docs
       .select(explode(sequence(lit(0), lit(factor - 1))).as("c"),
         col("doc_id"), col("text"))
       .select((col("doc_id") * factor + col("c")).as("doc_id"),
@@ -96,10 +137,10 @@ object ScaleProbe {
     // near- but not exact neighbors — per-table bucket occupancy grows
     // 10x, which is what the banded hyperplane join must absorb.
     // k/planes/tables pinned to the catalog config.
-    val emb = Tables.embeddings(spark, sfDir)
+    lazy val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .localCheckpoint(true)
-    val embBig = emb
+    lazy val embBig = emb
       .select(explode(sequence(lit(0), lit(factor - 1))).as("c"),
         col("vec_id"), col("embedding"))
       .select((col("vec_id") * factor + col("c")).as("vec_id"),
@@ -115,8 +156,8 @@ object ScaleProbe {
     // configuration a deployment would: catalog planes (4) at 1x,
     // re-sized planes at 10x with occupancy held at the catalog
     // operating point (N / 2^4).
-    val nBase = emb.count()
-    val planesBig = Similarity.planesForCorpus(nBase * factor,
+    lazy val nBase = emb.count()
+    lazy val planesBig = Similarity.planesForCorpus(nBase * factor,
       math.max(1, (nBase >> 4).toInt))
 
     // g5 runs FIRST: its base side is the cheapest probe and sits
@@ -125,7 +166,7 @@ object ScaleProbe {
     // least absorb it (measured: base 8.2 s after t7's 10x side vs
     // 3.0 s clean).
     val baseEdges = 100000L
-    val probes: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+    val probesAll: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
       ("g5_labelprop",
         () => Graph.labelPropagate(chordGraph(spark, baseEdges), rounds = 2),
         () => Graph.labelPropagate(
@@ -226,6 +267,7 @@ object ScaleProbe {
           s""","${prefix}_cc_star_fallback":${s.usedStarFallback}""")
         .getOrElse("")
 
+    val probes = probesAll.filter(p => sel(p._1))
     val entries = probes.map { case (name, baseFn, bigFn) =>
       // t17's convergence telemetry needs Dedup.ccStatsEnabled, which
       // adds an edge-count job — so it's captured on ONE extra untimed
@@ -257,7 +299,7 @@ object ScaleProbe {
     // Shallow components (near-dup copy-sets) are propagation's best
     // case; contraction pays more fixed rounds but bounds adversarial
     // diameters — the record shows which regime this corpus is in.
-    val ccAb: String = try {
+    val ccAb: String = if (!sel("cc_ab_10x")) "" else try {
       val pairs10 = Dedup.minHashLshPairs(docsBig, "text", "doc_id",
         3, 32, 4, 0.5).localCheckpoint(true)
       val nodes10 = docsBig.select(col("doc_id"))
@@ -292,9 +334,226 @@ object ScaleProbe {
         s""","cc_ab_10x":{"err":${jsonStr(e.toString)}}"""
     }
 
-    entries.mkString("{", ",", "") + ccAb + dedup30x(spark, docs) +
-      semdedup10x(spark, emb, embBig, factor) + kmvAb(spark, sfDir) +
-      dbscan10x(spark, emb, factor) + "}"
+    val fragments: Seq[String] = (entries :+ ccAb) ++ Seq(
+      if (sel("t5_minhash_30x")) dedup30x(spark, docs) else "",
+      if (sel("t57_semdedup_10x")) semdedup10x(spark, emb, embBig, factor)
+      else "",
+      if (sel("kmv_ab")) kmvAb(spark, sfDir) else "",
+      if (sel("m53_dbscan_10x")) dbscan10x(spark, emb, factor) else "",
+      if (sel("m71_hdbscan_10x")) hdbscan10x(spark, emb, factor) else "",
+      if (sel("t73_prefix_doubling_10x"))
+        prefixDoubling10x(spark, docs, docsBig, factor)
+      else "",
+      if (sel("st8_state_10x")) st8State10x(spark, sfDir, factor) else "")
+    fragments.map(_.stripPrefix(",")).filter(_.nonEmpty)
+      .mkString("{", ",", "}")
+  }
+
+  /** HDBSCAN λ-level probe (round 15 — VERDICT r14 #2): 10x the points
+    * under CONSTANT LOCAL DENSITY (the m53 treatment — copies shifted
+    * +10·c in x, ≫ the coarsest λ, so copies never interact), because
+    * that is the regime the grid blocking targets: per λ-level the
+    * ε-join cost is Σ|cell|·|3×3 block|, linear in N at fixed density,
+    * and the per-point core-distance window + star-contraction CC ride
+    * the same cells. The copy construction makes the expected output
+    * EXACT: per-level cluster / member / noise counts must replicate
+    * ×factor bit-for-bit (`replicated_ok`), so a wall ratio that only
+    * held because labels collapsed cannot pass.
+    */
+  private def hdbscan10x(spark: SparkSession, emb: DataFrame,
+      factor: Int): String = try {
+    if (sys.env.getOrElse("SPARK_GRAFT_HDBSCAN10X", "1") == "0")
+      return ""","m71_hdbscan_10x":{"skipped":true}"""
+    import graft.ml.Clustering
+    val lambdas = Seq(0.02, 0.04) // the catalog m71 operating point
+    val pts = emb.select(col("vec_id"),
+        col("embedding")(0).cast("double").as("x"),
+        col("embedding")(1).cast("double").as("y"))
+      .localCheckpoint(true)
+    val ptsBig = pts
+      .select(explode(sequence(lit(0), lit(factor - 1))).as("c"),
+        col("vec_id"), col("x"), col("y"))
+      .select((col("vec_id") * factor + col("c")).as("vec_id"),
+        (col("x") + col("c").cast("double") * lit(10.0)).as("x"),
+        col("y"))
+      .localCheckpoint(true)
+    def run(p: DataFrame) = Clustering.hdbscanLevels(p, "vec_id", "x",
+      "y", minPts = 5, lambdas = lambdas)
+    def stats(p: DataFrame): Seq[(Long, Long, Long)] =
+      run(p).groupBy(col("level")).agg(
+          countDistinct(when(col("cluster") >= 0, col("cluster")))
+            .as("clusters"),
+          sum(when(col("cluster") >= 0, 1L).otherwise(0L)).as("members"),
+          sum(when(col("cluster") === -1, 1L).otherwise(0L)).as("noise"))
+        .orderBy(col("level")).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val sB = stats(pts)
+    val sS = stats(ptsBig)
+    val replicated = sB.size == sS.size && sB.zip(sS).forall {
+      case ((cB, mB, nB), (cS, mS, nS)) =>
+        cS == cB * factor && mS == mB * factor && nS == nB * factor
+    }
+    val (baseS, baseN) = timeCount(() => run(pts))
+    val (bigS, bigN) = timeCount(() => run(ptsBig))
+    val ratio = bigS / math.max(baseS, 1e-9)
+    s""","m71_hdbscan_10x":{"factor":$factor,"base_s":${f"$baseS%.3f"}""" +
+      s""","scaled_s":${f"$bigS%.3f"},"wall_ratio":${f"$ratio%.2f"}""" +
+      s""","base_rows":$baseN,"scaled_rows":$bigN""" +
+      s""","base_level_stats":[${sB.map(t =>
+        s"[${t._1},${t._2},${t._3}]").mkString(",")}]""" +
+      s""","scaled_level_stats":[${sS.map(t =>
+        s"[${t._1},${t._2},${t._3}]").mkString(",")}]""" +
+      s""","replicated_ok":$replicated}"""
+  } catch {
+    case e: Throwable =>
+      s""","m71_hdbscan_10x":{"err":${jsonStr(e.toString)}}"""
+  }
+
+  /** Prefix-doubling vs gram-ladder A/B at 1x and 10x (round 15 —
+    * VERDICT r14 #2: "the at-scale claim is THE reason X192 exists").
+    * The ladder twin mirrors the t73 DuckDB oracle in Spark: one pass
+    * per window LENGTH h ∈ {1,2,4,8,16}, each shuffling the full token
+    * stream on the RAW h-token gram string (keys widen with h), vs the
+    * doubling form's log₂(16) = 4 equi-join waves over fixed-width md5
+    * rank keys. Both forms must agree exactly on the replica corpus
+    * (`agree_ok`, exceptAll both ways, untimed) — a speed ratio
+    * between divergent computations would be meaningless.
+    */
+  private def prefixDoubling10x(spark: SparkSession, docs: DataFrame,
+      docsBig: DataFrame, factor: Int): String = try {
+    if (sys.env.getOrElse("SPARK_GRAFT_PREFIXDOUBLING10X", "1") == "0")
+      return ""","t73_prefix_doubling_10x":{"skipped":true}"""
+    import graft.operators.TextAnalysis
+    def doubling(d: DataFrame) =
+      TextAnalysis.repeatedPrefixBuckets(d, "doc_id", "text", maxPow = 4)
+    def ladder(d: DataFrame): DataFrame = {
+      val base = d.where(length(lower(trim(col("text")))) > 0)
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("tk"))
+      val grams = Seq(1, 2, 4, 8, 16).map { h =>
+        base.select(col("doc_id"), col("tk"),
+            posexplode(col("tk")).as(Seq("i0", "t")))
+          .where(col("i0") + h <= size(col("tk")))
+          .select(col("doc_id"), (col("i0") + 1).as("p"),
+            lit(h.toLong).as("h"),
+            array_join(slice(col("tk"), col("i0") + 1, lit(h)), " ")
+              .as("g"))
+      }.reduce(_.unionByName(_))
+      val dup = grams.groupBy(col("g"), col("h"))
+        .agg(count(lit(1)).as("__c")).where(col("__c") >= 2)
+        .select(col("g"), col("h"))
+      val rep = grams.join(dup, Seq("g", "h"), "left_semi")
+      val perDoc = rep.groupBy(col("doc_id")).agg(
+        max(col("h")).as("__max_bucket"),
+        sum(when(col("h") === 4L, 1L).otherwise(0L)).as("__rep4"),
+        sum(when(col("h") === 16L, 1L).otherwise(0L)).as("__rep16"))
+      base.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("__max_bucket"), lit(0L)).as("max_rep_bucket"),
+          coalesce(col("__rep4"), lit(0L)).as("n_pos_rep4"),
+          coalesce(col("__rep16"), lit(0L)).as("n_pos_rep16"))
+    }
+    // equality gate on the replica corpus (untimed)
+    val agree = doubling(docsBig).exceptAll(ladder(docsBig)).count() == 0 &&
+      ladder(docsBig).exceptAll(doubling(docsBig)).count() == 0
+    val (baseDblS, baseN) = timeCount(() => doubling(docs))
+    val (baseLadS, _) = timeCount(() => ladder(docs))
+    val (bigDblS, bigN) = timeCount(() => doubling(docsBig))
+    val (bigLadS, _) = timeCount(() => ladder(docsBig))
+    s""","t73_prefix_doubling_10x":{"factor":$factor""" +
+      s""","base_doubling_s":${f"$baseDblS%.3f"}""" +
+      s""","base_ladder_s":${f"$baseLadS%.3f"}""" +
+      s""","scaled_doubling_s":${f"$bigDblS%.3f"}""" +
+      s""","scaled_ladder_s":${f"$bigLadS%.3f"}""" +
+      s""","doubling_ratio":${f"${bigDblS / math.max(baseDblS, 1e-9)}%.2f"}""" +
+      s""","ladder_ratio":${f"${bigLadS / math.max(baseLadS, 1e-9)}%.2f"}""" +
+      s""","scaled_advantage":${f"${bigLadS / math.max(bigDblS, 1e-9)}%.2f"}""" +
+      s""","base_rows":$baseN,"scaled_rows":$bigN,"agree_ok":$agree}"""
+  } catch {
+    case e: Throwable =>
+      s""","t73_prefix_doubling_10x":{"err":${jsonStr(e.toString)}}"""
+  }
+
+  /** Stream-stream interval-join state probe (round 15 — VERDICT r14
+    * #2): the st8 LEFT OUTER plan at 1x vs 10x events, with the state
+    * store's peak row count on the record. The replica multiplies
+    * USERS (user_id·factor + c), keeping every per-user stream shape
+    * intact, so join state and output must both scale ×factor
+    * (`replicated_ok`) while the watermark semantics are unchanged.
+    * Wall measures the full AvailableNow cycle (plan + state build +
+    * drain) — the unit a deployment re-runs per batch window.
+    */
+  private def st8State10x(spark: SparkSession, sfDir: String,
+      factor: Int): String = try {
+    if (sys.env.getOrElse("SPARK_GRAFT_ST8STATE10X", "1") == "0")
+      return ""","st8_state_10x":{"skipped":true}"""
+    import graft.streaming.Streaming
+    val stage = java.nio.file.Files.createTempDirectory("graft_st8_probe")
+    val bigDir = stage.resolve("ev10").toString
+    Tables.events(spark, sfDir)
+      .select(explode(sequence(lit(0), lit(factor - 1))).as("c"),
+        col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .select((col("event_id") * factor + col("c")).as("event_id"),
+        col("ts"), (col("user_id") * factor + col("c")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(bigDir)
+    // the staged single file must be named like the Tables layout the
+    // stream reader expects (events.parquet inside the dir)
+    val part = new java.io.File(bigDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val oneDir = stage.resolve("sf10x")
+    java.nio.file.Files.createDirectories(oneDir)
+    java.nio.file.Files.copy(part.toPath,
+      oneDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def cycle(dir: String, name: String): (Double, Long, Long) = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", 8)
+      val raw = Streaming.readEventsStream(s2, dir)
+      val purchases = raw.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = raw.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"))
+      val plan = Streaming.intervalJoinLeftOuter(purchases, views,
+          "user_id", "ts", maxDelayMinutes = 60, watermark = "0 seconds")
+        .select(col("l.event_id").as("event_id"), col("r.ts").as("v_ts"))
+      val t0 = System.nanoTime()
+      val q = plan.writeStream.outputMode("append").format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val stateRows = q.recentProgress
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum).maxOption
+        .getOrElse(0L)
+      val rows = s2.table(name).count()
+      s2.catalog.dropTempView(name)
+      (wall, stateRows, rows)
+    }
+    def side(dir: String, tag: String): (Double, Long, Long) = {
+      cycle(dir, s"st8probe_${tag}_warm") // warm: codegen + file listing
+      val reps = (1 to 3).map { i =>
+        System.gc(); cycle(dir, s"st8probe_${tag}_$i")
+      }
+      (medianOf(reps.map(_._1)), reps.map(_._2).max, reps.head._3)
+    }
+    val (baseS, baseState, baseRows) = side(sfDir, "base")
+    val (bigS, bigState, bigRows) = side(oneDir.toString, "big")
+    val replicated = bigRows == baseRows * factor
+    val ratio = bigS / math.max(baseS, 1e-9)
+    s""","st8_state_10x":{"factor":$factor,"base_s":${f"$baseS%.3f"}""" +
+      s""","scaled_s":${f"$bigS%.3f"},"wall_ratio":${f"$ratio%.2f"}""" +
+      s""","base_state_rows":$baseState,"scaled_state_rows":$bigState""" +
+      s""","state_ratio":${f"${bigState.toDouble /
+        math.max(baseState, 1L)}%.2f"}""" +
+      s""","base_rows":$baseRows,"scaled_rows":$bigRows""" +
+      s""","replicated_ok":$replicated}"""
+  } catch {
+    case e: Throwable =>
+      s""","st8_state_10x":{"err":${jsonStr(e.toString)}}"""
   }
 
   /** Grid-blocked DBSCAN scale probe (round 11, m53): 10x the points
@@ -544,6 +803,7 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // see Bench.main
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -17,7 +17,7 @@ object SparkEntry {
     Queries.a1.fn(spark, "/root/testdata/sf0.001")
 
   /** The full catalog across all parts. */
-  def catalog: Seq[Queries.Q] =
+  def catalog: Seq[QueryDef.Q] =
     Queries.all ++ QueriesB.all ++ QueriesC.all ++ QueriesD.all ++
       QueriesE.all ++ QueriesF.all ++ QueriesG.all ++ QueriesH.all ++
       QueriesI.all ++ QueriesJ.all ++ QueriesK.all ++ QueriesL.all ++
@@ -39,7 +39,7 @@ object SparkEntry {
   /** For audit-shaped queries (recall/approximation gates), the
     * PRODUCTION side alone — no exact brute-force twin in the plan.
     * Bench times these separately so audit cost isn't read as the
-    * operator's cost. See [[Queries.Q.product]].
+    * operator's cost. See [[QueryDef.Q.product]].
     */
   def productQueries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.flatMap(q => q.product.map(p => q.name -> p)).toMap

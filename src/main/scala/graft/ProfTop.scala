@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev probe (r15 optimization): time the sub-phases of the most
+  * expensive catalog queries under the Bench session config so the
+  * per-query seconds can be attributed to components (guide §1 —
+  * measure first, noop sink, labelled jobs). Not part of the driver
+  * surface; results land in OPTIMIZATION_r15.md.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 runMain graft.ProfTop <sfDir> [probe ...]
+  */
+object ProfTop {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val which = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.all.foreach { t =>
+      try Tables.load(spark, sfDir, t).cache().count()
+      catch { case _: Throwable => () }
+    }
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(name: String)(f: => Unit): Unit = {
+      if (which.nonEmpty && !which.exists(name.startsWith)) return
+      // one throwaway + 2 timed
+      spark.sparkContext.setJobDescription(name)
+      try {
+        f
+        val reps = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[proftop] $name%-42s ${reps.min}%8.3f s  (reps ${reps.map(r => f"$r%.3f").mkString(",")})")
+      } catch { case e: Throwable =>
+        println(s"[proftop] $name ERROR ${e.getMessage}")
+      }
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+
+    // ---- ann9 components -------------------------------------------------
+    import graft.operators.Similarity
+    time("ann9/codebooks") {
+      noop(Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 16, ksub = 16, dim = Tables.embeddingDim, seed = 7L))
+    }
+    time("ann9/pqTopK-full(product)") {
+      noop(Similarity.pqTopK(emb, "vec_id", "embedding",
+        pmod(col("vec_id"), lit(10)) === 0, k = 5, m = 16, ksub = 16,
+        shortlist = 100, dim = Tables.embeddingDim, seed = 7L))
+    }
+    time("ann9/bruteforce-exact") {
+      noop(Similarity.bruteForceTopKFor(emb,
+        emb.where(pmod(col("vec_id"), lit(10)) === 0).select(col("vec_id")),
+        "vec_id", "embedding", 5))
+    }
+
+    // ---- t57 components --------------------------------------------------
+    import graft.ml.Clustering
+    import graft.operators.Dedup
+    time("t57/exactThresholdPairs") {
+      noop(Similarity.exactThresholdPairs(emb, "vec_id", "embedding", 0.45))
+    }
+    time("t57/kmeansCentroids") {
+      noop(Clustering.kmeansCentroids(emb, "embedding", k = 8, seed = 7L))
+    }
+    time("t57/clusterBlockedPairs") {
+      val cents = Clustering.kmeansCentroids(emb, "embedding", k = 8, seed = 7L)
+      noop(Similarity.clusterBlockedPairs(emb, "vec_id", "embedding", 0.45,
+        cents, nprobe = 4))
+    }
+    time("t57/cc-on-exact") {
+      val exact = Similarity.exactThresholdPairs(emb, "vec_id", "embedding",
+          0.45).select(col("id_a"), col("id_b")).localCheckpoint(true)
+      noop(Dedup.connectedComponents(emb.select(col("vec_id")), "vec_id",
+        exact, "id_a", "id_b"))
+    }
+
+    // ---- m71 components --------------------------------------------------
+    time("m71/full") {
+      noop(Clustering.hdbscanLevels(
+        emb.select(col("vec_id"), col("embedding")(0).as("x"),
+          col("embedding")(1).as("y")),
+        "vec_id", "x", "y", minPts = 5, lambdas = Seq(0.02, 0.04)))
+    }
+
+    // ---- graph family ----------------------------------------------------
+    import graft.operators.Graph
+    time("g/backbone-count") {
+      noop(QueriesG.backbone(spark, sfDir))
+    }
+    time("g17/full") {
+      val backbone = QueriesG.backbone(spark, sfDir)
+      noop(Graph.modularity(backbone, "s1", "s2",
+        Graph.labelPropagationAssign(backbone, rounds = 3), "v", "label"))
+    }
+    time("g17/lpa-only") {
+      val backbone = QueriesG.backbone(spark, sfDir)
+      noop(Graph.labelPropagationAssign(backbone, rounds = 3))
+    }
+    time("g1/pagerank") {
+      noop(SparkEntry.queries("g1_pagerank")(spark, sfDir))
+    }
+    time("g16/full") {
+      noop(SparkEntry.queries("g16_label_propagation")(spark, sfDir))
+    }
+
+    // ---- peer effects ----------------------------------------------------
+    time("e3e/full") {
+      noop(SparkEntry.queries("e3e_peer_grid")(spark, sfDir))
+    }
+    time("m53/full") {
+      noop(SparkEntry.queries("m53_dbscan_grid")(spark, sfDir))
+    }
+    time("ann2c/full") {
+      noop(SparkEntry.queries("ann2c_ivf_learned")(spark, sfDir))
+    }
+    time("ann15/full") {
+      noop(SparkEntry.queries("ann15_mmr_rerank")(spark, sfDir))
+    }
+    time("t56/full") {
+      noop(SparkEntry.queries("t56_containment_pairs")(spark, sfDir))
+    }
+    time("t62/full") {
+      noop(SparkEntry.queries("t62_scrub_pipeline")(spark, sfDir))
+    }
+    spark.stop()
+  }
+}

@@ -27,7 +27,9 @@ object QueriesAA {
   // itself from the exact degree/σ/k_ic algebra.
   val g18 = Q("g18_louvain_move",
     (s, d) => {
-      val backbone = QueriesG.backbone(s, d)
+      // r15: materialize the backbone ONCE (see g17) — both consumers
+      // checkpoint their edge input, so a lazy backbone ran twice.
+      val backbone = QueriesG.backbone(s, d).localCheckpoint(true)
       Graph.louvainMoveRound(backbone, "s1", "s2",
         Graph.labelPropagationAssign(backbone, rounds = 3), "v", "label")
     },

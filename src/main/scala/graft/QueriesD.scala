@@ -479,7 +479,9 @@ object QueriesD {
   // pinned deployment configuration from the IvfSweep recall-cost curve
   // (README table; VERDICT r6 #2 closed the round-5 "recall-lean
   // nprobe=2" gap): measured recall@5 at nprobe=4 is 0.538 (sf0.001),
-  // 0.555 (sf0.01), 0.396 (sf0.1) for ~9-19% of the N(N-1) candidate
+  // 0.555 (sf0.01), 0.396 (sf0.1) — re-measured r15 at the maxIter=5
+  // fit as 0.535 / 0.555 / 0.389, same margins — for ~9-19% of the
+  // N(N-1) candidate
   // space; the floor is the min-across-fixtures minus margin
   // (0.396 - 0.04 ≈ 0.35, up from the old nprobe=2 floor 0.25), so the
   // audit holds at EVERY fixture scale while checking the real

@@ -499,6 +499,16 @@ object QueriesG {
 
   /** g3's deterministic top-500 co-occurrence backbone, shared by the
     * triangle census and the k-core peel.
+    *
+    * r15 measurement note (guide §1.1): a "fewer exchanges" rewrite —
+    * groupBy(c).collect_set(sp) + expression-land s1 < s2 pair explosion
+    * replacing distinct → self-join — was implemented and MEASURED
+    * 2.8× SLOWER (7.9 s vs 2.84 s at sf0.1, local[32]): collect_set is
+    * an ObjectHashAggregate (no whole-stage codegen) and the nested
+    * higher-order transform/slice/flatten pair builder allocates an
+    * array-of-array-of-structs per customer, swamping the two exchanges
+    * it saves. Reverted to the codegen-friendly join form; evidence in
+    * OPTIMIZATION_r15.md.
     */
   private[graft] def backbone(s: SparkSession, d: String): DataFrame = {
     val e0 = Tables.orders(s, d)

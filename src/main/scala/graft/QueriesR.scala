@@ -31,6 +31,7 @@ object QueriesR {
   // Blocked pairs verify exact cosine inside each block, so precision
   // is 1 by construction and recall is the whole question: measured
   // 1.000 / 1.000 / 0.944 at sf0.001/0.01/0.1 with k=8, nprobe=4
+  // (re-measured r15 at the maxIter=5 fit: 1.000 / 1.000 / 0.965)
   // (floor 0.85 = min across fixtures minus margin). The 0.45 bar
   // deliberately sits far below SemDeDup's usual ~0.95: low-cosine
   // pairs co-cluster far LESS (a k=16/nprobe=2 config measured recall

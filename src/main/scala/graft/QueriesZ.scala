@@ -147,7 +147,10 @@ object QueriesZ {
   // computes the identical algebra from the exact edge set.
   val g17 = Q("g17_modularity",
     (s, d) => {
-      val backbone = QueriesG.backbone(s, d)
+      // r15: materialize the backbone ONCE — modularity and the LPA seed
+      // each localCheckpoint their edge input, so an un-materialized
+      // backbone plan executed twice (two full orders⋈lineitem passes).
+      val backbone = QueriesG.backbone(s, d).localCheckpoint(true)
       graft.operators.Graph.modularity(backbone, "s1", "s2",
         graft.operators.Graph.labelPropagationAssign(backbone, rounds = 3),
         "v", "label")

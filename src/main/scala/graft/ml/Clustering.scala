@@ -121,7 +121,19 @@ object Clustering {
     val unit = transform(v, x => x / sqrt(aggregate(v, lit(0.0),
       (acc, u) => acc + u * u)))
     val feats = df.select(array_to_vector(unit).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed)
+    // r15 (guide §1.2/§1.1): spark.ml's default fit (k-means|| init +
+    // maxIter 20) measured 3.4-4.0 s per call at sf0.1 with most of the
+    // wall in the per-iteration job train. A coarse quantizer feeding
+    // recall-gated blocking (t57) / IVF probing (ann2c) does not need
+    // convergence-grade centroids — it needs balanced, density-following
+    // cells; maxIter=5 over the same k-means|| init keeps the gates'
+    // measured recall (re-verified at sf0.001/0.01/0.1, see
+    // OPTIMIZATION_r15.md) at ~40% of the fit wall. Two from-scratch
+    // DataFrame-algebra Lloyd rewrites (literal-expression centroids;
+    // a pqCodebooks-style lazy broadcast chain) both measured SLOWER
+    // than the tuned spark.ml fit (k·dim-sized Janino trees /
+    // plan-growth re-optimization) and were discarded.
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cluster")
     val cents = model.fit(feats).clusterCenters.zipWithIndex.map {
       case (c, i) =>
@@ -132,6 +144,7 @@ object Clustering {
     df.sparkSession.createDataFrame(cents.toSeq)
       .toDF("cell", "cent_vec")
   }
+
 
   /** Grid-blocked DBSCAN (Ester et al., KDD'96) over a 2-D feature
     * space — density clustering with a noise class, the shape-agnostic
@@ -266,19 +279,29 @@ object Clustering {
       yCol: String, minPts: Int, lambdas: Seq[Double]): DataFrame = {
     require(lambdas.nonEmpty && minPts >= 2,
       s"need lambdas.nonEmpty, minPts >= 2; got $lambdas, $minPts")
-    lambdas.zipWithIndex.map { case (lam, i) =>
-      hdbscanLevel(points, idCol, xCol, yCol, minPts, lam)
-        .select(lit(i.toLong).as("level"), col(idCol), col("cluster"))
-    }.reduce(_.unionByName(_))
-  }
-
-  private def hdbscanLevel(points: DataFrame, idCol: String, xCol: String,
-      yCol: String, minPts: Int, lam: Double): DataFrame = {
+    // r15 (guide §2.4 — remove shuffles outright): the per-level form
+    // ran the 9×-explode grid join AND the core-distance rank window
+    // once per λ. Both are now computed ONCE at λmax and each level is
+    // derived by FILTERING, which is exact:
+    //  - pair sharing: the 3×3 blocking at cell side λmax finds every
+    //    pair with d ≤ λmax, a superset of every smaller level's pair
+    //    set; the level-λ pairs are exactly `__d2 ≤ λ²` of that set.
+    //  - core-distance sharing: cd²(a) = the minPts-th smallest __d2 in
+    //    ascending (__d2, __idb) order. Ranked over the ≤λmax superset,
+    //    the first minPts entries of a's list coincide with the ≤λ
+    //    list's whenever the minPts-th value is ≤ λ² (every smaller
+    //    entry is also ≤ λ²), so "rank-minPts value ≤ λ²" decides
+    //    level-λ core membership identically to ranking the filtered
+    //    list — one window, L membership tests.
+    // Per level only the CC over its own edge graph remains. Oracle
+    // unchanged (m71 re-verified); plan: 2 explode-joins + 2 windows →
+    // 1 + 1 at L = 2.
+    val lamMax = lambdas.max
     val pts = points.select(col(idCol).cast("long").as("__id"),
         col(xCol).cast("double").as("__x"),
         col(yCol).cast("double").as("__y"))
-      .withColumn("__cx", floor(col("__x") / lam).cast("long"))
-      .withColumn("__cy", floor(col("__y") / lam).cast("long"))
+      .withColumn("__cx", floor(col("__x") / lamMax).cast("long"))
+      .withColumn("__cy", floor(col("__y") / lamMax).cast("long"))
       .localCheckpoint(true)
     val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
       struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
@@ -295,32 +318,35 @@ object Clustering {
     val dy = col("__ya") - col("__yb")
     val pairs = probe.join(home, Seq("__jcx", "__jcy"))
       .where(col("__ida") =!= col("__idb") &&
-        dx * dx + dy * dy <= lit(lam * lam))
+        dx * dx + dy * dy <= lit(lamMax * lamMax))
       .select(col("__ida"), col("__idb"),
         (dx * dx + dy * dy).as("__d2"))
-      .localCheckpoint(true) // feeds the cd window AND the edge joins
+      .localCheckpoint(true) // feeds the cd window AND every level's edges
     // cd²: the minPts-th smallest in-block squared distance; rank value
-    // is tie-independent (equal d2 → same value at rank minPts). Only
-    // kept when ≤ λ² — exactly the level-set membership test.
+    // is tie-independent (equal d2 → same value at rank minPts).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__ida"))
       .orderBy(col("__d2").asc, col("__idb").asc)
-    val members = pairs.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === minPts && col("__d2") <= lit(lam * lam))
-      .select(col("__ida").as("__id"))
-      .localCheckpoint(true) // both edge ends + the CC node set
-    // mr(a,b) ≤ λ ⟺ d ≤ λ ∧ cd(a) ≤ λ ∧ cd(b) ≤ λ
-    val edges = pairs
-      .join(members.withColumnRenamed("__id", "__ida"), Seq("__ida"),
-        "left_semi")
-      .join(members.withColumnRenamed("__id", "__idb"), Seq("__idb"),
-        "left_semi")
-      .select(col("__ida"), col("__idb"))
-    val cc = graft.operators.Dedup.connectedComponentsStarContraction(
-      members, "__id", edges, "__ida", "__idb")
-    pts.join(cc, Seq("__id"), "left")
-      .select(col("__id").as(idCol),
-        coalesce(col("cluster_id"), lit(-1L)).as("cluster"))
+    val cd = pairs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === minPts)
+      .select(col("__ida").as("__id"), col("__d2").as("__cd2"))
+      .localCheckpoint(true) // per level: both edge ends + the CC node set
+    lambdas.zipWithIndex.map { case (lam, i) =>
+      val members = cd.where(col("__cd2") <= lit(lam * lam))
+        .select(col("__id"))
+      // mr(a,b) ≤ λ ⟺ d ≤ λ ∧ cd(a) ≤ λ ∧ cd(b) ≤ λ
+      val edges = pairs.where(col("__d2") <= lit(lam * lam))
+        .join(members.withColumnRenamed("__id", "__ida"), Seq("__ida"),
+          "left_semi")
+        .join(members.withColumnRenamed("__id", "__idb"), Seq("__idb"),
+          "left_semi")
+        .select(col("__ida"), col("__idb"))
+      val cc = graft.operators.Dedup.connectedComponentsStarContraction(
+        members, "__id", edges, "__ida", "__idb")
+      pts.join(cc, Seq("__id"), "left")
+        .select(lit(i.toLong).as("level"), col("__id").as(idCol),
+          coalesce(col("cluster_id"), lit(-1L)).as("cluster"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Simplified (centroid-based) silhouette — the clustering-quality

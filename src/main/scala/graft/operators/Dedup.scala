@@ -642,22 +642,34 @@ object Dedup {
         .where(col("__u") =!= col("__v"))
         .distinct()
     }
+    // r15 convergence probe (guide §1.2/§2.4 — fewer jobs per round):
+    // both frames are DISTINCT sets, so set equality ⟺ equal cardinality
+    // ∧ next \ edges = ∅. Cardinalities ride the checkpoint job as an
+    // Observation (zero extra jobs — the CC propagation loop's existing
+    // pattern), so rounds that changed the edge count pay NO probe job
+    // at all, and the fixpoint round pays ONE anti-join limit(1) instead
+    // of the former two unconditional ones.
+    val obs0 = org.apache.spark.sql.Observation()
     var edges = p0
       .select(col(aCol).as("__u"), col(bCol).as("__v"))
       .where(col("__u") =!= col("__v"))
       .distinct()
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint(true)
+    var nEdges = obs0.get("n").asInstanceOf[Long]
     var iters = 0
     var converged = false
     while (!converged && iters < starMaxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // set equality via symmetric difference; limit(1) short-circuits
-      val grew = next.join(edges, Seq("__u", "__v"), "left_anti")
-        .limit(1).count()
-      val shrank = edges.join(next, Seq("__u", "__v"), "left_anti")
-        .limit(1).count()
-      converged = grew == 0L && shrank == 0L
+      val obs = org.apache.spark.sql.Observation()
+      val next = smallStar(largeStar(edges))
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val nNext = obs.get("n").asInstanceOf[Long]
+      converged = nNext == nEdges &&
+        next.join(edges, Seq("__u", "__v"), "left_anti")
+          .limit(1).count() == 0L
       edges = next
+      nEdges = nNext
       iters += 1
     }
     assert(converged,

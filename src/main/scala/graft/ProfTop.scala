@@ -68,6 +68,35 @@ object ProfTop {
         "vec_id", "embedding", 5))
     }
 
+    // ---- ann9 sub-components --------------------------------------------
+    time("ann9sub/subs-window-init") {
+      // the pqCodebooks init path alone: explode into subspaces + the
+      // per-sub hash-ordered seed window
+      import org.apache.spark.sql.expressions.Window
+      val subDim = Tables.embeddingDim / 16
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val unitv = transform(v, x => x / sqrt(aggregate(v, lit(0.0),
+        (acc, u) => acc + u * u)))
+      val subs = emb.select(col("vec_id").as("id"), unitv.as("vec"))
+        .select(col("id"), explode(sequence(lit(0), lit(15))).as("sub"),
+          col("vec"))
+        .select(col("id"), col("sub"),
+          slice(col("vec"), col("sub") * subDim + 1, lit(subDim)).as("sv"))
+      val wInit = Window.partitionBy(col("sub"))
+        .orderBy(xxhash64(col("id"), lit(7L)), col("id"))
+      noop(subs.withColumn("__rn", row_number().over(wInit))
+        .where(col("__rn") <= 16))
+    }
+    if (which.isEmpty || which.exists("ann9sub/encode-given-cb".startsWith)) {
+      val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 16, ksub = 16, dim = Tables.embeddingDim, seed = 7L)
+        .localCheckpoint(true) // built ONCE, outside the timed reps
+      time("ann9sub/encode-given-cb") {
+        noop(Similarity.pqEncode(emb, "vec_id", "embedding", cb,
+          m = 16, dim = Tables.embeddingDim))
+      }
+    }
+
     // ---- t57 components --------------------------------------------------
     import graft.ml.Clustering
     import graft.operators.Dedup
@@ -116,6 +145,33 @@ object ProfTop {
     }
     time("g16/full") {
       noop(SparkEntry.queries("g16_label_propagation")(spark, sfDir))
+    }
+
+    // ---- lazy-vs-eager iteration experiment (LPA 3 rounds) --------------
+    time("exp/lpa-eager(current)") {
+      val backbone = QueriesG.backbone(spark, sfDir).localCheckpoint(true)
+      noop(Graph.labelPropagationAssign(backbone, rounds = 3))
+    }
+    time("exp/lpa-lazy-chain") {
+      import org.apache.spark.sql.expressions.Window
+      val backbone = QueriesG.backbone(spark, sfDir).localCheckpoint(true)
+      val e = backbone.select(col("s1"), col("s2"))
+      val adj = e.select(col("s1").as("v"), col("s2").as("nb"))
+        .unionAll(e.select(col("s2").as("v"), col("s1").as("nb")))
+        .localCheckpoint(true)
+      var labels = adj.select(col("v")).distinct()
+        .withColumn("label", col("v"))
+      (1 to 3).foreach { _ =>
+        val w = Window.partitionBy(col("v"))
+          .orderBy(col("cnt").desc, col("label").asc)
+        labels = adj
+          .join(labels.select(col("v").as("nb"), col("label")), "nb")
+          .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+          .select(col("v"), col("label"))
+      }
+      noop(labels)
     }
 
     // ---- peer effects ----------------------------------------------------

@@ -203,23 +203,30 @@ object Graph {
     */
   def labelPropagate(edges: DataFrame, rounds: Int,
       s1: String = "s1", s2: String = "s2"): DataFrame = {
-    val e = edges.select(col(s1).as("a"), col(s2).as("b"))
-      .unionAll(edges.select(col(s2).as("a"), col(s1).as("b")))
+    // r15 (guide §1.2/§2.4): self-loops folded into the symmetrized
+    // edge list make the per-round update a SINGLE join + min-groupBy —
+    // min over (self ∪ neighbors) ≡ least(own, min neighbor), the old
+    // join + left-join + coalesce in one shuffle, with the label frame
+    // referenced once per round. That single-use shape lets the rounds
+    // chain LAZILY (linear plan growth; integer min semantics are
+    // recomputation-deterministic), so the whole bounded loop runs as
+    // one job at the caller's action instead of a checkpoint job per
+    // round.
+    val e0 = edges.select(col(s1).as("a"), col(s2).as("b"))
+    val e = e0
+      .unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      .unionAll(e0.select(col("a"), col("b"))
+        .select(col("a").as("v")).unionAll(e0.select(col("b").as("v")))
+        .distinct()
+        .select(col("v").as("a"), col("v").as("b"))) // self-loops
       .localCheckpoint(true)
     var lbl = e.select(col("a").as("v")).distinct()
       .select(col("v"), col("v").as("l"))
-      .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val nbMin = e
+      lbl = e
         .join(lbl.withColumnRenamed("v", "b").withColumnRenamed("l", "nl"),
           "b")
-        .groupBy(col("a").as("v")).agg(min(col("nl")).as("nl"))
-      val next = lbl.join(nbMin, Seq("v"), "left")
-        .select(col("v"),
-          least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
-        .localCheckpoint(true)
-      lbl.unpersist()
-      lbl = next
+        .groupBy(col("a").as("v")).agg(min(col("nl")).as("l"))
     }
     lbl.groupBy(col("l").as("community")).agg(count(lit(1)).as("n_members"))
   }
@@ -671,7 +678,15 @@ object Graph {
       .localCheckpoint(true)
     var labels = adj.select(col("v")).distinct()
       .withColumn("label", col("v"))
-      .localCheckpoint(true)
+    // r15 (guide §1.2 — fewer jobs): rounds chain LAZILY and only the
+    // FINAL assignment is checkpointed (one job instead of rounds + 1).
+    // Safe here specifically: each round references `labels` exactly
+    // once (linear plan growth, unlike the CC loop's two-sided use) and
+    // every round is integer counts + a total-order tie-break, so a
+    // recomputation under eviction is bit-identical — the FP-ordering
+    // argument that forces per-round pinning in pageRank/HITS does not
+    // apply. Fixed round counts in the catalog are ≤ 3, so plan depth
+    // stays trivially bounded.
     (1 to rounds).foreach { _ =>
       val w = Window.partitionBy(col("v"))
         .orderBy(col("cnt").desc, col("label").asc)
@@ -681,9 +696,8 @@ object Graph {
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1)
         .select(col("v"), col("label"))
-        .localCheckpoint(true)
     }
-    labels
+    labels.localCheckpoint(true) // materialized once for multi-consumers
   }
 
   /** Newman modularity (Newman & Girvan '04) of a community assignment

@@ -200,33 +200,43 @@ object Similarity {
     val cands = pool.select(col("query_id"), col("cand_id"), col("rel"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__mmr").desc, col("cand_id"))
-    var selected = cands
+    // r15 (guide §1.2 — fewer jobs per greedy step): the loop formerly
+    // re-checkpointed BOTH the accumulated `selected` union and the
+    // shrinking `remaining` anti-join every step (2 eager jobs/step,
+    // each re-materializing all prior steps' rows). Now only each
+    // step's NEW selection (|Q| rows) is checkpointed; `selected` is a
+    // lazy unionAll of the already-materialized step frames and
+    // `remaining` is derived per step as cands ANTI selected — the
+    // identical set, at constant plan depth, for 1 job/step. Selection
+    // semantics, tie-breaks, and quantization unchanged (oracle
+    // re-verified).
+    val first = cands
       .withColumn("__mmr", lit(relWeight) * col("rel"))
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       .select(col("query_id"), col("cand_id"), lit(1).as("step"),
         col("__mmr").as("mmr_score"))
       .localCheckpoint(true)
-    var remaining = cands.join(selected.select(col("query_id"),
-        col("cand_id")), Seq("query_id", "cand_id"), "left_anti")
-      .localCheckpoint(true)
+    var parts = Vector(first)
     (2 to k).foreach { step =>
+      val selIds = parts.map(_.select(col("query_id"), col("cand_id")))
+        .reduce(_.unionAll(_))
       val pen = psim
-        .join(selected.select(col("query_id"), col("cand_id").as("sel_id")),
+        .join(selIds.withColumnRenamed("cand_id", "sel_id"),
           Seq("query_id", "sel_id"))
         .groupBy(col("query_id"), col("cand_id"))
         .agg(max(col("sim")).as("__pen"))
-      val next = remaining.join(pen, Seq("query_id", "cand_id"))
+      val next = cands
+        .join(selIds, Seq("query_id", "cand_id"), "left_anti")
+        .join(pen, Seq("query_id", "cand_id"))
         .withColumn("__mmr",
           lit(relWeight) * col("rel") - lit(penWeight) * col("__pen"))
         .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
         .select(col("query_id"), col("cand_id"), lit(step).as("step"),
           col("__mmr").as("mmr_score"))
-      selected = selected.unionAll(next).localCheckpoint(true)
-      remaining = remaining.join(next.select(col("query_id"),
-          col("cand_id")), Seq("query_id", "cand_id"), "left_anti")
         .localCheckpoint(true)
+      parts :+= next
     }
-    selected.select(col("query_id"), col("step"),
+    parts.reduce(_.unionAll(_)).select(col("query_id"), col("step"),
       col("cand_id").as("neighbor_id"),
       round(col("mmr_score") + lit(1e-9), 6).as("mmr_score"))
   }
@@ -961,17 +971,31 @@ object Similarity {
     * codebooks → same codes → same shortlists. Empty clusters drop out
     * of the centroid frame (their codes simply never win an argmin).
     */
-  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, dim: Int, seed: Long, iters: Int = 3): DataFrame = {
-    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+  /** The (id, sub, sv) subspace-exploded unit-vector frame every PQ
+    * stage consumes — factored out (r15) so [[pqTopK]] materializes it
+    * ONCE for both codebook training and encoding instead of each
+    * stage re-normalizing and re-slicing the corpus.
+    */
+  private def pqSubs(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int): DataFrame = {
     val subDim = dim / m
-    val base = unitVectors(df, idCol, vecCol)
-    val subs = base
+    unitVectors(df, idCol, vecCol)
       .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
         col("vec"))
       .select(col("id"), col("sub"),
         slice(col("vec"), col("sub") * subDim + 1, lit(subDim)).as("sv"))
       .localCheckpoint(true)
+  }
+
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dim: Int, seed: Long, iters: Int = 3): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    pqCodebooksFromSubs(pqSubs(df, idCol, vecCol, m, dim),
+      ksub, dim / m, seed, iters)
+  }
+
+  private def pqCodebooksFromSubs(subs: DataFrame, ksub: Int,
+      subDim: Int, seed: Long, iters: Int): DataFrame = {
     val wInit = Window.partitionBy(col("sub"))
       .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
     var cents = subs
@@ -1016,11 +1040,20 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
     val subDim = dim / m
-    val base = unitVectors(df, idCol, vecCol)
-    val d2 = aggregate(zip_with(
-      slice(col("vec"), col("sub") * subDim + 1, lit(subDim)), col("cent"),
+    // r15: equi-join on `sub` over the exploded (id, sub, sv) frame
+    // instead of a full crossJoin against all m·ksub codebook rows —
+    // identical candidate set per (id, sub) (the old groupBy keyed on
+    // the codebook row's sub, which is exactly the equi-join), but the
+    // subspace slice happens once per (id, sub) instead of once per
+    // (id, codebook row).
+    pqEncodeFromSubs(pqSubs(df, idCol, vecCol, m, dim), codebooks, idCol)
+  }
+
+  private def pqEncodeFromSubs(subs: DataFrame, codebooks: DataFrame,
+      idCol: String): DataFrame = {
+    val d2 = aggregate(zip_with(col("sv"), col("cent"),
       (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v)
-    base.crossJoin(broadcast(codebooks))
+    subs.join(broadcast(codebooks), Seq("sub"))
       .select(col("id").as(idCol), col("sub"), col("code"), d2.as("__d2"))
       .groupBy(col(idCol), col("sub"))
       .agg(min(struct(col("__d2"), col("code")))
@@ -1042,9 +1075,12 @@ object Similarity {
       queryPred: Column, k: Int, m: Int, ksub: Int, shortlist: Int,
       dim: Int, seed: Long): DataFrame = {
     val subDim = dim / m
-    val cb = pqCodebooks(df, idCol, vecCol, m, ksub, dim, seed)
+    // r15: ONE subspace-exploded frame feeds training AND encoding —
+    // previously each stage rebuilt its own normalized/sliced corpus.
+    val subs = pqSubs(df, idCol, vecCol, m, dim)
+    val cb = pqCodebooksFromSubs(subs, ksub, subDim, seed, iters = 3)
       .localCheckpoint(true)
-    val codes = pqEncode(df, idCol, vecCol, cb, m, dim)
+    val codes = pqEncodeFromSubs(subs, cb, idCol)
     val base = unitVectors(df, idCol, vecCol)
     val queries = df.where(queryPred)
     val qvecs = unitVectors(queries, idCol, vecCol)

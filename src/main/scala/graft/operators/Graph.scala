@@ -212,11 +212,15 @@ object Graph {
     // recomputation-deterministic), so the whole bounded loop runs as
     // one job at the caller's action instead of a checkpoint job per
     // round.
+    // materialize the raw edge plan ONCE (the symmetrize + self-loop
+    // union references it three times; an un-checkpointed upstream —
+    // e.g. the g5 backbone — would execute per reference)
     val e0 = edges.select(col(s1).as("a"), col(s2).as("b"))
+      .localCheckpoint(true)
     val e = e0
       .unionAll(e0.select(col("b").as("a"), col("a").as("b")))
-      .unionAll(e0.select(col("a"), col("b"))
-        .select(col("a").as("v")).unionAll(e0.select(col("b").as("v")))
+      .unionAll(e0.select(col("a").as("v"))
+        .unionAll(e0.select(col("b").as("v")))
         .distinct()
         .select(col("v").as("a"), col("v").as("b"))) // self-loops
       .localCheckpoint(true)
@@ -359,7 +363,11 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       seeds: Column, maxHops: Int, k: Int): DataFrame = {
     require(maxHops >= 1 && k >= 2, s"need maxHops>=1, k>=2; got $maxHops, $k")
+    // r15: materialize the raw edge plan before mirroring — the union
+    // references it twice, so an un-checkpointed upstream (the catalog
+    // callers pass a lazy orders⋈lineitem join) executed per reference
     val e0 = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .localCheckpoint(true)
     val sym = e0.union(e0.select(col("__d"), col("__s")))
       .distinct().localCheckpoint(true)
     val ids = nodes.select(col(idCol).as("__v"), seeds.as("__seed"))
@@ -420,7 +428,9 @@ object Graph {
       srcCol: String, dstCol: String, seeds: Column,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"need maxHops >= 1; got $maxHops")
+    // r15: materialize before mirroring (see neighborhoodFunction)
     val e0 = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .localCheckpoint(true)
     val sym = e0.union(e0.select(col("__d"), col("__s")))
       .distinct().localCheckpoint(true)
     val ids = nodes.select(col(idCol).as("__v"), seeds.as("__seed"))
@@ -467,6 +477,7 @@ object Graph {
     require(maxHops >= 1, s"need maxHops >= 1; got $maxHops")
     val e0 = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
       col(weightCol).cast("long").as("__w"))
+      .localCheckpoint(true) // r15: one evaluation of the caller's plan
     // parallel edges keep only the cheapest; mirrored for undirected
     val sym = e0.union(e0.select(col("__d").as("__s"),
         col("__s").as("__d"), col("__w")))

@@ -90,6 +90,17 @@ import org.apache.spark.sql.SparkSession
   *      an unconfirmed record ages and retires at STALE_MAX). The
   *      atScale probes follow the same discipline at per-probe grain,
   *      each budget-gated on its own recorded cost.
+  *  10. ENVIRONMENT-AWARE RECORDS + VISIBLE CARRY (round 16, VERDICT r15
+  *      #1/#7) — $SPARK_GRAFT_CPUS and $SPARK_GRAFT_SF_DIR are salted
+  *      into the measurement fingerprint, so a core-count or scale-factor
+  *      change retires every suite/product/probe/anchor record wholesale
+  *      and the run measures fresh (the r15 8-core driver run had
+  *      reprinted 241/303 32-core records verbatim, poisoning the PERF
+  *      scaling probe). The printed line now carries `queries_src`
+  *      (fresh / kept:N / carried:N per query) and
+  *      `regression_candidates` (kept records whose fresh window ran
+  *      >25% + 0.3 s above them — the keep-lower ratchet's blind spot),
+  *      so provenance is auditable without bench_full.json.
   *
   * WALL BUDGET (round 12 — VERDICT r11 #1: the r11 driver bench run
   * timed out, rc=124, and the artifact was written only at the end, so
@@ -277,10 +288,19 @@ object Bench {
     // conf defaults) makes old windows incomparable, so they rotate the
     // fingerprint exactly like a code change (ADVICE r9). Constants here
     // MUST be edited in lockstep with the code that implements them.
+    // CPUS + SF IN THE FINGERPRINT (round 16, VERDICT r15 #1): a record
+    // measured at local[32] says nothing about local[8] — 241/303 values
+    // in the r15 driver's 8-core BENCH line were bit-identical echoes of
+    // the 32-core committed artifact, so the PERF scaling probe compared
+    // the record to itself and false-positived `suspect_cpus_ignored`.
+    // Salting the execution environment into the measurement fingerprint
+    // retires every suite/product/probe record wholesale when
+    // $SPARK_GRAFT_CPUS or $SPARK_GRAFT_SF_DIR changes, forcing fresh
+    // measurement at the new core count / scale factor.
     val measurementFp = "reps=3;warm=1;anchor_repeat=5;anchor10_repeat=3;" +
       "corpus_repeat=5;corpus10_repeat=3;clean=2x-min;suite_clean=2x-min;" +
       "windows=2;escalate=2x+0.5s;iso=gated2x;rewarm=64;budget=v1;" +
-      "gc=adaptive1s"
+      "gc=adaptive1s;" + s"cpus=$cpus;sf=$sfDir"
     // Staleness bound (ADVICE r9): under the keep-lower ratchet a stale
     // fast record would otherwise win forever on a host that genuinely
     // slowed (and the headline becomes a running minimum over unbounded
@@ -765,6 +785,21 @@ object Bench {
       val qs = (qFold.map(p => p.fin.name -> pentry(p, withFp = true)) ++
         carriedQ.map(c => c._1 -> c._3))
         .sortBy(_._1).map(_._2).mkString("{", ",", "}")
+      // RATCHET REGRESSION CANDIDATES (round 16, VERDICT r15 #7): the
+      // keep-lower fold reports the committed record when it beats this
+      // run's fresh window, which can hide a true regression on untouched
+      // code for up to staleness expiry. Surface every query whose FRESH
+      // suite median exceeded the kept record by >25% (and >0.3 s
+      // absolute — sub-second windows are scheduler noise) so the gap is
+      // visible without diffing bench_full.json reps by hand.
+      val regressionCandidates: Seq[String] = qFold.collect {
+        case p if p.recordSource.startsWith("kept@") &&
+            p.fin.median > 1.25 * p.median &&
+            p.fin.median - p.median > 0.3 => p.fin.name
+      }.sorted
+      val regPart =
+        s""","regression_candidates":[${
+          regressionCandidates.map("\"" + _ + "\"").mkString(",")}]"""
       // carried product section: committed entries, with the rotated
       // twins' fresh (record-folded) measurements spliced in
       val ps =
@@ -923,7 +958,7 @@ object Bench {
           .map { case (k, v) => s""""$k":$v""" }.mkString(",")}}"""
       }
       val newJson =
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"reps_per_query":3,"warmup_reps":1,"suite_cycle":$suiteCycle,"queries":$qs,"product":$ps$pfpPart,"isolated":$iso,"isolated_rejected":$isoRej$atScalePart$anchorPart$corpusPart$phasePart$retiredPart$skippedPart}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"reps_per_query":3,"warmup_reps":1,"suite_cycle":$suiteCycle,"queries":$qs$regPart,"product":$ps$pfpPart,"isolated":$iso,"isolated_rejected":$isoRej$atScalePart$anchorPart$corpusPart$phasePart$retiredPart$skippedPart}"""
       // SECTION CARRY (round 14, VERDICT r13 #2 + the r13 ANCHOR=0
       // clobber): the artifact is merged against the committed record by
       // SECTION — a section this run measured or consciously folded
@@ -1505,6 +1540,29 @@ object Bench {
       .sortBy(_._1)
       .map { case (n, m) => "\"" + n + "\":" + f"$m%.3f" }
       .mkString("{", ",", "}")
+    // PER-QUERY PROVENANCE ON THE PRINTED LINE (round 16, VERDICT r15
+    // #1): the driver's only channel is this line, and 241/303 of the
+    // r15 values were carried committed medians indistinguishable from
+    // fresh measurements. `queries_src` marks each query "fresh" (this
+    // run's window won), "kept:N" (fresh window measured but the
+    // committed record won the keep-lower fold; N = record staleness),
+    // or "carried:N" (not measured this run; N = staleness after the
+    // carry bump), so carried entries are identifiable without reading
+    // bench_full.json. `regression_candidates` lists kept entries whose
+    // fresh window exceeded the record by >25% (+0.3 s floor) — the
+    // ratchet's blind spot (VERDICT r15 #7).
+    val qsSrcCompact = (qFold.map { p =>
+      p.fin.name -> (if (p.recordSource.startsWith("kept@"))
+        s"kept:${p.staleness}" else "fresh")
+    } ++ suiteCarried.map { case (n, r) => n -> s"carried:${r.staleness + 1}" })
+      .sortBy(_._1)
+      .map { case (n, s) => "\"" + n + "\":\"" + s + "\"" }
+      .mkString("{", ",", "}")
+    val regCandCompact = qFold.collect {
+      case p if p.recordSource.startsWith("kept@") &&
+          p.fin.median > 1.25 * p.median &&
+          p.fin.median - p.median > 0.3 => p.fin.name
+    }.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val psCompact =
       if (productCarry)
         (recordProducts.filter { case (n, _) =>
@@ -1551,7 +1609,7 @@ object Bench {
     }.getOrElse("")
     val skippedCompact = s""","skipped":[${
       skipped.map("\"" + _ + "\"").mkString(",")}]"""
-    println(s"""{"queries":$qsCompact,"product":$psCompact,"isolated":$isoCompact,"isolated_rejected":$isoRejCompact,"unstable":$unstableList$atScaleCompact$anchorCompact$corpusCompact$skippedCompact,"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","full":"$fullOut"}""")
+    println(s"""{"queries":$qsCompact,"queries_src":$qsSrcCompact,"regression_candidates":$regCandCompact,"product":$psCompact,"isolated":$isoCompact,"isolated_rejected":$isoRejCompact,"unstable":$unstableList$atScaleCompact$anchorCompact$corpusCompact$skippedCompact,"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","cpus":$cpus,"full":"$fullOut"}""")
     spark.stop()
   }
 }

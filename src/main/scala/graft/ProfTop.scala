@@ -193,6 +193,66 @@ object ProfTop {
     time("t62/full") {
       noop(SparkEntry.queries("t62_scrub_pipeline")(spark, sfDir))
     }
+
+    // ---- r16 probes ------------------------------------------------------
+    time("r16/ann9-full-catalog") {
+      noop(SparkEntry.queries("ann9_pq_topk")(spark, sfDir))
+    }
+    time("r16/t57-full-catalog") {
+      noop(SparkEntry.queries("t57_semantic_dedup")(spark, sfDir))
+    }
+    time("r16/ann2c-kmeans-k45") {
+      val base = Tables.embeddings(spark, sfDir)
+      val k = math.max(4,
+        math.round(math.sqrt(base.count().toDouble)).toInt)
+      noop(Clustering.kmeansCentroids(base, "embedding", k, seed = 7L))
+    }
+    if (which.isEmpty || which.exists("r16/ann2c-arms".startsWith)) {
+      val base = Tables.embeddings(spark, sfDir)
+      val k = math.max(4,
+        math.round(math.sqrt(base.count().toDouble)).toInt)
+      val cents = Clustering.kmeansCentroids(base, "embedding", k, seed = 7L)
+        .localCheckpoint(true)
+      time("r16/ann2c-arms/ivf-given-cents") {
+        noop(Similarity.ivfTopK(base, "vec_id", "embedding", 5, cents,
+          nprobe = 4))
+      }
+      time("r16/ann2c-arms/bruteforce") {
+        noop(Similarity.bruteForceTopK(base, "vec_id", "embedding", 5))
+      }
+    }
+    time("r16/g1-pagerank-i1") {
+      val edges = Tables.orders(spark, sfDir)
+        .join(Tables.lineitem(spark, sfDir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (-(col("l_suppkey") + 1)).as("dst"))
+      val nodes = Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("id"))
+        .union(Tables.supplier(spark, sfDir)
+          .select((-(col("s_suppkey") + 1)).as("id")))
+      noop(Graph.pageRank(nodes, "id", edges, "src", "dst", iters = 1))
+    }
+    time("r16/g1-full") {
+      noop(SparkEntry.queries("g1_pagerank")(spark, sfDir))
+    }
+    time("r16/g7-full") {
+      noop(SparkEntry.queries("g7_personalized_pagerank")(spark, sfDir))
+    }
+    time("r16/g13-full") {
+      noop(SparkEntry.queries("g13_hits")(spark, sfDir))
+    }
+    time("r16/st1-full") {
+      noop(SparkEntry.queries("st1_streaming_daily_stats")(spark, sfDir))
+    }
+    time("r16/st7-full") {
+      noop(SparkEntry.queries("st7_stream_static_enrich")(spark, sfDir))
+    }
+    time("r16/st8-full") {
+      noop(SparkEntry.queries("st8_stream_interval_left_outer")(spark, sfDir))
+    }
+    time("r16/st9-full") {
+      noop(SparkEntry.queries("st9_stream_interval_full_outer")(spark, sfDir))
+    }
     spark.stop()
   }
 }

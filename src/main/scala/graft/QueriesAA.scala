@@ -191,7 +191,7 @@ object QueriesAA {
             maxDelayMinutes = 60, watermark = "0 seconds")
           .select(col("l.ts").as("p_ts"), col("r.ts").as("v_ts"),
             coalesce(col("l.user_id"), col("r.user_id")).as("uid"))
-      }, s"st9_mem_${System.nanoTime()}", statePartitions = Some(8),
+      }, s"st9_mem_${System.nanoTime()}", statePartitions = Some(2),
         mode = "append")
       val cut = Tables.events(joined.sparkSession, d)
         .agg(least(

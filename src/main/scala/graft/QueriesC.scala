@@ -72,11 +72,17 @@ object QueriesC {
   // a1 minus distinct counts (not available in streaming aggregation).
   val st1 = Q("st1_streaming_daily_stats",
     (s, d) => {
-      // state = the daily grain (tens of rows): 8 state partitions, not
-      // one per core — see runAvailableNow's statePartitions note
+      // state = the daily grain (tens of rows): 2 state partitions, not
+      // one per core — see runAvailableNow's statePartitions note. r16:
+      // every micro-batch pays one delta-write + fsync per provider per
+      // state store, so the provider count IS the streaming fixed cost
+      // at this state volume (measured on st8: 8 -> 2 partitions cut
+      // per-batch state commit 3.8 s -> 0.4 s of task time, run wall
+      // 3.4 -> 2.6 s, identical results). A deployment with millions of
+      // state keys passes a large value — the knob stays per-call.
       Streaming.runAvailableNow(s,
         s2 => Streaming.dailyStats(Streaming.readEventsStream(s2, d)),
-        s"st1_mem_${System.nanoTime()}", statePartitions = Some(8))
+        s"st1_mem_${System.nanoTime()}", statePartitions = Some(2))
     },
     Some("""SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
       round(sum(value) + 1e-9,6) AS sum_value,
@@ -98,7 +104,7 @@ object QueriesC {
           .groupBy(coalesce(col("label"), lit(-1)).as("label"))
           .agg(count(lit(1)).as("n"),
             round(sum(col("value")) + lit(1e-9), 6).as("sum_value"))
-      }, s"st7_mem_${System.nanoTime()}", statePartitions = Some(8))
+      }, s"st7_mem_${System.nanoTime()}", statePartitions = Some(2))
     },
     Some("""SELECT coalesce(label, -1) AS label, count(*) AS n,
       round(sum(value) + 1e-9, 6) AS sum_value

@@ -114,7 +114,7 @@ object QueriesZ {
             maxDelayMinutes = 60, watermark = "0 seconds")
           .select(col("l.event_id").as("event_id"), col("l.ts").as("p_ts"),
             col("r.ts").as("v_ts"))
-      }, s"st8_mem_${System.nanoTime()}", statePartitions = Some(8),
+      }, s"st8_mem_${System.nanoTime()}", statePartitions = Some(2),
         mode = "append")
       val cut = Tables.events(joined.sparkSession, d)
         .agg(least(

@@ -197,7 +197,13 @@ object Graph {
     * checkable while preserving the per-round plan you'd run to
     * convergence: one equi-join of the (thin, |V|-row) label frame onto
     * the symmetrized edges + one min-groupBy — a single shuffle per
-    * round, labels `localCheckpoint`ed so plan depth stays O(rounds).
+    * round. Since r15 the rounds chain LAZILY (each round references the
+    * label frame exactly once, and integer-min semantics make any
+    * recomputation bit-identical), so the loop executes as one job at
+    * the caller's action; plan DEPTH therefore grows linearly with
+    * `rounds`. Sized for the catalog's small fixed round counts (<= 5):
+    * a caller passing a large `rounds` should re-checkpoint every ~10
+    * rounds to keep analysis/optimizer time bounded.
     * Returns the community histogram (label, member count) after
     * `rounds` rounds.
     */
@@ -239,32 +245,46 @@ object Graph {
       nodes: DataFrame, idCol: String,
       edges0: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    // r16 (guide §1.2/§2.4): setup fused from four eager materializations
+    // to two. The out-degree rides the edge checkpoint as a window count
+    // (one action instead of a second checkpoint + a per-round broadcast
+    // join), the node frame carries a static __dangling flag (the
+    // dangling set never changes — only its rank mass does), so each
+    // round's dangling-mass scalar is a filter + sum over the previous
+    // round's checkpoint instead of an anti-join, and the uniform r_0 is
+    // a lazy projection of the checkpointed node frame (recomputing a
+    // constant-column select is cheaper than pinning it). Measured on the
+    // g1 shape: 2.73 -> 2.54 s at 3 iterations, max |Δrank| ~1e-19 (the
+    // out-degree now multiplies in a different plan position; same
+    // values, partial-agg order may differ at ulp scale — absorbed by
+    // the catalog's round(..., 6) + 1e-9 emission).
     val edges = edges0
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .distinct()
-      .localCheckpoint(true)
-    val outdeg = edges.groupBy(col("__src"))
-      .agg(count(lit(1)).as("__od"))
+      .withColumn("__od",
+        count(lit(1)).over(Window.partitionBy(col("__src"))))
       .localCheckpoint(true)
     val ids = nodes.select(col(idCol).as("__id")).distinct()
+      .join(edges.select(col("__src").as("__id"))
+        .withColumn("__hasout", lit(1)).dropDuplicates("__id"),
+        Seq("__id"), "left")
+      .select(col("__id"), col("__hasout").isNull.as("__dangling"))
       .localCheckpoint(true)
     val nTot = broadcast(ids.agg(count(lit(1)).cast("double").as("__n")))
 
     var ranks = ids.crossJoin(nTot)
-      .select(col("__id"), (lit(1.0) / col("__n")).as("__r"))
-      .localCheckpoint(true)
+      .select(col("__id"), col("__dangling"),
+        (lit(1.0) / col("__n")).as("__r"))
     for (_ <- 1 to iters) {
-      val dangling = broadcast(
-        ranks.join(outdeg, ranks("__id") === outdeg("__src"), "left_anti")
-          .agg(coalesce(sum(col("__r")), lit(0.0)).as("__dm")))
+      val dangling = broadcast(ranks.where(col("__dangling"))
+        .agg(coalesce(sum(col("__r")), lit(0.0)).as("__dm")))
       val contrib = edges
-        .join(ranks.withColumnRenamed("__id", "__src"), "__src")
-        .join(outdeg, "__src")
+        .join(ranks.select(col("__id").as("__src"), col("__r")), "__src")
         .groupBy(col("__dst").as("__id"))
         .agg(sum(col("__r") / col("__od")).as("__c"))
       val next = ids.join(contrib, Seq("__id"), "left")
         .crossJoin(dangling).crossJoin(nTot)
-        .select(col("__id"),
+        .select(col("__id"), col("__dangling"),
           (lit(1.0 - damping) / col("__n") + lit(damping) *
             (coalesce(col("__c"), lit(0.0)) + col("__dm") / col("__n")))
             .as("__r"))
@@ -289,38 +309,43 @@ object Graph {
       edges0: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, iters: Int = 5,
       damping: Double = 0.85): DataFrame = {
+    // r16: the same fused setup as [[pageRank]] — out-degree on the edge
+    // checkpoint, static __dangling flag on the node frame, lazy r_0
+    // (here r_0 = the teleport column itself). The teleport vector stays
+    // a pinned column of the node checkpoint.
     val edges = edges0
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .distinct()
-      .localCheckpoint(true)
-    val outdeg = edges.groupBy(col("__src"))
-      .agg(count(lit(1)).as("__od"))
+      .withColumn("__od",
+        count(lit(1)).over(Window.partitionBy(col("__src"))))
       .localCheckpoint(true)
     val seedIds = seeds.select(col(idCol).as("__id")).distinct()
     val nSeeds = broadcast(
       seedIds.agg(count(lit(1)).cast("double").as("__ns")))
     val ids = nodes.select(col(idCol).as("__id")).distinct()
       .join(seedIds.withColumn("__seed", lit(1)), Seq("__id"), "left")
+      .join(edges.select(col("__src").as("__id"))
+        .withColumn("__hasout", lit(1)).dropDuplicates("__id"),
+        Seq("__id"), "left")
       .crossJoin(nSeeds)
       .select(col("__id"),
         when(col("__seed").isNotNull, lit(1.0) / col("__ns"))
-          .otherwise(lit(0.0)).as("__t"))
+          .otherwise(lit(0.0)).as("__t"),
+        col("__hasout").isNull.as("__dangling"))
       .localCheckpoint(true)
 
-    var ranks = ids.select(col("__id"), col("__t").as("__r"))
-      .localCheckpoint(true)
+    var ranks = ids.select(col("__id"), col("__t"), col("__dangling"),
+      col("__t").as("__r"))
     for (_ <- 1 to iters) {
-      val dangling = broadcast(
-        ranks.join(outdeg, ranks("__id") === outdeg("__src"), "left_anti")
-          .agg(coalesce(sum(col("__r")), lit(0.0)).as("__dm")))
+      val dangling = broadcast(ranks.where(col("__dangling"))
+        .agg(coalesce(sum(col("__r")), lit(0.0)).as("__dm")))
       val contrib = edges
-        .join(ranks.withColumnRenamed("__id", "__src"), "__src")
-        .join(outdeg, "__src")
+        .join(ranks.select(col("__id").as("__src"), col("__r")), "__src")
         .groupBy(col("__dst").as("__id"))
         .agg(sum(col("__r") / col("__od")).as("__c"))
       val next = ids.join(contrib, Seq("__id"), "left")
         .crossJoin(dangling)
-        .select(col("__id"),
+        .select(col("__id"), col("__t"), col("__dangling"),
           (lit(1.0 - damping) * col("__t") + lit(damping) *
             (coalesce(col("__c"), lit(0.0)) + col("__dm") * col("__t")))
             .as("__r"))
@@ -596,13 +621,23 @@ object Graph {
         .select(col("__v"), (col(sc) / col("__nrm")).as(sc))
         .localCheckpoint(true)
     }
-    var hub = e.select(col("__s").as("__v")).distinct()
-      .withColumn("__h", lit(1.0)).localCheckpoint(true)
+    // r16: hub_0 = 1.0 on every source, so the first half-step's
+    // join-then-sum is just an in-degree count — sum over n copies of
+    // the double 1.0 is EXACTLY n (integers are exact in doubles far
+    // beyond any degree), so the special case is bit-identical to the
+    // joined form while skipping the hub_0 checkpoint and the first
+    // edge join. (The DuckDB oracle's own first CTE is the same
+    // count(*).)
+    var hub: DataFrame = null
     var auth: DataFrame = null
     (1 to iters).foreach { _ =>
       auth = l2Normalize(
-        e.join(hub.withColumnRenamed("__v", "__s"), "__s")
-          .groupBy(col("__t").as("__v")).agg(sum(col("__h")).as("__a")),
+        if (hub == null)
+          e.groupBy(col("__t").as("__v"))
+            .agg(count(lit(1)).cast("double").as("__a"))
+        else
+          e.join(hub.withColumnRenamed("__v", "__s"), "__s")
+            .groupBy(col("__t").as("__v")).agg(sum(col("__h")).as("__a")),
         "__a")
       hub = l2Normalize(
         e.join(auth.withColumnRenamed("__v", "__t"), "__t")
@@ -665,8 +700,11 @@ object Graph {
     * frequency-argmax carves dense regions apart inside one component.
     * Each round is one equi-join on the neighbor key + one
     * (node, label) count + a per-node argmax window — one shuffle wave
-    * per round, labels localCheckpoint'ed so plan depth stays O(rounds)
-    * (see the object scaladoc for the eager-checkpoint contract).
+    * per round. Since r15 the rounds chain LAZILY with ONE final
+    * checkpoint (single-reference rounds + integer counts with
+    * total-order tie-breaks make recomputation bit-identical); plan
+    * depth grows linearly with `rounds`, sized for the catalog's fixed
+    * <= 3 — re-checkpoint every ~10 rounds if you pass something large.
     * Returns one row per community: (community, size, min_node).
     */
   def labelPropagation(edges: DataFrame, s1: String = "s1",

